@@ -1,0 +1,232 @@
+"""AudioClip: f32/f64 PCM clips with gain/resample/overlay/cut/speed + WAV.
+
+API parity with the reference binding (``libNativeCPURendererPybind.py:503-
+659``) and native engine (``libNativeCPURenderer.cpp:998-1283``).  Sample
+data lives on device as a (num_frames, channels) array — the reference's
+interleaved f64 heap buffer (h:70-76) — and the per-sample loops run as
+batched JAX ops (ops/audio_ops.py).
+
+Decoding of compressed formats (ogg/mp3/...) goes through the native media
+runtime (media.py, libav) exactly as the reference delegated to
+pydub/FFmpeg; a pure-python WAV path exists as fallback.
+"""
+
+from __future__ import annotations
+
+import struct
+import typing
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import config
+from .ops import audio_ops
+
+
+class AudioClip:
+    def __init__(self, sample_rate: int, channels: int,
+                 data: typing.Iterable[float]):
+        arr = np.asarray(list(data) if not isinstance(data, np.ndarray) else data,
+                         dtype=np.float64)
+        num_frames = arr.size // channels
+        self._init_from_array(sample_rate, channels,
+                              arr.reshape(num_frames, channels))
+
+    def _init_from_array(self, sample_rate: int, channels: int,
+                         arr: np.ndarray) -> None:
+        self._sample_rate = int(sample_rate)
+        self._channels = int(channels)
+        self._num_frames = int(arr.shape[0])
+        self._buf = jnp.asarray(arr, dtype=config.default_dtype())
+
+    # ------------------------------------------------------------------ #
+    # constructors
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def _from_array(cls, sample_rate, channels, arr) -> "AudioClip":
+        clip = cls.__new__(cls)
+        clip._init_from_array(sample_rate, channels, np.asarray(arr))
+        return clip
+
+    @classmethod
+    def _from_device(cls, sample_rate, channels, buf) -> "AudioClip":
+        clip = cls.__new__(cls)
+        clip._sample_rate = int(sample_rate)
+        clip._channels = int(channels)
+        clip._num_frames = int(buf.shape[0])
+        clip._buf = buf
+        return clip
+
+    @staticmethod
+    def slient(sample_rate: int, channels: int, num_frames: int) -> "AudioClip":
+        """CreateSilentAudioClip (cpp:1036-1046).  The typo'd name is the
+        reference API (pybind:544); ``silent`` is an alias."""
+        clip = AudioClip.__new__(AudioClip)
+        clip._sample_rate = int(sample_rate)
+        clip._channels = int(channels)
+        clip._num_frames = int(num_frames)
+        clip._buf = jnp.zeros((int(num_frames), int(channels)),
+                              config.default_dtype())
+        return clip
+
+    silent = slient
+
+    @staticmethod
+    def from_pydub_seg(seg) -> "AudioClip":
+        from pydub import AudioSegment  # optional dep, absent in this image
+
+        if not isinstance(seg, AudioSegment):
+            raise TypeError("seg must be a pydub.AudioSegment")
+        if seg.sample_width != 2:
+            seg = seg.set_sample_width(2)
+        data = seg.get_array_of_samples(array_type_override="h")
+        return Int16CreatedAudioClip(seg.frame_rate, seg.channels, data)
+
+    @staticmethod
+    def from_file(path: str) -> "AudioClip":
+        """Decode an audio file (wav/ogg/mp3/...) to a clip.
+
+        The reference routes decoding through pydub -> ffmpeg
+        (pybind:530-541); here the native media runtime (libav) decodes, with
+        a stdlib WAV fallback.
+        """
+        from . import media
+        rate, channels, pcm = media.decode_audio(path)
+        return AudioClip._from_array(rate, channels, pcm)
+
+    # ------------------------------------------------------------------ #
+    # properties (cpp:1230-1244)
+    # ------------------------------------------------------------------ #
+    @property
+    def sample_rate(self) -> int:
+        return self._sample_rate
+
+    @property
+    def channels(self) -> int:
+        return self._channels
+
+    @property
+    def num_frames(self) -> int:
+        return self._num_frames
+
+    @property
+    def duration(self) -> float:
+        return self._num_frames / self._sample_rate
+
+    def numpy(self) -> np.ndarray:
+        return np.asarray(self._buf)
+
+    # ------------------------------------------------------------------ #
+    # ops
+    # ------------------------------------------------------------------ #
+    def clone(self) -> "AudioClip":
+        # CloneAudioClip copies (cpp:1054-1061); a copy is also required
+        # here because in-place ops donate their input buffers.
+        return AudioClip._from_device(self._sample_rate, self._channels,
+                                      jnp.copy(self._buf))
+
+    def apply_volume_gain(self, g: float) -> None:
+        """ApplyVolumeGain (cpp:1254-1259)."""
+        self._buf = audio_ops.gain(self._buf, jnp.asarray(g, self._buf.dtype))
+
+    def resample(self, sample_rate: int, channels: int) -> None:
+        """ApplyResampleAudioClip (cpp:1063-1120); in-place like the ref."""
+        if self._sample_rate == sample_rate and self._channels == channels:
+            return
+        dur = self._num_frames / self._sample_rate
+        new_num = int(dur * sample_rate)
+        self._buf = audio_ops.resample(
+            self._buf, new_num, int(channels), int(sample_rate),
+            jnp.asarray(self._sample_rate, self._buf.dtype))
+        self._sample_rate = int(sample_rate)
+        self._channels = int(channels)
+        self._num_frames = new_num
+
+    def resample_like(self, like: "AudioClip") -> None:
+        self.resample(like._sample_rate, like._channels)
+
+    def overlay(self, source: "AudioClip", start_time,
+                *, time_unit: str = "frame", auto_resample: bool = False) -> None:
+        """OverlayAudioClip[Second] (cpp:1129-1163): additive, truncated at
+        the target end; mismatched formats raise unless auto_resample."""
+        if time_unit not in ("frame", "second"):
+            raise ValueError("time_unit must be 'frame' or 'second'")
+        if time_unit == "second":
+            start_frame = int(start_time * self._sample_rate)
+        else:
+            start_frame = int(start_time)
+
+        if auto_resample and (self._sample_rate != source._sample_rate
+                              or self._channels != source._channels):
+            source = source.clone()
+            source.resample_like(self)
+        if self._sample_rate != source._sample_rate:
+            raise ValueError("target and source must have the same sample rate")
+        if self._channels != source._channels:
+            raise ValueError("target and source must have the channels")
+        self._buf = audio_ops.overlay(self._buf, source._buf,
+                                      jnp.asarray(start_frame, jnp.int32))
+
+    def overlay_many(self, source: "AudioClip", start_seconds) -> None:
+        """TPU extension: N overlays of one source in a single scatter-add
+        (replaces N sequential ``overlay`` calls; same semantics)."""
+        starts = (np.asarray(start_seconds, np.float64)
+                  * self._sample_rate).astype(np.int64)
+        if self._sample_rate != source._sample_rate \
+                or self._channels != source._channels:
+            source = source.clone()
+            source.resample_like(self)
+        self._buf = audio_ops.overlay_many(
+            self._buf, source._buf, jnp.asarray(starts, jnp.int32))
+
+    def cut(self, start, end, *, time_unit: str = "frame") -> None:
+        """ApplyCutAudioClip (cpp:1265-1279) with the binding's second/frame
+        conversion (pybind:614-629)."""
+        if time_unit not in ("frame", "second"):
+            raise ValueError("time_unit must be 'frame' or 'second'")
+        if time_unit == "second":
+            start = int(start * self._sample_rate)
+            end = int(end * self._sample_rate)
+        else:
+            start = int(start)
+            end = int(end)
+        length = end - start
+        self._buf = audio_ops.cut(self._buf, start, length)
+        self._num_frames = length
+
+    def apply_speed(self, speed: float) -> None:
+        """ApplySpeedAudioClip (cpp:1281-1283): reinterpret the sample rate
+        (i64 *= f64 truncates)."""
+        self._sample_rate = int(self._sample_rate * speed)
+
+    # ------------------------------------------------------------------ #
+    # WAV serialisation (cpp:1165-1228)
+    # ------------------------------------------------------------------ #
+    def save_as_wav(self) -> bytes:
+        pcm = audio_ops.to_int16(self.numpy())
+        data_bytes = pcm.tobytes()
+        n = len(data_bytes)
+        header = b"RIFF" + struct.pack("<i", 36 + n) + b"WAVE"
+        header += b"fmt " + struct.pack(
+            "<ihhiihh", 0x10, 1, self._channels, self._sample_rate,
+            self._sample_rate * self._channels * 2, self._channels * 2, 16)
+        header += b"data" + struct.pack("<i", n)
+        return header + data_bytes
+
+
+class Int16CreatedAudioClip(AudioClip):
+    """CreateAudioClipFromInt16Buffer (cpp:1016-1034): /32768."""
+
+    def __init__(self, sample_rate: int, channels: int,
+                 data: typing.Iterable[int]):
+        arr = np.asarray(data, dtype=np.int16).astype(np.float64) / 32768.0
+        num_frames = arr.size // channels
+        self._init_from_array(sample_rate, channels,
+                              arr.reshape(num_frames, channels))
+
+
+class PtrCreatedAudioClip(AudioClip):
+    """Parity alias for pointer-wrapped clips (pybind:656-659)."""
+
+    def __init__(self, clip: AudioClip):
+        self.__dict__.update(clip.__dict__)

@@ -1,0 +1,320 @@
+"""RenderContext: the Canvas2D-style drawing API, record-then-execute.
+
+API parity with the reference binding's ``RenderContext``
+(``libNativeCPURendererPybind.py:51-300``) and the native semantics it wraps
+(``libNativeCPURenderer.cpp``).  Where the reference crosses the Python->C
+ABI and runs a per-pixel loop on *every* draw call, this class records a
+display-list command (host float64 math identical to the C++ doubles) and
+executes the whole list in one jitted device dispatch at flush time — the
+record/execute split the reference's abandoned
+``MultiThreadedVideoRenderContextPreparer`` (pybind:302-367) gestured at.
+
+Flushes happen implicitly on any read (get_buffer / get_color / as_texure /
+frame presentation).
+"""
+
+from __future__ import annotations
+
+import math
+import typing
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import atlas as atlas_mod
+from . import config
+from .core import transform as xf
+from .core.state import RenderState
+from .ops import commands as C
+from .ops import executor
+from .texture import HitEffectTexture, Texture
+
+
+class RenderContext:
+    def __init__(self, width: int, height: int, enable_alpha: bool,
+                 dtype=None):
+        self.width = int(width)
+        self.height = int(height)
+        self.enable_alpha = bool(enable_alpha)
+        self._dtype = np.dtype(dtype or config.default_dtype())
+        self._state = RenderState()
+        self._cmds = C.CommandBuffer()
+        self._store = atlas_mod.get_store(self._dtype)
+        # Reference allocates uninitialised memory (cpp:15); we zero-init.
+        self._fb = jnp.zeros((self.height, self.width, 4), self._dtype)
+
+    # ------------------------------------------------------------------ #
+    # recording plumbing
+    # ------------------------------------------------------------------ #
+    def _common(self, box):
+        return (xf.inverse(self._state.matrix), box, self._state.color)
+
+    def _full_box(self):
+        return (0.0, float(self.width), 0.0, float(self.height))
+
+    def _aabb(self, x, y, w, h):
+        return xf.aabb(self._state.matrix, x, y, w, h,
+                       float(self.width), float(self.height))
+
+    def _record(self, kind, box, specific):
+        self._cmds.append(kind, self._common(box), specific)
+
+    def flush(self) -> None:
+        """Execute all pending draw commands on device."""
+        if self._cmds.n == 0:
+            return
+        kinds, params = self._cmds.snapshot()
+        b = C.bucket_for(kinds.shape[0])
+        kp = np.zeros(b, np.int32)
+        kp[: kinds.shape[0]] = kinds
+        pp = np.zeros((b, C.PARAM_W), self._dtype)
+        pp[: params.shape[0]] = params
+        self._fb = executor._run(
+            self._fb, jnp.asarray(kp), jnp.asarray(pp), self._store.device)
+        self._cmds.clear()
+
+    # ------------------------------------------------------------------ #
+    # transform / state (host-side, cpp:277-309, 386-492, 623-641)
+    # ------------------------------------------------------------------ #
+    def set_transform(self, a, b, c, d, e, f):
+        self._state.set_transform(a, b, c, d, e, f)
+
+    def apply_transform(self, a, b, c, d, e, f):
+        self._state.apply_transform(a, b, c, d, e, f)
+
+    def scale(self, sx, sy):
+        self._state.scale(sx, sy)
+
+    def translate(self, tx, ty):
+        self._state.translate(tx, ty)
+
+    def rotate(self, angle):
+        self._state.rotate(angle)
+
+    def rotate_degree(self, deg):
+        self.rotate(deg * math.pi / 180)
+
+    def save_state(self):
+        self._state.save()
+
+    def restore_state(self):
+        return self._state.restore()
+
+    def get_transform(self):
+        return tuple(self._state.matrix)
+
+    def get_inverse_transform(self):
+        return tuple(xf.inverse(self._state.matrix))
+
+    def set_color_transform(self, r, g, b, a):
+        self._state.set_color_transform(r, g, b, a)
+
+    def apply_color_transform(self, r, g, b, a):
+        self._state.apply_color_transform(r, g, b, a)
+
+    # ------------------------------------------------------------------ #
+    # draw calls (recorded)
+    # ------------------------------------------------------------------ #
+    def set_color(self, r, g, b, a):
+        # SetColor: raw store everywhere, no blend/ct (cpp:643-657).
+        self._record(C.KIND_SET_COLOR, self._full_box(), [r, g, b, a])
+
+    def fill_color(self, r, g, b, a):
+        # FillColor: blended full-screen fill with ct (cpp:682-691).
+        self._record(C.KIND_FILL, self._full_box(), [r, g, b, a])
+
+    def draw_rect(self, x, y, width, height, r, g, b, a):
+        if width <= 0 or height <= 0:  # cpp:853
+            return
+        box = self._aabb(x, y, width, height)
+        self._record(C.KIND_RECT, box, [x, y, x + width, y + height, r, g, b, a])
+
+    def draw_circle(self, x, y, radius, r, g, b, a):
+        if radius <= 0:  # cpp:926
+            return
+        box = self._aabb(x - radius, y - radius, 2 * radius, 2 * radius)
+        self._record(C.KIND_CIRCLE, box, [x, y, radius, 0.0, r, g, b, a])
+
+    def draw_line(self, x0, y0, x1, y1, width, r, g, b, a):
+        # Quad construction per cpp:876-906.
+        if width <= 0:
+            return
+        dx = x1 - x0
+        dy = y1 - y0
+        ln = math.sqrt(dx * dx + dy * dy)
+        if ln == 0:
+            return
+        ux, uy = dx / ln, dy / ln
+        vx, vy = -uy, ux
+        hw = width / 2
+        pts = [x0 - vx * hw, y0 - vy * hw,
+               x0 + vx * hw, y0 + vy * hw,
+               x1 + vx * hw, y1 + vy * hw,
+               x1 - vx * hw, y1 - vy * hw]
+        # The reference scans the whole framebuffer (cpp:908-909); the
+        # polygon membership test decides coverage, so a full-screen AABB is
+        # semantically exact (and robust to degenerate inverse transforms).
+        self._record(C.KIND_LINE, self._full_box(), pts + [r, g, b, a])
+
+    def draw_vertical_grd(self, x, y, width, height,
+                          top_r, top_g, top_b, top_a,
+                          bottom_r, bottom_g, bottom_b, bottom_a):
+        if width <= 0 or height <= 0:  # cpp:1291
+            return
+        box = self._aabb(x, y, width, height)
+        self._record(C.KIND_VGRD, box,
+                     [x, y, x + width, y + height, y, height,
+                      top_r, top_g, top_b, top_a,
+                      bottom_r, bottom_g, bottom_b, bottom_a])
+
+    def draw_vertical_mut_grd(self, x, y, width, height, steps):
+        # Multi-stop gradient built from N two-stop calls (pybind:272-280).
+        for i, (p, s) in enumerate(steps):
+            if i == len(steps) - 1:
+                break
+            np_, ns = steps[i + 1]
+            ty = y + height * p
+            theight = height * (np_ - p)
+            self.draw_vertical_grd(x, ty, width, theight,
+                                   s[0], s[1], s[2], s[3],
+                                   ns[0], ns[1], ns[2], ns[3])
+
+    def _tex_specific(self, tex, x, y, width, height):
+        scale_x = tex.width / width
+        scale_y = tex.height / height
+        ox, oy, tw, th = tex.atlas_region
+        return [x, y, x + width, y + height, scale_x, scale_y,
+                float(ox), float(oy), float(tw), float(th)]
+
+    def draw_texture(self, tex: Texture, x, y, w, h):
+        if w == 0 or h == 0:  # cpp:726
+            return
+        fast = xf.is_no_transform(self._state.matrix)
+        if isinstance(tex, HitEffectTexture):
+            spec = self._tex_specific(tex, x, y, w, h)
+            spec += [tex.seed, tex.t, *tex.rgb, float(fast)]
+            if fast:
+                box = (float(int(x)), x + w, float(int(y)), y + h)
+            else:
+                box = self._aabb(x, y, w, h)
+            self._record(C.KIND_HITEFFECT, box, spec)
+            return
+        spec = self._tex_specific(tex, x, y, w, h)
+        if fast:
+            # Fast path (cpp:731-752): loop range [trunc(x), x+w), raw
+            # pixel coords, no membership test.
+            box = (float(int(x)), x + w, float(int(y)), y + h)
+            self._record(C.KIND_TEX_FAST, box, spec)
+        else:
+            box = self._aabb(x, y, w, h)
+            self._record(C.KIND_TEX, box, spec)
+
+    def draw_splitted_texture(self, tex: Texture, x, y, width, height,
+                              u_start, u_end, v_start, v_end):
+        if width == 0 or height == 0:  # cpp:789
+            return
+        box = self._aabb(x, y, width, height)
+        spec = self._tex_specific(tex, x, y, width, height)
+        spec += [u_start, u_end, v_start, v_end]
+        self._record(C.KIND_SPLIT_TEX, box, spec)
+
+    def set_pixel(self, x, y, r, g, b, a):
+        self._record(C.KIND_SET_PIXEL, self._full_box(),
+                     [float(int(x)), float(int(y)), r, g, b, a])
+
+    def apply_pixel(self, x, y, r, g, b, a):
+        self._record(C.KIND_APPLY_PIXEL, self._full_box(),
+                     [float(int(x)), float(int(y)), r, g, b, a])
+
+    # ------------------------------------------------------------------ #
+    # readback (device -> host boundary; cpp:52-57, 311-316, 659-680)
+    # ------------------------------------------------------------------ #
+    @property
+    def channels(self) -> int:
+        return 4 if self.enable_alpha else 3
+
+    def get_buffer_size(self) -> int:
+        return self.width * self.height * self.channels
+
+    def framebuffer(self):
+        """Device-resident (H, W, 4) framebuffer (flushes first)."""
+        self.flush()
+        return self._fb
+
+    def numpy_buffer(self) -> np.ndarray:
+        """(H, W, channels) float array on host."""
+        self.flush()
+        return np.asarray(self._fb[..., : self.channels])
+
+    def get_buffer(self) -> list:
+        return list(self.numpy_buffer().reshape(-1))
+
+    def uint8_buffer(self) -> np.ndarray:
+        """(H, W, channels) uint8 array (device-quantised, cpp:52-57)."""
+        self.flush()
+        return np.asarray(executor.quantize_u8(self._fb, self.channels))
+
+    def get_buffer_as_uint8(self) -> bytearray:
+        return bytearray(self.uint8_buffer().tobytes())
+
+    def get_color(self, x, y):
+        # GetColor clamps then truncates (cpp:659-680).
+        self.flush()
+        xi = 0 if x < 0 else (self.width - 1 if x >= self.width else int(x))
+        yi = 0 if y < 0 else (self.height - 1 if y >= self.height else int(y))
+        px = np.asarray(self._fb[yi, xi])
+        if self.enable_alpha:
+            return (float(px[0]), float(px[1]), float(px[2]), float(px[3]))
+        # RGB contexts never write out_a; ctypes zero-init -> 0.0 (pybind:261)
+        return (float(px[0]), float(px[1]), float(px[2]), 0.0)
+
+    def resize(self, width: int, height: int):
+        # ResizeRenderContext reallocates without preserving or initialising
+        # content (cpp:39-45); we zero-init.
+        self._cmds.clear()
+        self.width = int(width)
+        self.height = int(height)
+        self._fb = jnp.zeros((self.height, self.width, 4), self._dtype)
+
+    # ------------------------------------------------------------------ #
+    # texture interop (cpp:362-384)
+    # ------------------------------------------------------------------ #
+    def as_texure(self) -> Texture:
+        """CreateTextureFromRenderContext (copy).  Name kept for parity with
+        the reference binding (pybind:282); ``as_texture`` is an alias."""
+        self.flush()
+        return Texture._from_device_array(self._fb, self.enable_alpha)
+
+    as_texture = as_texure
+
+    def as_texture_shared(self) -> Texture:
+        """CreateTextureFromRenderContextShared (cpp:377-384) aliases the
+        live framebuffer.  Functional arrays can't alias; this returns a
+        snapshot — documented divergence (reads-after-later-draws differ)."""
+        return self.as_texure()
+
+    def as_pilimg(self):
+        from PIL import Image
+        mode = "RGBA" if self.enable_alpha else "RGB"
+        return Image.frombytes(mode, (self.width, self.height),
+                               bytes(self.uint8_buffer().tobytes()))
+
+
+class MultiThreadedVideoRenderContextPreparer(RenderContext):
+    """Parity shim for the reference's unfinished frame-batching proxy
+    (pybind:302-367).  In the TPU build the base class already records; this
+    subclass only adds the frame boundary marker used by batched apps."""
+
+    def __init__(self, v_cap, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.v_cap = v_cap
+        self.frames = []
+
+    def end_of_frame(self):
+        self.frames.append(self._cmds.snapshot())
+        # start a fresh list without executing; batched execution is done by
+        # the video pipeline (video.py)
+        self._cmds = C.CommandBuffer()
+
+    def renderer(self):  # parity stub (pybind:362-367)
+        pass

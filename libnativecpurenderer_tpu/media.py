@@ -1,0 +1,131 @@
+"""Host media I/O: audio decode + video encode bindings.
+
+The reference links FFmpeg's libav* directly into its native core
+(``libNativeCPURenderer.h:20-25``, ``compile.sh``); this build does the same
+through its own C++ runtime (``native/media.cpp`` -> ``libtpurmedia.so``),
+bound with ctypes.  A pure-python WAV fallback keeps tests runnable without
+the native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import wave
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_NAMES = ("libtpurmedia.so",)
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def _find_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        os.path.join(here, "..", "native", "build", n) for n in _LIB_NAMES
+    ] + [os.path.join(here, n) for n in _LIB_NAMES] + list(_LIB_NAMES)
+    for c in candidates:
+        try:
+            lib = ctypes.CDLL(c)
+        except OSError:
+            continue
+        _configure(lib)
+        _lib = lib
+        break
+    return _lib
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    c = ctypes
+    lib.MediaDecodeAudio.argtypes = (c.c_char_p, c.POINTER(c.c_longlong),
+                                     c.POINTER(c.c_longlong),
+                                     c.POINTER(c.c_longlong))
+    lib.MediaDecodeAudio.restype = c.c_void_p
+    lib.MediaFreeBuffer.argtypes = (c.c_void_p,)
+    lib.MediaFreeBuffer.restype = None
+
+    lib.EncCreate.argtypes = (c.c_char_p, c.c_longlong, c.c_longlong,
+                              c.c_double, c.c_longlong)
+    lib.EncCreate.restype = c.c_void_p
+    lib.EncAddAudio.argtypes = (c.c_void_p, c.c_void_p, c.c_longlong,
+                                c.c_longlong, c.c_longlong, c.c_longlong)
+    lib.EncAddAudio.restype = c.c_int
+    lib.EncPutFrame.argtypes = (c.c_void_p, c.c_void_p, c.c_longlong,
+                                c.c_longlong)
+    lib.EncPutFrame.restype = c.c_int
+    lib.EncFinish.argtypes = (c.c_void_p,)
+    lib.EncFinish.restype = c.c_int
+
+    lib.MediaEncodeAudioFile.argtypes = (c.c_char_p, c.c_void_p,
+                                         c.c_longlong, c.c_longlong,
+                                         c.c_longlong, c.c_longlong)
+    lib.MediaEncodeAudioFile.restype = c.c_int
+
+
+def native_available() -> bool:
+    return _find_lib() is not None
+
+
+def decode_audio(path: str) -> Tuple[int, int, np.ndarray]:
+    """Decode any audio file to (sample_rate, channels, float64 (N, C))."""
+    lib = _find_lib()
+    if lib is not None:
+        c = ctypes
+        rate = c.c_longlong()
+        channels = c.c_longlong()
+        frames = c.c_longlong()
+        ptr = lib.MediaDecodeAudio(path.encode(), c.byref(rate),
+                                   c.byref(channels), c.byref(frames))
+        if ptr:
+            n = frames.value * channels.value
+            buf = np.ctypeslib.as_array(
+                c.cast(ptr, c.POINTER(c.c_float)), shape=(n,)).copy()
+            lib.MediaFreeBuffer(ptr)
+            return (rate.value, channels.value,
+                    buf.astype(np.float64).reshape(frames.value,
+                                                   channels.value))
+        raise IOError(f"native decode failed for {path}")
+    return _decode_wav(path)
+
+
+def _decode_wav(path: str) -> Tuple[int, int, np.ndarray]:
+    """stdlib fallback: 16-bit PCM WAV only (the instrument banks under
+    test_files/{ha,ji,mi} are 48 kHz s16 stereo WAVs)."""
+    with wave.open(path, "rb") as w:
+        if w.getsampwidth() != 2:
+            raise IOError("WAV fallback supports 16-bit PCM only")
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    pcm = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+    return rate, channels, pcm.reshape(-1, channels)
+
+
+def encode_audio_file(path: str, pcm_f32: np.ndarray, rate: int,
+                      bit_rate: int = 180000) -> None:
+    """Encode (N, C) float PCM to a compressed file (mp3/aac by extension)
+    via the native runtime; falls back to writing a WAV."""
+    lib = _find_lib()
+    arr = np.ascontiguousarray(pcm_f32, np.float32)
+    if lib is not None:
+        rc = lib.MediaEncodeAudioFile(
+            path.encode(), arr.ctypes.data_as(ctypes.c_void_p),
+            int(rate), int(arr.shape[1]), int(arr.shape[0]), int(bit_rate))
+        if rc != 0:
+            raise IOError(f"native audio encode failed ({rc}) for {path}")
+        return
+    # fallback: ignore extension, write RIFF/WAVE
+    from .ops import audio_ops
+    pcm16 = audio_ops.to_int16(arr)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(arr.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm16.tobytes())

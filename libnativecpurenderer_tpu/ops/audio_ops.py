@@ -1,0 +1,96 @@
+"""Device ops for the audio engine.
+
+Mirrors the reference AudioClip math (``libNativeCPURenderer.cpp:998-1283``)
+as batched JAX ops: the per-sample C++ loops become vectorised gathers
+(resample) and scatter-adds (overlay), which is the TPU-native shape of this
+work — the overlay hot loop (cpp:1145-1151) in particular becomes one
+``.at[].add`` with out-of-range rows dropped, which is exactly the
+reference's truncate-at-target-end semantics (cpp:1146).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def overlay(target, source, start):
+    """Additive overlay of ``source`` (n, C) into ``target`` (N, C) at frame
+    ``start``; rows falling outside the target are dropped (cpp:1129-1154)."""
+    idx = start + jnp.arange(source.shape[0])
+    return target.at[idx].add(source, mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def overlay_many(target, source, starts):
+    """Batched overlay of one source at many start frames (one scatter-add).
+
+    Used by the mixdown paths (876 overlays in the binding demo,
+    pybind:689-691; one per MIDI note in hjm_mixer:82-94) to replace N
+    sequential C calls with a single device dispatch.
+    """
+    n = source.shape[0]
+    idx = (starts[:, None] + jnp.arange(n)[None, :]).reshape(-1)
+    src = jnp.broadcast_to(source[None], (starts.shape[0],) + source.shape)
+    src = src.reshape(-1, source.shape[1])
+    return target.at[idx].add(src, mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def gain(buf, g):
+    return buf * g
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def resample(buf, new_num: int, new_channels: int, new_rate: int, old_rate):
+    """ApplyResampleAudioClip (cpp:1063-1120), including its quirks:
+
+    * clamp bound mixes frames and channels: indices clamp to
+      ``[0, numFrames - channels - 1]`` (cpp:1082-1084);
+    * the lerp fraction is computed against the *clamped* floor index
+      (cpp:1086), so it can exceed 1 near the end;
+    * when channel counts differ, all output channels get the channel-mean
+      (cpp:1095-1110).
+    """
+    dtype = buf.dtype
+    num_frames, channels = buf.shape
+    i = jnp.arange(new_num, dtype=dtype)
+    sec_t = i / new_rate
+    old_idx = sec_t * old_rate
+    lo = jnp.floor(old_idx)
+    hi = jnp.ceil(old_idx)
+    bound = num_frames - channels  # sic (cpp:1082)
+    lo = jnp.clip(lo, 0, bound - 1).astype(jnp.int32)
+    hi = jnp.clip(hi, 0, bound - 1).astype(jnp.int32)
+    frac = old_idx - lo.astype(dtype)
+
+    if channels == new_channels:
+        v_lo = buf[lo]  # (new_num, C)
+        v_hi = buf[hi]
+        return v_lo + (v_hi - v_lo) * frac[:, None]
+    # channel up/down-mix by averaging (cpp:1095-1110)
+    s_lo = jnp.sum(buf[lo], axis=1) / channels
+    s_hi = jnp.sum(buf[hi], axis=1) / channels
+    v = s_lo + (s_hi - s_lo) * frac
+    return jnp.broadcast_to(v[:, None], (new_num, new_channels)).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def cut(buf, start: int, length: int):
+    """ApplyCutAudioClip (cpp:1265-1279).  The reference leaves the tail
+    *uninitialised* when ``end`` exceeds the clip; we zero-fill."""
+    n, c = buf.shape
+    pad = jnp.zeros((length, c), buf.dtype)
+    padded = jnp.concatenate([buf, pad], axis=0)
+    return jax.lax.dynamic_slice(padded, (start, 0), (length, c))
+
+
+def to_int16(buf_np):
+    """SaveAudioClipAsWav sample conversion (cpp:1216-1222): clamp to
+    [-1, 1], scale by 32767, C-cast truncation toward zero."""
+    import numpy as np
+    v = np.clip(np.asarray(buf_np, np.float64), -1.0, 1.0) * 32767.0
+    return v.astype(np.int16)

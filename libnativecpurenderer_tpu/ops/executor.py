@@ -1,0 +1,276 @@
+"""Jitted display-list executor (XLA path).
+
+Renders a whole recorded command list into the framebuffer in one device
+dispatch: ``lax.scan`` over commands, ``lax.switch`` over command kinds, with
+painter's-order src-over blending.  Replaces the reference's per-draw-call
+Python->ctypes->C++ per-pixel loops (one boundary crossing *per draw call*,
+``/root/reference/src/libNativeCPURenderer.cpp:720-948``) with a single
+traced program XLA can fuse and keep on-device.
+
+Semantics mirrored exactly (see ``ops/commands.py`` for the encoding):
+  * blend: ``dst = dst*(1-a) + src*a``; stored alpha = post-color-transform
+    source alpha (cpp:515-549 ``ApplyPixel``, including the :543-546 quirk
+    that the framebuffer alpha is the *source* alpha, not a composite).
+  * color transform is a per-command RGBA multiplier snapshot (cpp:525-528).
+  * texture sampling is nearest-neighbour with the reference's clamp quirk
+    (u clamped to [0, w-2]: cpp:555-573).
+  * AABBs are computed host-side with C-cast truncation semantics
+    (core/transform.aabb) and enforced as part of the pixel mask, because
+    the reference's loop bounds are observable at rect edges.
+
+The framebuffer is always (H, W, 4); RGB-mode contexts simply never read
+channel 3 back (the reference's 3-channel interleaved layout plus its
+``SetPixel`` out-of-bounds alpha write, cpp:507-510, is not replicated).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import commands as C
+from . import noise
+
+
+def _aabb_mask(p, X, Y):
+    return (X >= p[6]) & (X < p[7]) & (Y >= p[8]) & (Y < p[9])
+
+
+def _inv_point(p, X, Y):
+    # TransformPointFromMatrix with the inverse matrix (cpp:446-453, 754-763)
+    inv_x = p[0] * X + p[2] * Y + p[4]
+    inv_y = p[1] * X + p[3] * Y + p[5]
+    return inv_x, inv_y
+
+
+def _rgba_const(p, lo):
+    return p[lo], p[lo + 1], p[lo + 2], p[lo + 3]
+
+
+def _sample_atlas(atlas_flat, atlas_w, u, v, p, dtype):
+    """Nearest-neighbour sample at float texel coords (u, v) from the atlas
+    region described by params p[20:24] = (ox, oy, tw, th).
+
+    Mirrors InterpolateColorFromBuffer (cpp:555-573): clamp u to
+    [0, tw-2] (sic), v to [0, th-2], truncate to integer.
+    """
+    ox, oy, tw, th = p[20], p[21], p[22], p[23]
+    u = jnp.where(u < 0.0, 0.0, u)
+    u = jnp.where(u >= tw - 1.0, tw - 2.0, u)
+    v = jnp.where(v < 0.0, 0.0, v)
+    v = jnp.where(v >= th - 1.0, th - 2.0, v)
+    ui = u.astype(jnp.int32) + ox.astype(jnp.int32)
+    vi = v.astype(jnp.int32) + oy.astype(jnp.int32)
+    flat = vi * atlas_w + ui
+    texel = jnp.take(atlas_flat, flat, axis=0)  # (H, W, 4)
+    return texel, u, v
+
+
+def _tex_uv(p, ix, iy):
+    # u = (invX - x) * scaleX (cpp:743-744, 770-771)
+    return (ix - p[14]) * p[18], (iy - p[15]) * p[19]
+
+
+def _build_branches(X, Y, atlas_flat, atlas_w, dtype):
+    zeros_rgba = jnp.zeros(X.shape + (4,), dtype)
+    false_mask = jnp.zeros(X.shape, bool)
+    t_true = jnp.array(True)
+    t_false = jnp.array(False)
+
+    def apply_ct(p, r, g, b, a):
+        return (r * p[10], g * p[11], b * p[12], a * p[13])
+
+    def pack(r, g, b, a):
+        bc = jnp.broadcast_to
+        sh = X.shape
+        return jnp.stack(
+            [bc(r, sh).astype(dtype), bc(g, sh).astype(dtype),
+             bc(b, sh).astype(dtype), bc(a, sh).astype(dtype)], axis=-1)
+
+    def b_noop(p):
+        return false_mask, zeros_rgba, t_false
+
+    def b_set_color(p):
+        # SetColor stores raw rgba everywhere — no blend, no color transform
+        # (cpp:643-657; the r==g==b==a std::fill fast path is equivalent).
+        r, g, b, a = _rgba_const(p, 14)
+        return jnp.ones(X.shape, bool), pack(r, g, b, a), t_true
+
+    def b_fill(p):
+        # FillColor = ApplyPixel over every pixel (cpp:682-691): ct + blend.
+        r, g, b, a = apply_ct(p, *_rgba_const(p, 14))
+        return jnp.ones(X.shape, bool), pack(r, g, b, a), t_false
+
+    def b_rect(p):
+        ix, iy = _inv_point(p, X, Y)
+        m = (ix >= p[14]) & (ix <= p[16]) & (iy >= p[15]) & (iy <= p[17])
+        m = m & _aabb_mask(p, X, Y)
+        r, g, b, a = apply_ct(p, *_rgba_const(p, 18))
+        return m, pack(r, g, b, a), t_false
+
+    def b_circle(p):
+        ix, iy = _inv_point(p, X, Y)
+        dx = ix - p[14]
+        dy = iy - p[15]
+        m = jnp.sqrt(dx * dx + dy * dy) <= p[16]
+        m = m & _aabb_mask(p, X, Y)
+        r, g, b, a = apply_ct(p, *_rgba_const(p, 18))
+        return m, pack(r, g, b, a), t_false
+
+    def b_line(p):
+        # Even-odd point-in-quad test (cpp:822-845) on inverse coords.
+        ix, iy = _inv_point(p, X, Y)
+        res = jnp.zeros(X.shape, bool)
+        pts = [(p[14], p[15]), (p[16], p[17]), (p[18], p[19]), (p[20], p[21])]
+        j = 3
+        for i in range(4):
+            xi, yi = pts[i]
+            xj, yj = pts[j]
+            den = yj - yi
+            safe_den = jnp.where(den != 0.0, den, jnp.asarray(1.0, dtype))
+            crosses = (yi > iy) != (yj > iy)
+            xint = (xj - xi) * (iy - yi) / safe_den + xi
+            res = res ^ (crosses & (ix < xint))
+            j = i
+        m = res & _aabb_mask(p, X, Y)
+        r, g, b, a = apply_ct(p, *_rgba_const(p, 22))
+        return m, pack(r, g, b, a), t_false
+
+    def b_vgrd(p):
+        ix, iy = _inv_point(p, X, Y)
+        m = (ix >= p[14]) & (ix <= p[16]) & (iy >= p[15]) & (iy <= p[17])
+        m = m & _aabb_mask(p, X, Y)
+        t = (iy - p[18]) / p[19]  # (invY - y) / height   cpp:1308
+        r = p[20] + (p[24] - p[20]) * t
+        g = p[21] + (p[25] - p[21]) * t
+        b = p[22] + (p[26] - p[22]) * t
+        a = p[23] + (p[27] - p[23]) * t
+        r, g, b, a = apply_ct(p, r, g, b, a)
+        return m, pack(r, g, b, a), t_false
+
+    def _tex_common(p, ix, iy, member):
+        u, v = _tex_uv(p, ix, iy)
+        texel, _, _ = _sample_atlas(atlas_flat, atlas_w, u, v, p, dtype)
+        r, g, b, a = apply_ct(p, texel[..., 0], texel[..., 1], texel[..., 2], texel[..., 3])
+        m = member & _aabb_mask(p, X, Y)
+        return m, pack(r, g, b, a), t_false
+
+    def b_tex(p):
+        ix, iy = _inv_point(p, X, Y)
+        member = (ix >= p[14]) & (ix <= p[16]) & (iy >= p[15]) & (iy <= p[17])
+        return _tex_common(p, ix, iy, member)
+
+    def b_tex_fast(p):
+        # Axis-aligned fast path (cpp:731-752): raw pixel coords, no
+        # membership test; the AABB *is* the loop range.
+        return _tex_common(p, X, Y, jnp.ones(X.shape, bool))
+
+    def b_split_tex(p):
+        ix, iy = _inv_point(p, X, Y)
+        member = (ix >= p[14]) & (ix <= p[16]) & (iy >= p[15]) & (iy <= p[17])
+        u, v = _tex_uv(p, ix, iy)
+        # UV sub-range remap (cpp:812-813)
+        tw, th = p[22], p[23]
+        u = (p[24] + (p[25] - p[24]) * u / tw) * tw
+        v = (p[26] + (p[27] - p[26]) * v / th) * th
+        texel, _, _ = _sample_atlas(atlas_flat, atlas_w, u, v, p, dtype)
+        r, g, b, a = apply_ct(p, texel[..., 0], texel[..., 1], texel[..., 2], texel[..., 3])
+        return member & _aabb_mask(p, X, Y), pack(r, g, b, a), t_false
+
+    def b_hiteffect(p):
+        # Procedural dissolve texture (cpp:1417-1440) evaluated per screen
+        # pixel.  The materialised texture's texel (tx, ty) holds
+        # noise(x=ty/W, y=tx/H) — the reference writes the noise buffer
+        # column-major (cpp:1432-1435) — times the mask's alpha at (tx, ty).
+        # p[29] selects the axis-aligned fast path (raw coords, no
+        # membership test), mirroring DrawTexture's cpp:731-752 behaviour.
+        fast = p[29] > 0.0
+        ivx, ivy = _inv_point(p, X, Y)
+        ix = jnp.where(fast, X, ivx)
+        iy = jnp.where(fast, Y, ivy)
+        member = fast | ((ix >= p[14]) & (ix <= p[16])
+                         & (iy >= p[15]) & (iy <= p[17]))
+        u, v = _tex_uv(p, ix, iy)
+        texel, uc, vc = _sample_atlas(atlas_flat, atlas_w, u, v, p, dtype)
+        tw, th = p[22], p[23]
+        tx = jnp.floor(uc)
+        ty = jnp.floor(vc)
+        na = noise.hit_effect_alpha(ty / tw, tx / th, p[24], p[25])
+        a = na * texel[..., 3]
+        r, g, b, a = apply_ct(p, p[26], p[27], p[28], a)
+        return member & _aabb_mask(p, X, Y), pack(r, g, b, a), t_false
+
+    def b_set_pixel(p):
+        m = (X == p[14]) & (Y == p[15])
+        r, g, b, a = _rgba_const(p, 16)
+        return m, pack(r, g, b, a), t_true
+
+    def b_apply_pixel(p):
+        m = (X == p[14]) & (Y == p[15])
+        r, g, b, a = apply_ct(p, *_rgba_const(p, 16))
+        return m, pack(r, g, b, a), t_false
+
+    return [
+        b_noop, b_set_color, b_fill, b_rect, b_circle, b_line, b_vgrd,
+        b_tex, b_tex_fast, b_split_tex, b_hiteffect, b_set_pixel,
+        b_apply_pixel,
+    ]
+
+
+def render_command_list(fb, kinds, params, atlas):
+    """Pure function: fold a command list into the framebuffer.
+
+    fb: (H, W, 4) float; kinds: (N,) int32; params: (N, PARAM_W) fb.dtype;
+    atlas: (AH, AW, 4) fb.dtype.
+    """
+    H, W = fb.shape[0], fb.shape[1]
+    dtype = fb.dtype
+    X = lax.broadcasted_iota(dtype, (H, W), 1)
+    Y = lax.broadcasted_iota(dtype, (H, W), 0)
+    atlas_flat = atlas.reshape(-1, 4)
+    branches = _build_branches(X, Y, atlas_flat, atlas.shape[1], dtype)
+
+    def step(fb, xs):
+        kind, p = xs
+        mask, rgba, store = lax.switch(kind, branches, p)
+        src_rgb = rgba[..., :3]
+        src_a = rgba[..., 3:4]
+        blended = fb[..., :3] * (1.0 - src_a) + src_rgb * src_a
+        new_rgb = jnp.where(store, src_rgb, blended)
+        new = jnp.concatenate([new_rgb, src_a], axis=-1)
+        fb = jnp.where(mask[..., None], new, fb)
+        return fb, None
+
+    fb, _ = lax.scan(step, fb, (kinds, params))
+    return fb
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _run(fb, kinds, params, atlas):
+    return render_command_list(fb, kinds, params, atlas)
+
+
+def execute(fb, kinds_np, params_np, atlas):
+    """Pad the host command arrays to a bucket size and run on device."""
+    n = kinds_np.shape[0]
+    if n == 0:
+        return fb
+    b = C.bucket_for(n)
+    dtype = fb.dtype
+    kinds = jnp.zeros(b, jnp.int32).at[:n].set(jnp.asarray(kinds_np))
+    params = (
+        jnp.zeros((b, C.PARAM_W), dtype)
+        .at[:n].set(jnp.asarray(params_np, dtype=dtype))
+    )
+    return _run(fb, kinds, params, atlas)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def quantize_u8(fb, channels: int = 4):
+    """GetBufferAsUInt8 semantics (cpp:52-57): ``(u8)(v * 255)`` — C cast
+    truncation with wraparound, not rounding/clamping."""
+    v = fb[..., :channels] * 255.0
+    return v.astype(jnp.int32).astype(jnp.uint8)

@@ -1,0 +1,152 @@
+"""Texture objects.
+
+API parity with the reference binding's ``Texture`` / ``PtrCreatedTexture``
+(``libNativeCPURendererPybind.py:369-440``): constructor from raw bytes
+(uint8 or float64, /255 conversion per ``CreateTextureUInt8`` cpp:337-354),
+``from_pilimg``, ``resample``.  Texel data lives in the shared device atlas
+(see atlas.py); RGB textures are stored with alpha=1 — the reference leaves
+the sampled alpha *uninitialised* for 3-channel textures (``DrawTexture``
+cpp:746-748 passes an unset stack double), which is undefined behaviour we
+replace with the only sensible defined value.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+from . import atlas as atlas_mod
+from .ops import sampling
+
+
+class Texture:
+    def __init__(self, width: int, height: int, enableAlpha: bool,
+                 data: typing.ByteString, is_uint8: bool = True):
+        channels = 4 if enableAlpha else 3
+        itemsize = 1 if is_uint8 else 8
+        if width * height * channels * itemsize != len(data):
+            raise ValueError("data size not match")
+        if is_uint8:
+            arr = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.float64) / 255.0
+        else:
+            arr = np.frombuffer(bytes(data), dtype=np.float64).copy()
+        arr = arr.reshape(height, width, channels)
+        self._init_from_array(arr, enableAlpha)
+
+    def _init_from_array(self, arr: np.ndarray, enableAlpha: bool) -> None:
+        h, w = arr.shape[0], arr.shape[1]
+        if arr.shape[2] == 3:
+            arr = np.concatenate([arr, np.ones((h, w, 1), arr.dtype)], axis=2)
+        self.width = int(w)
+        self.height = int(h)
+        self.enableAlpha = bool(enableAlpha)
+        self._store = atlas_mod.get_store()
+        self._ox, self._oy = self._store.add(arr)
+
+    # -- internal --------------------------------------------------------
+    @classmethod
+    def _from_array(cls, arr, enableAlpha: bool) -> "Texture":
+        tex = cls.__new__(cls)
+        tex._init_from_array(np.asarray(arr) if isinstance(arr, np.ndarray) else arr,
+                             enableAlpha)
+        return tex
+
+    @classmethod
+    def _from_device_array(cls, dev_arr, enableAlpha: bool) -> "Texture":
+        tex = cls.__new__(cls)
+        h, w = dev_arr.shape[0], dev_arr.shape[1]
+        tex.width = int(w)
+        tex.height = int(h)
+        tex.enableAlpha = bool(enableAlpha)
+        tex._store = atlas_mod.get_store()
+        tex._ox, tex._oy = tex._store.alloc(w, h)
+        tex._store.upload(tex._ox, tex._oy, dev_arr)
+        return tex
+
+    @property
+    def atlas_region(self):
+        return (self._ox, self._oy, self.width, self.height)
+
+    def to_numpy(self) -> np.ndarray:
+        """Readback of the (h, w, 4) texel data."""
+        return np.asarray(sampling.read_region(
+            self._store.device, self._ox, self._oy, self.width, self.height,
+            self.width, self.height))
+
+    # -- parity API ------------------------------------------------------
+    def resample(self, width: int, height: int) -> "Texture":
+        """ResampleTexture (cpp:950-976)."""
+        out = sampling.resample_region(
+            self._store.device, self._ox, self._oy,
+            float(self.width), float(self.height), int(width), int(height))
+        return Texture._from_device_array(out, self.enableAlpha)
+
+    @staticmethod
+    def from_pilimg(img) -> "Texture":
+        from PIL import Image
+
+        if not isinstance(img, Image.Image):
+            raise TypeError("img must be a PIL.Image.Image")
+        if img.mode not in ("RGB", "RGBA"):
+            img = img.convert("RGBA")
+        return Texture(img.width, img.height, img.mode == "RGBA", img.tobytes())
+
+
+class PtrCreatedTexture(Texture):
+    """Parity alias — the ctypes binding distinguished pointer-wrapped
+    textures (pybind:437-440); in the TPU build all textures are equal."""
+
+    def __init__(self, tex: Texture):
+        self.__dict__.update(tex.__dict__)
+
+
+class HitEffectTexture(Texture):
+    """Procedural Milthm hit-effect dissolve texture.
+
+    The reference materialises these per (seed, t) via
+    ``CreateMilthmHitEffectTexture`` (cpp:1417-1440) — 16 groups x 30 frames
+    of 512x512 RGBA doubles.  Here the draw command evaluates the noise per
+    covered screen pixel instead (ops/executor.py ``b_hiteffect``), which is
+    both faster and memory-free; only the mask texture occupies the atlas.
+    """
+
+    def __init__(self, mask: Texture, seed: float, t: float,
+                 r: float, g: float, b: float):
+        if not mask.enableAlpha:
+            # reference returns nullptr (cpp:1418)
+            raise ValueError("hit-effect mask must have an alpha channel")
+        self.width = mask.width
+        self.height = mask.height
+        self.enableAlpha = True
+        self._store = mask._store
+        self._ox, self._oy = mask._ox, mask._oy  # atlas region = the mask
+        self.seed = float(seed)
+        self.t = float(t)
+        self.rgb = (float(r), float(g), float(b))
+
+    def materialize(self) -> Texture:
+        """Produce the equivalent concrete texture (for resample/readback).
+
+        Matches the reference's column-major store quirk (cpp:1432-1435):
+        texel (x, y) of the materialised texture holds noise evaluated at
+        (y/width, x/height) times the mask's alpha at (x, y).  Requires a
+        square mask, as all reference call sites use (pybind:34-49).
+        """
+        import jax.numpy as jnp
+        from .ops import noise as noise_mod
+        if self.width != self.height:
+            raise ValueError("hit-effect materialisation requires square mask")
+        mask_arr = jnp.asarray(sampling.read_region(
+            self._store.device, self._ox, self._oy, self.width, self.height,
+            self.width, self.height))
+        w = self.width
+        import jax
+        tx = jax.lax.broadcasted_iota(mask_arr.dtype, (w, w), 1)
+        ty = jax.lax.broadcasted_iota(mask_arr.dtype, (w, w), 0)
+        na = noise_mod.hit_effect_alpha(ty / w, tx / w, self.seed, self.t)
+        a = na * mask_arr[..., 3]
+        rgb = jnp.broadcast_to(
+            jnp.asarray(self.rgb, mask_arr.dtype), (w, w, 3))
+        out = jnp.concatenate([rgb, a[..., None]], axis=-1)
+        return Texture._from_device_array(out, True)

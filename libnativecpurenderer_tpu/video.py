@@ -1,0 +1,135 @@
+"""VideoCap: MP4 (H.264 + AAC) encoding of rendered frames.
+
+API parity with the reference binding (``libNativeCPURendererPybind.py:442-
+501``) and native VideoCap (``libNativeCPURenderer.cpp:65-275``).  Encoding
+is host-side I/O, not TPU compute, so — like the reference — it delegates to
+FFmpeg's libav*, but through this build's own C++ runtime
+(``native/media.cpp``), which also fixes two reference defects:
+
+* ``PutAudioIntoVideoCap`` is declared but never defined in the reference
+  (h:142, pybind:494-501 would fail at symbol lookup); ``put_audio`` here
+  actually works.
+* the reference drops the audio tail shorter than one AAC frame
+  (cpp:153 loop bound); the native runtime pads the final frame instead.
+
+The frame path mirrors cpp:232-275: quantise f64->u8 (done on device here,
+4x less host transfer), RGBA->YUV420P, encode, mux.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+from . import media
+from .audio import AudioClip
+from .context import RenderContext
+from .ops import executor
+
+
+class VideoCap:
+    def __init__(self, width: int, height: int, frame_rate: float):
+        self.width = int(width)
+        self.height = int(height)
+        self.frame_rate = float(frame_rate)
+        self._handle = None
+        self._cv2_writer = None
+        self._path = None
+        self._pending_audio: typing.Optional[tuple] = None
+        self._frames = 0
+
+    # ------------------------------------------------------------------ #
+    def initialize(self, path: str, hasAudio: bool = False,
+                   a_clip: typing.Optional[AudioClip] = None,
+                   a_bitrate: int = 80000) -> None:
+        """InitializeVideoCap (cpp:79-196).  The reference encodes *all*
+        audio inside initialize, before any frame; we do the same when
+        ``hasAudio`` (put_audio may be used instead at any point before
+        release)."""
+        self._path = path
+        if media.native_available():
+            import ctypes
+            lib = media._find_lib()
+            self._handle = lib.EncCreate(path.encode(), self.width,
+                                         self.height, self.frame_rate,
+                                         1 if hasAudio else 0)
+            if not self._handle:
+                raise Exception("failed")
+        else:
+            self._init_cv2_fallback(path)
+        if hasAudio and a_clip is not None:
+            self.put_audio(a_clip, a_bitrate)
+
+    def _init_cv2_fallback(self, path: str) -> None:
+        import cv2
+        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+        self._cv2_writer = cv2.VideoWriter(
+            path, fourcc, self.frame_rate, (self.width, self.height))
+        if not self._cv2_writer.isOpened():
+            raise Exception("failed")
+
+    # ------------------------------------------------------------------ #
+    def put_audio(self, audio: AudioClip, bit_rate: int = 80000) -> None:
+        """Working equivalent of the reference's missing
+        ``PutAudioIntoVideoCap`` (h:142)."""
+        if self._handle is not None:
+            import ctypes
+            lib = media._find_lib()
+            pcm = np.ascontiguousarray(audio.numpy(), np.float32)
+            rc = lib.EncAddAudio(self._handle,
+                                 pcm.ctypes.data_as(ctypes.c_void_p),
+                                 audio.sample_rate, audio.channels,
+                                 audio.num_frames, int(bit_rate))
+            if rc != 0:
+                raise Exception("failed")
+        else:
+            # cv2 fallback can't mux audio; write a sidecar WAV
+            side = (self._path or "out") + ".audio.wav"
+            with open(side, "wb") as f:
+                f.write(audio.save_as_wav())
+
+    # ------------------------------------------------------------------ #
+    def put_renderer_context_frame(self, ctx: RenderContext) -> None:
+        """PutRendererContextFrame (cpp:232-275): the only point where pixel
+        data leaves the device."""
+        fb = ctx.framebuffer()
+        u8 = np.asarray(executor.quantize_u8(fb, 4))  # (H, W, 4) u8
+        self.put_frame_u8(u8)
+
+    def put_frame_u8(self, u8: np.ndarray) -> None:
+        """Feed one (H, W, 4) uint8 RGBA frame (host array).  Frames whose
+        size differs from the cap are scaled by swscale, as the reference
+        does (cpp:241-247)."""
+        if self._handle is not None:
+            import ctypes
+            lib = media._find_lib()
+            arr = np.ascontiguousarray(u8)
+            rc = lib.EncPutFrame(self._handle,
+                                 arr.ctypes.data_as(ctypes.c_void_p),
+                                 int(arr.shape[1]), int(arr.shape[0]))
+            if rc != 0:
+                raise Exception("failed to encode frame")
+        elif self._cv2_writer is not None:
+            import cv2
+            bgr = cv2.cvtColor(u8[..., :3], cv2.COLOR_RGB2BGR)
+            if bgr.shape[:2] != (self.height, self.width):
+                bgr = cv2.resize(bgr, (self.width, self.height),
+                                 interpolation=cv2.INTER_LINEAR)
+            self._cv2_writer.write(bgr)
+        else:
+            raise Exception("VideoCap not initialized")
+        self._frames += 1
+
+    # ------------------------------------------------------------------ #
+    def release(self) -> None:
+        """ReleaseVideoCap (cpp:198-230): flush encoder, write trailer."""
+        if self._handle is not None:
+            lib = media._find_lib()
+            rc = lib.EncFinish(self._handle)
+            self._handle = None
+            if rc != 0:
+                raise Exception("failed to finalize video")
+        elif self._cv2_writer is not None:
+            self._cv2_writer.release()
+            self._cv2_writer = None
