@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: 10k-triangle rotating mesh, Gouraud + z-buffer, 1080p.
+
+BASELINE.json headline workload ("10k-triangle rotating mesh, per-pixel
+depth + Gouraud shading, 60-frame sequence at 1080p"; north-star >= 1000 FPS
+on one TPU core).  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/1000}
+
+Auxiliary numbers (Mtri/s, audio mixdown xRT) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
+    import jax
+    import jax.numpy as jnp
+    from libnativecpurenderer_tpu.models import mesh
+    from libnativecpurenderer_tpu.ops import raster3d
+
+    verts_np, faces_np, colors_np = mesh.mesh_10k()
+    n_tri = len(faces_np)
+    log(f"mesh: {n_tri} triangles, {len(verts_np)} verts; "
+        f"backend={jax.default_backend()}")
+
+    verts = jnp.asarray(verts_np, jnp.float32)
+    faces = jnp.asarray(faces_np, jnp.int32)
+    colors = jnp.asarray(colors_np, jnp.float32)
+
+    proj = mesh.perspective(1.0, width / height, 0.1, 10.0)
+    view = mesh.look_at([0.0, 0.6, 3.2], [0, 0, 0], [0, 1, 0])
+
+    def mvp_for(i):
+        return jnp.asarray(proj @ view @ mesh.rotation_y(i * 0.03),
+                           jnp.float32)
+
+    capacity = 128
+    while True:
+        fb, z, overflow = raster3d.render_gouraud_binned(
+            verts, faces, colors, width, height, mvp_for(0),
+            capacity=capacity)
+        jax.block_until_ready(fb)
+        if not bool(overflow):
+            break
+        capacity *= 2
+        log(f"bin overflow; retrying with capacity={capacity}")
+
+    # warm the cache for a second angle (same shapes, no recompile)
+    fb, z, _ = raster3d.render_gouraud_binned(
+        verts, faces, colors, width, height, mvp_for(1), capacity=capacity)
+    jax.block_until_ready(fb)
+
+    t0 = time.perf_counter()
+    for i in range(frames):
+        fb, z, _ = raster3d.render_gouraud_binned(
+            verts, faces, colors, width, height, mvp_for(i),
+            capacity=capacity)
+    jax.block_until_ready(fb)
+    dt = time.perf_counter() - t0
+    fps = frames / dt
+    log(f"raster: {frames} frames in {dt:.3f}s -> {fps:.1f} fps, "
+        f"{fps * n_tri / 1e6:.1f} Mtri/s (capacity={capacity})")
+    return fps
+
+
+def bench_audio():
+    """876 overlays onto the demo-scale clip (~112 s, 44.1 kHz stereo) —
+    reports realtime factor.  Aux metric (stderr only)."""
+    import jax
+    import libnativecpurenderer_tpu as R
+
+    rng = np.random.default_rng(0)
+    dur = 112.0
+    target = R.AudioClip._from_array(
+        44100, 2, rng.standard_normal((int(44100 * dur), 2)) * 0.05)
+    sfx = R.AudioClip._from_array(
+        44100, 2, rng.standard_normal((44100 // 2, 2)) * 0.1)
+    offsets = np.sort(rng.uniform(0, dur - 1, 876))
+
+    target.overlay_many(sfx, offsets[:4])  # compile
+    jax.block_until_ready(target._buf)
+    t0 = time.perf_counter()
+    target.overlay_many(sfx, offsets)
+    wav = target.save_as_wav()
+    dt = time.perf_counter() - t0
+    xrt = dur / dt
+    log(f"audio: 876 overlays + wav ({len(wav)} B) in {dt:.3f}s -> "
+        f"{xrt:.0f}x realtime")
+    return xrt
+
+
+def main():
+    fps = bench_raster()
+    try:
+        bench_audio()
+    except Exception as e:  # aux bench must not break the primary metric
+        log(f"audio bench failed: {e}")
+    print(json.dumps({
+        "metric": "raster_1080p_10ktri_fps",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

