@@ -1,0 +1,134 @@
+"""hjm_mixer: MIDI -> sample-overlay WAV (reference app parity).
+
+Behaviour mirror of ``/root/reference/src/hjm_mixer.py``: pair note_on/off
+per (channel, note) with a 0.1 s default length (:26-51), build a silent
+44.1 kHz stereo target sized to the last onset + 1 s (:63-67), load the
+3x132 instrument banks ("ha","ji","mi" x notes 12-143, :70-77), round-robin
+the instrument per distinct onset time (:79-87) and additively overlay.
+
+TPU-native difference: overlays are grouped per (instrument, note) and
+flushed as batched scatter-adds (AudioClip.overlay_many) instead of one
+ctypes call per note — same additive semantics, orders of magnitude fewer
+dispatches.
+
+Faithfully kept quirks: the sample list is indexed by raw MIDI note ``n``
+although files are named 12..143 (reference :88-93 — note n plays file
+``{n+12}.wav``); ``--dnote`` shifts before the min/max filter.  The
+reference's duplicate ``-o`` argparse flag (:103/:107, a crash in the
+original) is repaired by giving ``--offset`` its long name only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import typing
+from collections import defaultdict
+
+from ..audio import AudioClip
+from ..models import midi
+
+DEFAULT_NOTELENGTH = 0.1
+FRAME_RATE = 44100
+CHANNELS = 2
+
+
+class ProgInput(typing.Protocol):
+    res: str
+    input: str
+    output: str
+    min_note: int
+    max_note: int
+    dnote: int
+    base: typing.Optional[AudioClip]
+    offset: int
+
+
+def collect_notes(mid: midi.MidiFile):
+    """Pair note_on/off per (channel, note); unmatched note_ons get the
+    default length (reference MidiNoteBin, :28-51)."""
+    pending: dict = {}
+    result = []
+    for track in mid.tracks:
+        for msg in track:
+            key = (msg["channel"], msg["note"])
+            if msg["type"] == "note_on":
+                if key in pending:
+                    ont, note = pending.pop(key)
+                    result.append((ont, ont + DEFAULT_NOTELENGTH, note))
+                pending[key] = (msg["sec_time"], msg["note"])
+            elif msg["type"] == "note_off":
+                if key not in pending:
+                    continue
+                ont, note = pending.pop(key)
+                result.append((ont, msg["sec_time"], note))
+    for ont, note in pending.values():
+        result.append((ont, ont + DEFAULT_NOTELENGTH, note))
+    result.sort(key=lambda x: x[0])
+    return result
+
+
+def main(args: ProgInput) -> None:
+    with open(args.input, "rb") as f:
+        mid = midi.MidiFile(f.read())
+
+    notes = collect_notes(mid)
+    if not notes:
+        raise ValueError("no notes in MIDI file")
+
+    max_time = notes[-1][0] + 1.0
+    bgm = (AudioClip.slient(FRAME_RATE, CHANNELS, int(FRAME_RATE * max_time))
+           if args.base is None else args.base)
+
+    # instrument banks: 3 instruments x notes 12..143 (reference :70-77)
+    banks = []
+    for name in ("ha", "ji", "mi"):
+        bank = []
+        for i in range(12, 144):
+            clip = AudioClip.from_file(os.path.join(args.res, name,
+                                                    f"{i}.wav"))
+            clip.resample_like(bgm)
+            bank.append(clip)
+        banks.append(bank)
+
+    # round-robin instrument per distinct onset (reference :79-87), then
+    # flush per (instrument, note) as one batched scatter-add
+    groups: dict = defaultdict(list)
+    curri = -1
+    lastsec = -1e9
+    for sec, _et, n in notes:
+        n += args.dnote
+        sec += args.offset / 1000
+        if sec != lastsec:
+            curri += 1
+            lastsec = sec
+        if n < args.min_note or n > args.max_note:
+            continue
+        curri = curri % len(banks)
+        groups[(curri, n)].append(sec)
+
+    for (inst, n), secs in groups.items():
+        bgm.overlay_many(banks[inst][n], secs)
+
+    with open(args.output, "wb") as f:
+        f.write(bgm.save_as_wav())
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hjm_mixer")
+    p.add_argument("-r", "--res", type=str, help="res file", required=True)
+    p.add_argument("-i", "--input", help="input midi file", required=True)
+    p.add_argument("-o", "--output", help="output wav file", required=True)
+    p.add_argument("-min", "--min-note", help="min note", type=int,
+                   default=60)
+    p.add_argument("-max", "--max-note", help="max note", type=int,
+                   default=127)
+    p.add_argument("-d", "--dnote", help="dnote", type=int, default=0)
+    p.add_argument("--offset", help="offset (ms)", type=int, default=0)
+    return p
+
+
+if __name__ == "__main__":
+    args = build_parser().parse_args()
+    args.base = None
+    main(args)

@@ -169,9 +169,21 @@ class AudioClip:
 
     def overlay_many(self, source: "AudioClip", start_seconds) -> None:
         """TPU extension: N overlays of one source in a single scatter-add
-        (replaces N sequential ``overlay`` calls; same semantics)."""
+        (replaces N sequential ``overlay`` calls; same semantics).
+
+        The event count is padded to a power-of-two bucket with
+        out-of-range sentinel starts (dropped by the scatter), so repeated
+        mixdowns share compiled programs instead of recompiling per count.
+        """
         starts = (np.asarray(start_seconds, np.float64)
                   * self._sample_rate).astype(np.int64)
+        n = len(starts)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if bucket != n:
+            pad = np.full(bucket - n, 1 << 30, np.int64)
+            starts = np.concatenate([starts, pad])
         if self._sample_rate != source._sample_rate \
                 or self._channels != source._channels:
             source = source.clone()

@@ -108,12 +108,27 @@ def _decode_wav(path: str) -> Tuple[int, int, np.ndarray]:
     return rate, channels, pcm.reshape(-1, channels)
 
 
+_LAME_RATES = (8000, 11025, 12000, 16000, 22050, 24000, 32000, 44100, 48000)
+
+
 def encode_audio_file(path: str, pcm_f32: np.ndarray, rate: int,
                       bit_rate: int = 180000) -> None:
     """Encode (N, C) float PCM to a compressed file (mp3/aac by extension)
-    via the native runtime; falls back to writing a WAV."""
-    lib = _find_lib()
+    via the native runtime; falls back to writing a WAV.
+
+    MP3 only supports fixed MPEG sample rates; off-grid rates are snapped
+    to the nearest supported one with a host linear resample."""
     arr = np.ascontiguousarray(pcm_f32, np.float32)
+    if path.lower().endswith(".mp3") and rate not in _LAME_RATES:
+        new_rate = min(_LAME_RATES, key=lambda r: abs(r - rate))
+        n_out = int(arr.shape[0] * new_rate / rate)
+        t_out = np.arange(n_out) * (rate / new_rate)
+        t_in = np.arange(arr.shape[0])
+        arr = np.stack([np.interp(t_out, t_in, arr[:, c])
+                        for c in range(arr.shape[1])], axis=1)
+        arr = np.ascontiguousarray(arr, np.float32)
+        rate = new_rate
+    lib = _find_lib()
     if lib is not None:
         rc = lib.MediaEncodeAudioFile(
             path.encode(), arr.ctypes.data_as(ctypes.c_void_p),

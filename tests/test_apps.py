@@ -1,0 +1,240 @@
+"""End-to-end app tests on synthetic fixtures (CPU backend, tiny sizes)."""
+
+import json
+import os
+import struct
+import types
+import wave
+import zipfile
+
+import numpy as np
+import pytest
+
+from libnativecpurenderer_tpu import media
+
+
+# ---------------------------------------------------------------------------
+# fixture builders
+# ---------------------------------------------------------------------------
+
+def write_wav(path, pcm, rate=44100):
+    """pcm: (N, C) float in [-1, 1]"""
+    with wave.open(path, "wb") as w:
+        w.setnchannels(pcm.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(pcm, -1, 1) * 32767).astype("<i2").tobytes())
+
+
+def vlq(n):
+    out = [n & 0x7F]
+    n >>= 7
+    while n:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    return bytes(reversed(out))
+
+
+def make_midi(events, division=480, tempo=500000):
+    track = b"" + vlq(0) + bytes([0xFF, 0x51, 0x03]) + tempo.to_bytes(3, "big")
+    for delta, status, data in events:
+        track += vlq(delta) + bytes([status]) + bytes(data)
+    track += vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    return (b"MThd" + struct.pack(">IHHH", 6, 0, 1, division)
+            + b"MTrk" + struct.pack(">I", len(track)) + track)
+
+
+@pytest.fixture
+def mini_bank(tmp_path):
+    """Tiny instrument bank: ha/ji/mi x notes 12..143, 64-frame clips with
+    a per-(instrument, note) DC signature so overlays are verifiable."""
+    rng = np.random.default_rng(0)
+    for bi, name in enumerate(("ha", "ji", "mi")):
+        d = tmp_path / name
+        d.mkdir()
+        for n in range(12, 144):
+            val = (bi + 1) * 0.001 + n * 1e-5
+            pcm = np.full((64, 2), val)
+            write_wav(str(d / f"{n}.wav"), pcm, 44100)
+    return str(tmp_path)
+
+
+def test_hjm_mixer_end_to_end(tmp_path, mini_bank):
+    from libnativecpurenderer_tpu.apps import hjm_mixer
+    # two notes at distinct times + one filtered out
+    data = make_midi([
+        (0, 0x90, [60, 100]), (480, 0x80, [60, 0]),
+        (0, 0x90, [64, 100]), (480, 0x80, [64, 0]),
+        (0, 0x90, [10, 100]), (10, 0x80, [10, 0]),   # below min -> skipped
+    ])
+    mid_fp = tmp_path / "t.mid"
+    mid_fp.write_bytes(data)
+    out_fp = tmp_path / "out.wav"
+    hjm_mixer.main(types.SimpleNamespace(
+        res=mini_bank, input=str(mid_fp), output=str(out_fp),
+        min_note=60, max_note=127, dnote=0, base=None, offset=0))
+
+    with wave.open(str(out_fp)) as w:
+        assert w.getframerate() == 44100
+        assert w.getnchannels() == 2
+        pcm = np.frombuffer(w.readframes(w.getnframes()),
+                            np.int16).reshape(-1, 2) / 32767.0
+    # note 60 at t=0 round-robins to instrument 0 ("ha"), note 64 at t=0.5
+    # to instrument 1 ("ji"); bank files are indexed by raw note (the
+    # reference's off-by-12 quirk) so note 60 plays ha/72.wav's value
+    v60 = 1 * 0.001 + 72 * 1e-5
+    v64 = 2 * 0.001 + 76 * 1e-5
+    assert abs(pcm[5, 0] - v60) < 2e-4
+    at64 = int(0.5 * 44100) + 5
+    assert abs(pcm[at64, 0] - v64) < 2e-4
+    # silence between
+    assert abs(pcm[int(0.3 * 44100), 0]) < 1e-4
+
+
+@pytest.fixture
+def chart_package(tmp_path):
+    """Minimal Milthm chart v2 zip + res dir."""
+    from PIL import Image
+
+    res = tmp_path / "res"
+    res.mkdir()
+    rng = np.random.default_rng(1)
+    for name in ["tap", "tap_double", "extap", "extap_double", "hold",
+                 "hold_double", "exhold", "exhold_double", "drag",
+                 "drag_double", "line_head", "perfect_circ"]:
+        arr = rng.integers(0, 255, (16, 16, 4), np.uint8)
+        arr[..., 3] = 255
+        Image.fromarray(arr, "RGBA").save(str(res / f"{name}.png"))
+    (res / "meta.json").write_text(json.dumps(
+        {"holdAtlas": [4, 4], "holdDoubleAtlas": [4, 4]}))
+    # hit/drag sfx: WAV bytes under the .ogg names the app expects
+    sfx = np.zeros((441, 2))
+    sfx[:, :] = 0.1
+    write_wav(str(res / "hit.ogg"), sfx)
+    write_wav(str(res / "drag.ogg"), sfx * 0.5)
+
+    # chart zip: 1.0 s of audio, one line, two notes
+    bgm = np.zeros((44100, 2))
+    bgm_fp = tmp_path / "audio.ogg"
+    write_wav(str(bgm_fp), bgm)
+    bg_fp = tmp_path / "bg.png"
+    Image.fromarray(rng.integers(0, 255, (32, 48, 3), np.uint8),
+                    "RGB").save(str(bg_fp))
+
+    def ease(t=0, p=0):
+        return {"type": t, "press": p, "isValueExp": False,
+                "cusValueExp": "", "clipLeft": 0.0, "clipRight": 1.0}
+
+    def anim(key, start, end, st, et, bearer_type=0, bearer=0):
+        return {"startTime": st, "endTime": et, "type": key,
+                "start": start, "end": end, "index": 0,
+                "bearer_type": bearer_type, "bearer": bearer,
+                "ease": ease()}
+
+    chart = {
+        "fmt": 2,
+        "meta": {"background_dim": 0.6, "name": "t", "background_artist": "",
+                 "music_artist": "", "charter": "", "difficulty_name": "EZ",
+                 "difficulty": 1, "offset": 0.0},
+        "bpms": [{"time": [0, 0, 1], "bpm": 120}],
+        "lines": [{
+            "index": 0,
+            "animations": [
+                anim(12, 1.0, 1.0, [0, 0, 1], [4, 0, 1]),       # Speed
+                anim(4, 90.0, 90.0, [0, 0, 1], [4, 0, 1]),      # Rotation
+            ],
+            "notes": [
+                {"time": [0, 1, 2], "type": 0, "isFake": False,
+                 "isAlwaysPerfect": False, "endTime": [0, 1, 2], "index": 0},
+                {"time": [1, 0, 1], "type": 1, "isFake": False,
+                 "isAlwaysPerfect": False, "endTime": [1, 0, 1], "index": 1},
+                {"time": [1, 1, 2], "type": 0, "isFake": False,
+                 "isAlwaysPerfect": False, "endTime": [2, 0, 1],
+                 "index": 2},                                    # hold
+            ],
+        }],
+    }
+    zpath = tmp_path / "chart.zip"
+    with zipfile.ZipFile(str(zpath), "w") as z:
+        z.writestr("meta.json", json.dumps({
+            "chart_file": "chart.json", "audio_file": "audio.ogg",
+            "image_file": "bg.png"}))
+        z.writestr("chart.json", json.dumps(chart))
+        z.write(str(bgm_fp), "audio.ogg")
+        z.write(str(bg_fp), "bg.png")
+    return str(zpath), str(res)
+
+
+def test_milrenderer_end_to_end(tmp_path, chart_package):
+    from libnativecpurenderer_tpu.apps.milrenderer import Renderer
+    zpath, res = chart_package
+    out = str(tmp_path / "out.mp4")
+    r = Renderer(width=96, height=54, fps=10, res_dir=res)
+    r.run(zpath, out, progress=False)
+    assert os.path.getsize(out) > 1000
+    if media.native_available():
+        import cv2
+        cap = cv2.VideoCapture(out)
+        assert cap.isOpened()
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        assert n == 11  # 1.0 s * 10 fps + 1
+        ok, frame = cap.read()
+        assert ok and frame.shape == (54, 96, 3)
+        assert frame.sum() > 0  # something was drawn
+
+
+def test_chart_model_values(chart_package):
+    from libnativecpurenderer_tpu.models import chart as cm
+    zpath, _ = chart_package
+    with zipfile.ZipFile(zpath) as z:
+        chart = cm.Chart(json.loads(z.read("chart.json")))
+    line = chart.lines[0]
+    # bpm 120 -> beat = 0.5 s; note times: 0.25, 0.5, 0.75
+    times = [n.time for n in line.notes]
+    assert times == [0.25, 0.5, 0.75]
+    hold = line.notes[2]
+    assert hold.ishold and hold.endTime == 1.0
+    # Speed anim 1.0 constant -> floorPosition = integral = t within [0, 2]
+    assert abs(hold.floorPosition - 0.75) < 1e-12
+    assert abs(hold.endFloorPosition - 1.0) < 1e-12
+    # morebets: no two non-fake notes share a time here
+    assert not any(n.morebets for n in line.notes)
+    chart.update(0.6)
+    assert line.acollection.get_value(cm.AnimationKey.Rotation) == 90.0
+
+
+def test_hjm_server_request(tmp_path, mini_bank):
+    """Full HTTP round trip on a local port."""
+    import threading
+    import http.client
+    from libnativecpurenderer_tpu.apps import hjm_mixer_server as srv
+
+    srv.Handler.res_dir = mini_bank
+    server = __import__("http.server", fromlist=["ThreadingHTTPServer"]) \
+        .ThreadingHTTPServer(("127.0.0.1", 0), srv.Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert b"midi" in resp.read()
+
+        data = make_midi([(0, 0x90, [60, 100]), (480, 0x80, [60, 0])])
+        conn.request("POST",
+                     "/%F0%9F%90%B1/60/127/0/0", body=data)
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200, body
+        if media.native_available():
+            assert len(body) > 500
+            # decode the mp3 back
+            fp = tmp_path / "resp.mp3"
+            fp.write_bytes(body)
+            rate, ch, pcm = media.decode_audio(str(fp))
+            assert rate == 16000  # 18 kHz snapped to nearest lame rate
+            assert pcm.shape[0] > 1000
+    finally:
+        server.shutdown()
