@@ -215,7 +215,7 @@ class AudioClip:
     # WAV serialisation (cpp:1165-1228)
     # ------------------------------------------------------------------ #
     def save_as_wav(self) -> bytes:
-        pcm = audio_ops.to_int16(self.numpy())
+        pcm = np.asarray(audio_ops.to_int16_device(self._buf))
         data_bytes = pcm.tobytes()
         n = len(data_bytes)
         header = b"RIFF" + struct.pack("<i", 36 + n) + b"WAVE"

@@ -26,17 +26,41 @@ def overlay(target, source, start):
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def overlay_many(target, source, starts):
-    """Batched overlay of one source at many start frames (one scatter-add).
+    """Batched overlay of one source at many start frames.
 
     Used by the mixdown paths (876 overlays in the binding demo,
     pybind:689-691; one per MIDI note in hjm_mixer:82-94) to replace N
     sequential C calls with a single device dispatch.
+
+    Two implementations, chosen by (static) problem size:
+    * small: one scatter-add of the expanded (n_events * src_len) rows;
+    * large: FFT convolution — many overlays of one clip are exactly
+      ``impulse_train (*) clip``, and TPU scatters serialise while FFTs
+      fly.  Out-of-range starts (incl. the power-of-two-bucket padding
+      sentinel) drop out in both paths, matching the reference's
+      truncate-at-target-end semantics (cpp:1146).
     """
     n = source.shape[0]
-    idx = (starts[:, None] + jnp.arange(n)[None, :]).reshape(-1)
-    src = jnp.broadcast_to(source[None], (starts.shape[0],) + source.shape)
-    src = src.reshape(-1, source.shape[1])
-    return target.at[idx].add(src, mode="drop")
+    n_ev = starts.shape[0]
+    if n_ev * n <= (1 << 20):
+        idx = (starts[:, None] + jnp.arange(n)[None, :]).reshape(-1)
+        src = jnp.broadcast_to(source[None],
+                               (n_ev,) + source.shape)
+        src = src.reshape(-1, source.shape[1])
+        return target.at[idx].add(src, mode="drop")
+    # FFT path
+    N, C = target.shape
+    m = 1
+    while m < N + n:
+        m *= 2
+    dtype = target.dtype
+    imp = jnp.zeros((m,), dtype).at[starts].add(jnp.asarray(1.0, dtype),
+                                                mode="drop")
+    src_pad = jnp.zeros((m, C), dtype).at[:n].set(source)
+    spec = jnp.fft.rfft(src_pad, axis=0)
+    ispec = jnp.fft.rfft(imp)
+    mixed = jnp.fft.irfft(ispec[:, None] * spec, n=m, axis=0)[:N]
+    return target + mixed.astype(dtype)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -94,3 +118,11 @@ def to_int16(buf_np):
     import numpy as np
     v = np.clip(np.asarray(buf_np, np.float64), -1.0, 1.0) * 32767.0
     return v.astype(np.int16)
+
+
+@jax.jit
+def to_int16_device(buf):
+    """Same conversion on device (jnp float->int astype truncates toward
+    zero like the C cast); halves the host transfer for WAV export."""
+    v = jnp.clip(buf, -1.0, 1.0) * 32767.0
+    return v.astype(jnp.int16)

@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: fused per-tile triangle visibility + Gouraud shading.
+
+The XLA formulation of the per-tile pass materialises its (K, P) edge/key
+temporaries to HBM (measured ~86 ms/frame at 1080p/10k-tri) and must run the
+full static bin capacity K for every tile even though mean occupancy is
+~25.  This kernel fixes both:
+
+  * all temporaries live in VMEM; HBM traffic is one (K, 32) row block in
+    and one (tile_h, tile_w) key + colour block out per tile;
+  * the per-tile triangle count is scalar-prefetched and drives a
+    *dynamic* ``fori_loop`` trip count, so work is proportional to actual
+    occupancy (sum of ceil(count/KC)), not worst-case capacity.
+
+Layout strategy (Mosaic-friendly, 2-D only): each chunk of KC=8 triangles
+is evaluated on a flat (KC*tile_h, tile_w) vector shape — triangle k owns
+rows [k*th, (k+1)*th).  Per-triangle coefficients broadcast via
+``pltpu.repeat`` of (KC, 1) columns; chunk reductions (min over the KC
+groups) are log2(KC) halving slices.  The kernel is single-pass: a chunk's
+winner key/colour conditionally replaces the accumulators (strict < keeps
+the packed-key tie-break).
+
+Row table layout (padded to ROW_W=32 floats):
+  0:3 A  3:6 B  6:9 C  9:12 z*inv_area  12 sign  13 inv_area
+  14:14+3D vertex attributes (D=4 RGBA)
+NO_TRI bin slots resolve to a NaN row whose coverage test is vacuously
+false, so chunk remainders need no masking.
+
+Packed keys carry the BIN SLOT (position in the tile's bin list) rather
+than the global triangle id; slots ascend with triangle id (bins are
+sorted) so depth/tie ordering is identical, and ids are recovered with one
+(NT, K) lookup afterwards.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster3d import IDX_BITS, NO_TRI, SKY_KEY, Z_LEVELS
+
+KC = 8          # triangles per inner chunk (f32 sublane count)
+ROW_W = 32      # padded row width
+D = 4           # RGBA
+
+
+def _make_kernel(tile_h: int, tile_w: int):
+    def kernel(scal_ref, rows_ref, keys_ref, rgba_ref, kacc, racc):
+        i = pl.program_id(0)
+        nt = pl.num_programs(0)
+        count = scal_ref[i]
+        ox = scal_ref[nt + i]
+        oy = scal_ref[2 * nt + i]
+
+        X = (ox + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+             ).astype(jnp.float32)
+        Y = (oy + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+             ).astype(jnp.float32)
+
+        kacc[:] = jnp.full_like(kacc, SKY_KEY)
+        racc[:] = jnp.zeros_like(racc)
+
+        # one triangle per iteration: the row's 26 coefficients are scalar
+        # reads from the SMEM rows block (scalar->vector broadcasts are
+        # native; vector (1,1)->(th,tw) broadcasts are not implemented in
+        # Mosaic), all vector work on the (tile_h, tile_w) pixel tile.
+        # A new winner replaces the key and colour accumulators under a
+        # strict-< select, preserving the packed-key tie-break (lowest bin
+        # slot wins).
+        def body(k, _):
+            def s(j):
+                return rows_ref[0, k, j]                    # scalar (SMEM)
+
+            e0 = s(0) * X + s(3) * Y + s(6)                 # (th, tw)
+            e1 = s(1) * X + s(4) * Y + s(7)
+            e2 = s(2) * X + s(5) * Y + s(8)
+            sg = s(12)
+            cov = (e0 * sg >= 0.0) & (e1 * sg >= 0.0) & (e2 * sg >= 0.0)
+            zz = e0 * s(9) + e1 * s(10) + e2 * s(11)
+            cov &= (zz >= 0.0) & (zz <= 1.0)
+            zq = jnp.clip(zz * Z_LEVELS, 0, Z_LEVELS).astype(jnp.int32)
+            key = jnp.where(cov, (zq << IDX_BITS) | k, jnp.int32(SKY_KEY))
+
+            upd = key < kacc[:]
+            ia = s(13)
+            w0 = e0 * ia
+            w1 = e1 * ia
+            w2 = e2 * ia
+            for d in range(D):
+                cd = (w0 * s(14 + d) + w1 * s(14 + D + d)
+                      + w2 * s(14 + 2 * D + d))
+                racc[d] = jnp.where(upd, cd, racc[d])
+            kacc[:] = jnp.where(upd, key, kacc[:])
+            return 0
+
+        lax.fori_loop(0, count, body, 0)
+
+        keys_ref[0] = kacc[:]
+        rgba_ref[0] = racc[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def raster_tiles(rows, scalars, nt: int, tile_h: int, tile_w: int,
+                 interpret: bool = False):
+    """rows: (NT, K, 32) f32; scalars: (3*NT,) i32 = [counts | ox | oy].
+    Returns keys (NT, th, tw) i32, rgba (NT, D, th, tw) f32."""
+    K = rows.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, K, ROW_W), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_h, tile_w), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, D, tile_h, tile_w), lambda i, s: (i, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_h, tile_w), jnp.int32),
+            pltpu.VMEM((D, tile_h, tile_w), jnp.float32),
+        ],
+    )
+    keys, rgba = pl.pallas_call(
+        _make_kernel(tile_h, tile_w),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, tile_h, tile_w), jnp.int32),
+            jax.ShapeDtypeStruct((nt, D, tile_h, tile_w), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, rows)
+    return keys, rgba
+
+
+def render_binned_pallas(bins, counts, A, B, C, zplane_scaled, inv_area,
+                         sign, valid, attrs, bg, width: int, height: int,
+                         tile_w: int, tile_h: int, interpret: bool = False):
+    """Fused raster via the Pallas kernel + XLA pre/post.
+
+    Returns (keys (H, W) int32 with global triangle ids, rgba (H, W, 4))."""
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    nt, K = bins.shape
+    F = A.shape[0]
+    dtype = A.dtype
+
+    table = jnp.concatenate(
+        [A, B, C, zplane_scaled, sign[:, None], inv_area[:, None],
+         attrs.reshape(F, 3 * D)], axis=1)
+    table = jnp.where(valid[:, None], table, jnp.nan).astype(jnp.float32)
+    table = jnp.concatenate(
+        [table, jnp.full((1, table.shape[1]), jnp.nan, jnp.float32)],
+        axis=0)
+    table = jnp.pad(table, ((0, 0), (0, ROW_W - table.shape[1])))
+    safe = jnp.where(bins == NO_TRI, F, bins)
+    rows = table[safe]                                   # (NT, K, 32)
+
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    scalars = jnp.concatenate(
+        [counts.astype(jnp.int32), tids % ntx * tile_w,
+         tids // ntx * tile_h])
+
+    keys_local, rgba = raster_tiles(rows, scalars, nt, tile_h, tile_w,
+                                    interpret)
+
+    # remap bin-slot ids -> global triangle ids
+    kl = keys_local.reshape(nt, -1)
+    slot = kl & ((1 << IDX_BITS) - 1)
+    hit = slot != NO_TRI
+    gid = jnp.take_along_axis(safe, jnp.minimum(slot, K - 1),
+                              axis=1).astype(jnp.int32)
+    keys_g = jnp.where(hit, (kl & ~((1 << IDX_BITS) - 1)) | gid,
+                       jnp.int32(SKY_KEY))
+
+    keys2d = keys_g.reshape(nty, ntx, tile_h, tile_w)
+    keys2d = jnp.moveaxis(keys2d, 2, 1).reshape(nty * tile_h,
+                                                ntx * tile_w)
+    keys2d = keys2d[:height, :width]
+
+    rgba2d = rgba.reshape(nty, ntx, D, tile_h, tile_w)
+    rgba2d = jnp.transpose(rgba2d, (0, 3, 1, 4, 2))
+    rgba2d = rgba2d.reshape(nty * tile_h, ntx * tile_w, D)
+    rgba2d = rgba2d[:height, :width]
+
+    bgv = jnp.asarray(bg, dtype)
+    sky = keys2d == SKY_KEY
+    rgba2d = jnp.where(sky[..., None], bgv[None, None, :],
+                       rgba2d.astype(dtype))
+    return keys2d, rgba2d

@@ -1,0 +1,46 @@
+"""Pallas fused raster kernel vs the XLA/naive paths (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libnativecpurenderer_tpu.models import mesh
+from libnativecpurenderer_tpu.ops import raster3d
+
+W, H = 64, 32
+
+
+def _scene():
+    verts, faces = mesh.icosphere(2)  # 320 faces
+    colors = np.concatenate([np.abs(verts), np.ones((len(verts), 1))], 1)
+    mvp = (mesh.perspective(1.0, W / H, 0.1, 10.0)
+           @ mesh.look_at([0, 0, 2.5], [0, 0, 0], [0, 1, 0])
+           @ mesh.rotation_x(0.4))
+    return (jnp.asarray(verts, jnp.float32),
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(colors, jnp.float32),
+            jnp.asarray(mvp, jnp.float32))
+
+
+def test_pallas_matches_naive():
+    v, f, c, m = _scene()
+    fb_n, z_n = raster3d.render_gouraud(v, f, c, W, H, m)
+    fb_p, z_p, ovf = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96,
+        interpret=True)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(fb_p), np.asarray(fb_n),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_n), atol=1e-6)
+
+
+def test_pallas_matches_binned_xla():
+    v, f, c, m = _scene()
+    fb_b, z_b, _ = raster3d.render_gouraud_binned(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96)
+    fb_p, z_p, _ = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(fb_p), np.asarray(fb_b),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_b), atol=1e-6)
