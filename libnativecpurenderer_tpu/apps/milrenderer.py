@@ -170,13 +170,15 @@ class ChartPackage:
 class Renderer:
     def __init__(self, *, width: int, height: int, fps: int,
                  note_scale: float = 1.0, flow_speed: float = 1.66,
-                 res_dir: str = ".", silent: bool = False):
+                 res_dir: str = ".", silent: bool = False,
+                 batch_frames: int = 1):
         self.w = width
         self.h = height
         self.fps = fps
         self.res_dir = res_dir
         self.silent = silent
         self.flow_speed = flow_speed
+        self.batch_frames = batch_frames
         self.line_head_size = 0.0223 * note_scale
         self.line_head_border = self.line_head_size * (18 / 186)
         self.note_size = self.line_head_size
@@ -447,7 +449,15 @@ class Renderer:
 
     # -- full run (reference :817-1040) ------------------------------------
     def run(self, chart_path: str, output: str,
-            progress: bool = True) -> None:
+            progress: bool = True, start_frame: int = 0,
+            end_frame: typing.Optional[int] = None) -> None:
+        """Render the chart to ``output``.
+
+        ``start_frame``/``end_frame`` render a sub-range (frame-range
+        resume — the render is a pure function of t, so restarting mid-way
+        just replays the animation cursors; the reference always runs
+        start-to-finish, SURVEY §5).  Audio is trimmed to the range.
+        """
         pkg = ChartPackage(chart_path)
 
         log.info("loading audio file")
@@ -469,22 +479,42 @@ class Renderer:
         log.info("mixing bgm")
         self.mix_bgm(bgm, chart)
 
+        num_frames = int(bgm.duration * self.fps) + 1
+        if end_frame is not None:
+            num_frames = min(num_frames, end_frame)
+        if start_frame or end_frame is not None:
+            bgm.cut(start_frame / self.fps, num_frames / self.fps,
+                    time_unit="second")
+
         log.info("initializing video cap")
         self.cap.initialize(output, hasAudio=not self.silent, a_clip=bgm)
-        num_frames = int(bgm.duration * self.fps) + 1
 
         log.info("loading assets")
         self.load_assets(pkg)
 
-        log.info("rendering %d frames", num_frames)
+        log.info("rendering frames %d..%d", start_frame, num_frames)
         hit_effects: list = []
-        frame_range = range(num_frames)
+        frame_range = range(start_frame, num_frames)
         if progress:
             import tqdm
-            frame_range = tqdm.trange(num_frames, desc="Rendering")
-        for i in frame_range:
-            self.draw_frame(chart, i / self.fps, hit_effects)
-            self.cap.put_renderer_context_frame(self.ctx)
+            frame_range = tqdm.trange(start_frame, num_frames,
+                                      desc="Rendering")
+        if self.batch_frames > 1:
+            # record-only frames, executed vmapped in device batches (the
+            # path the reference's mode=1 preparer never finished)
+            from ..pipeline import BatchedVideoPipeline
+            pipe = BatchedVideoPipeline(self.cap, self.w, self.h,
+                                        self.batch_frames)
+            for i in frame_range:
+                self.draw_frame(chart, i / self.fps, hit_effects)
+                k, p = self.ctx._cmds.snapshot()
+                pipe.submit(k, p)
+                self.ctx._cmds.clear()
+            pipe.finish()
+        else:
+            for i in frame_range:
+                self.draw_frame(chart, i / self.fps, hit_effects)
+                self.cap.put_renderer_context_frame(self.ctx)
         self.cap.release()
 
 
@@ -500,6 +530,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-fs", "--flow-speed", type=float, default=1.66)
     p.add_argument("-d", "--debug", action="store_true")
     p.add_argument("-sl", "--silent", action="store_true")
+    p.add_argument("-bf", "--batch-frames", type=int, default=1,
+                   help="frames per device dispatch (TPU batching)")
+    p.add_argument("--start-frame", type=int, default=0,
+                   help="resume from this frame")
+    p.add_argument("--end-frame", type=int, default=None,
+                   help="stop before this frame")
     return p
 
 
@@ -514,9 +550,11 @@ def main(argv=None) -> None:
     log.info("output video file: %s", args.output)
     r = Renderer(width=args.width, height=args.height, fps=args.fps,
                  note_scale=args.note_scale, flow_speed=args.flow_speed,
-                 res_dir=args.res, silent=args.silent)
+                 res_dir=args.res, silent=args.silent,
+                 batch_frames=args.batch_frames)
     try:
-        r.run(args.input, args.output)
+        r.run(args.input, args.output, start_frame=args.start_frame,
+              end_frame=args.end_frame)
     except (ValueError, zipfile.BadZipFile) as e:
         print(f"Error: {e}")
         sys.exit(1)

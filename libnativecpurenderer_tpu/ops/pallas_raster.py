@@ -49,7 +49,7 @@ D = 4           # RGBA
 
 
 def _make_kernel(tile_h: int, tile_w: int):
-    def kernel(scal_ref, rows_ref, keys_ref, rgba_ref, kacc, racc):
+    def kernel(scal_ref, rows_ref, keys_ref, rgba_ref):
         i = pl.program_id(0)
         nt = pl.num_programs(0)
         count = scal_ref[i]
@@ -61,17 +61,18 @@ def _make_kernel(tile_h: int, tile_w: int):
         Y = (oy + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
              ).astype(jnp.float32)
 
-        kacc[:] = jnp.full_like(kacc, SKY_KEY)
-        racc[:] = jnp.zeros_like(racc)
-
         # one triangle per iteration: the row's 26 coefficients are scalar
         # reads from the SMEM rows block (scalar->vector broadcasts are
         # native; vector (1,1)->(th,tw) broadcasts are not implemented in
         # Mosaic), all vector work on the (tile_h, tile_w) pixel tile.
         # A new winner replaces the key and colour accumulators under a
         # strict-< select, preserving the packed-key tie-break (lowest bin
-        # slot wins).
-        def body(k, _):
+        # slot wins).  Accumulators are fori_loop carries so they live in
+        # vector registers across iterations instead of bouncing through
+        # VMEM scratch.
+        def body(k, carry):
+            kacc_v, r0, r1, r2, r3 = carry
+
             def s(j):
                 return rows_ref[0, k, j]                    # scalar (SMEM)
 
@@ -85,22 +86,28 @@ def _make_kernel(tile_h: int, tile_w: int):
             zq = jnp.clip(zz * Z_LEVELS, 0, Z_LEVELS).astype(jnp.int32)
             key = jnp.where(cov, (zq << IDX_BITS) | k, jnp.int32(SKY_KEY))
 
-            upd = key < kacc[:]
+            upd = key < kacc_v
             ia = s(13)
             w0 = e0 * ia
             w1 = e1 * ia
             w2 = e2 * ia
-            for d in range(D):
+            cs = []
+            for d, rd in enumerate((r0, r1, r2, r3)):
                 cd = (w0 * s(14 + d) + w1 * s(14 + D + d)
                       + w2 * s(14 + 2 * D + d))
-                racc[d] = jnp.where(upd, cd, racc[d])
-            kacc[:] = jnp.where(upd, key, kacc[:])
-            return 0
+                cs.append(jnp.where(upd, cd, rd))
+            return (jnp.where(upd, key, kacc_v), cs[0], cs[1], cs[2], cs[3])
 
-        lax.fori_loop(0, count, body, 0)
+        sky = jnp.full((tile_h, tile_w), SKY_KEY, jnp.int32)
+        zero = jnp.zeros((tile_h, tile_w), jnp.float32)
+        kacc_v, r0, r1, r2, r3 = lax.fori_loop(
+            0, count, body, (sky, zero, zero, zero, zero))
 
-        keys_ref[0] = kacc[:]
-        rgba_ref[0] = racc[:]
+        keys_ref[0] = kacc_v
+        rgba_ref[0, 0] = r0
+        rgba_ref[0, 1] = r1
+        rgba_ref[0, 2] = r2
+        rgba_ref[0, 3] = r3
 
     return kernel
 
@@ -121,10 +128,6 @@ def raster_tiles(rows, scalars, nt: int, tile_h: int, tile_w: int,
         out_specs=[
             pl.BlockSpec((1, tile_h, tile_w), lambda i, s: (i, 0, 0)),
             pl.BlockSpec((1, D, tile_h, tile_w), lambda i, s: (i, 0, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tile_h, tile_w), jnp.int32),
-            pltpu.VMEM((D, tile_h, tile_w), jnp.float32),
         ],
     )
     keys, rgba = pl.pallas_call(

@@ -183,6 +183,38 @@ def test_milrenderer_end_to_end(tmp_path, chart_package):
         assert frame.sum() > 0  # something was drawn
 
 
+def test_milrenderer_batched_matches_sequential(tmp_path, chart_package):
+    """The vmapped batch pipeline must produce the same video frames as the
+    frame-at-a-time path."""
+    import cv2
+    from libnativecpurenderer_tpu.apps.milrenderer import Renderer
+    if not media.native_available():
+        pytest.skip("needs native encoder to compare decoded frames")
+    import random
+    zpath, res = chart_package
+    out_a = str(tmp_path / "seq.mp4")
+    out_b = str(tmp_path / "bat.mp4")
+    random.seed(42)  # hit-effect seeds/groups draw from the global RNG
+    Renderer(width=96, height=54, fps=10, res_dir=res).run(
+        zpath, out_a, progress=False)
+    random.seed(42)
+    Renderer(width=96, height=54, fps=10, res_dir=res,
+             batch_frames=4).run(zpath, out_b, progress=False)
+
+    ca, cb = cv2.VideoCapture(out_a), cv2.VideoCapture(out_b)
+    assert int(ca.get(cv2.CAP_PROP_FRAME_COUNT)) == \
+        int(cb.get(cv2.CAP_PROP_FRAME_COUNT))
+    diffs = []
+    while True:
+        ra, fa = ca.read()
+        rb, fb = cb.read()
+        assert ra == rb
+        if not ra:
+            break
+        diffs.append(np.abs(fa.astype(int) - fb.astype(int)).mean())
+    assert max(diffs) < 1.0  # identical up to H.264 noise
+
+
 def test_chart_model_values(chart_package):
     from libnativecpurenderer_tpu.models import chart as cm
     zpath, _ = chart_package
