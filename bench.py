@@ -42,28 +42,38 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         return jnp.asarray(proj @ view @ mesh.rotation_y(i * 0.03),
                            jnp.float32)
 
-    capacity = 128
+    render = raster3d.render_gouraud_pallas
+    if jax.default_backend() == "cpu":
+        render = raster3d.render_gouraud_binned  # no Mosaic on CPU
+
+    capacity = 512
     while True:
-        fb, z, overflow = raster3d.render_gouraud_binned(
-            verts, faces, colors, width, height, mvp_for(0),
-            capacity=capacity)
-        jax.block_until_ready(fb)
+        try:
+            fb, z, overflow = render(verts, faces, colors, width, height,
+                                     mvp_for(0), capacity=capacity)
+            jax.block_until_ready(fb)
+        except Exception as e:  # Mosaic regression -> XLA fallback
+            if render is raster3d.render_gouraud_pallas:
+                log(f"pallas path failed ({type(e).__name__}); XLA fallback")
+                render = raster3d.render_gouraud_binned
+                continue
+            raise
         if not bool(overflow):
             break
         capacity *= 2
         log(f"bin overflow; retrying with capacity={capacity}")
 
     # warm the cache for a second angle (same shapes, no recompile)
-    fb, z, _ = raster3d.render_gouraud_binned(
-        verts, faces, colors, width, height, mvp_for(1), capacity=capacity)
+    fb, z, _ = render(verts, faces, colors, width, height, mvp_for(1),
+                      capacity=capacity)
     jax.block_until_ready(fb)
 
+    outs = []
     t0 = time.perf_counter()
     for i in range(frames):
-        fb, z, _ = raster3d.render_gouraud_binned(
-            verts, faces, colors, width, height, mvp_for(i),
-            capacity=capacity)
-    jax.block_until_ready(fb)
+        outs.append(render(verts, faces, colors, width, height,
+                           mvp_for(i), capacity=capacity)[0])
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     fps = frames / dt
     log(f"raster: {frames} frames in {dt:.3f}s -> {fps:.1f} fps, "

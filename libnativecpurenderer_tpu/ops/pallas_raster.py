@@ -1,34 +1,34 @@
 """Pallas TPU kernel: fused per-tile triangle visibility + Gouraud shading.
 
 The XLA formulation of the per-tile pass materialises its (K, P) edge/key
-temporaries to HBM (measured ~86 ms/frame at 1080p/10k-tri) and must run the
-full static bin capacity K for every tile even though mean occupancy is
-~25.  This kernel fixes both:
+temporaries to HBM (~86 ms/frame at 1080p/10k-tri) and runs the full static
+bin capacity K for every tile though mean occupancy is ~25.  This kernel
+keeps all temporaries in VMEM and drives the inner loop with a
+scalar-prefetched per-tile count, so work is proportional to occupancy.
 
-  * all temporaries live in VMEM; HBM traffic is one (K, 32) row block in
-    and one (tile_h, tile_w) key + colour block out per tile;
-  * the per-tile triangle count is scalar-prefetched and drives a
-    *dynamic* ``fori_loop`` trip count, so work is proportional to actual
-    occupancy (sum of ceil(count/KC)), not worst-case capacity.
+Iteration history (measured on v5e):
+  * scalar-per-triangle with SMEM row reads: correct but ~36 ms/frame —
+    the per-tile (K, 32) SMEM block fill is serial and slow (~65 MB of
+    SMEM traffic per frame dominates).
+  * this version: rows stay in VMEM (pipelined block DMA); each inner step
+    evaluates a chunk of KCC triangles as (KCC, P) vector ops using only
+    Mosaic-supported broadcast forms — (KCC,1)x(KCC,P) lane broadcasts for
+    coefficients and (1,P)->(KCC,P) sublane broadcasts for the pixel grid.
 
-Layout strategy (Mosaic-friendly, 2-D only): each chunk of KC=8 triangles
-is evaluated on a flat (KC*tile_h, tile_w) vector shape — triangle k owns
-rows [k*th, (k+1)*th).  Per-triangle coefficients broadcast via
-``pltpu.repeat`` of (KC, 1) columns; chunk reductions (min over the KC
-groups) are log2(KC) halving slices.  The kernel is single-pass: a chunk's
-winner key/colour conditionally replaces the accumulators (strict < keeps
-the packed-key tie-break).
-
-Row table layout (padded to ROW_W=32 floats):
-  0:3 A  3:6 B  6:9 C  9:12 z*inv_area  12 sign  13 inv_area
+Row table layout (padded to ROW_W=32 floats), *edge-major* so each edge's
+(x, y, const) coefficients are a contiguous (KCC, 1) column slice:
+  0:3  A0 B0 C0      (edge 0: e0 = A0*x + B0*y + C0)
+  3:6  A1 B1 C1
+  6:9  A2 B2 C2
+  9:12 z*inv_area per vertex
+  12   sign   13 inv_area
   14:14+3D vertex attributes (D=4 RGBA)
 NO_TRI bin slots resolve to a NaN row whose coverage test is vacuously
 false, so chunk remainders need no masking.
 
-Packed keys carry the BIN SLOT (position in the tile's bin list) rather
-than the global triangle id; slots ascend with triangle id (bins are
-sorted) so depth/tie ordering is identical, and ids are recovered with one
-(NT, K) lookup afterwards.
+Packed keys carry the BIN SLOT (position in the tile's bin list); slots
+ascend with triangle id (bins are sorted) so depth/tie ordering matches the
+global-id packing, and ids are recovered with one (NT, K) lookup after.
 """
 
 from __future__ import annotations
@@ -43,119 +43,147 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .raster3d import IDX_BITS, NO_TRI, SKY_KEY, Z_LEVELS
 
-KC = 8          # triangles per inner chunk (f32 sublane count)
+KCC = 32        # triangles per inner chunk
 ROW_W = 32      # padded row width
 D = 4           # RGBA
 
 
-def _make_kernel(tile_h: int, tile_w: int):
-    def kernel(scal_ref, rows_ref, keys_ref, rgba_ref):
+def _make_kernel(tile_h: int, tile_w: int, K: int):
+    P = tile_h * tile_w
+
+    def kernel(scal_ref, bins_ref, table_ref, keys_ref, rgba_ref, rows_s):
         i = pl.program_id(0)
         nt = pl.num_programs(0)
         count = scal_ref[i]
+        nchunks = (count + KCC - 1) // KCC
         ox = scal_ref[nt + i]
         oy = scal_ref[2 * nt + i]
 
-        X = (ox + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-             ).astype(jnp.float32)
-        Y = (oy + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-             ).astype(jnp.float32)
+        # flat pixel grid (1, P), broadcast once to chunk shape (KCC, P)
+        p_idx = lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        x1 = (ox + p_idx % tile_w).astype(jnp.float32)
+        y1 = (oy + p_idx // tile_w).astype(jnp.float32)
+        X = jnp.broadcast_to(x1, (KCC, P))
+        Y = jnp.broadcast_to(y1, (KCC, P))
+        slot0 = lax.broadcasted_iota(jnp.int32, (KCC, P), 0)
 
-        # one triangle per iteration: the row's 26 coefficients are scalar
-        # reads from the SMEM rows block (scalar->vector broadcasts are
-        # native; vector (1,1)->(th,tw) broadcasts are not implemented in
-        # Mosaic), all vector work on the (tile_h, tile_w) pixel tile.
-        # A new winner replaces the key and colour accumulators under a
-        # strict-< select, preserving the packed-key tie-break (lowest bin
-        # slot wins).  Accumulators are fori_loop carries so they live in
-        # vector registers across iterations instead of bouncing through
-        # VMEM scratch.
-        def body(k, carry):
-            kacc_v, r0, r1, r2, r3 = carry
+        def body(c, carry):
+            kacc, r0, r1, r2, r3 = carry
+            # gather this chunk's triangle rows from the VMEM-resident
+            # table (the XLA-side (NT, K, 32) pre-gather measured ~25
+            # ms/frame of pathological HBM gather traffic; KCC unrolled
+            # VMEM row copies are ~free)
+            for j in range(KCC):
+                tid = bins_ref[0, 0, c * KCC + j]
+                rows_s[pl.ds(j, 1), :] = table_ref[pl.ds(tid, 1), :]
+            rows = rows_s[:, :]                             # (KCC, 32)
 
-            def s(j):
-                return rows_ref[0, k, j]                    # scalar (SMEM)
+            def col(j):
+                return rows[:, j:j + 1]                     # (KCC, 1)
 
-            e0 = s(0) * X + s(3) * Y + s(6)                 # (th, tw)
-            e1 = s(1) * X + s(4) * Y + s(7)
-            e2 = s(2) * X + s(5) * Y + s(8)
-            sg = s(12)
+            e0 = col(0) * X + col(1) * Y + col(2)           # (KCC, P)
+            e1 = col(3) * X + col(4) * Y + col(5)
+            e2 = col(6) * X + col(7) * Y + col(8)
+            sg = col(12)
             cov = (e0 * sg >= 0.0) & (e1 * sg >= 0.0) & (e2 * sg >= 0.0)
-            zz = e0 * s(9) + e1 * s(10) + e2 * s(11)
+            zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
             cov &= (zz >= 0.0) & (zz <= 1.0)
             zq = jnp.clip(zz * Z_LEVELS, 0, Z_LEVELS).astype(jnp.int32)
-            key = jnp.where(cov, (zq << IDX_BITS) | k, jnp.int32(SKY_KEY))
+            ids = c * KCC + slot0
+            keys = jnp.where(cov, (zq << IDX_BITS) | ids,
+                             jnp.int32(SKY_KEY))
 
-            upd = key < kacc_v
-            ia = s(13)
+            cmin = jnp.min(keys, axis=0, keepdims=True)     # (1, P)
+            win = (keys == cmin) & cov                      # (KCC, P)
+            ia = col(13)
             w0 = e0 * ia
             w1 = e1 * ia
             w2 = e2 * ia
-            cs = []
+            upd = cmin < kacc
+            outs = []
             for d, rd in enumerate((r0, r1, r2, r3)):
-                cd = (w0 * s(14 + d) + w1 * s(14 + D + d)
-                      + w2 * s(14 + 2 * D + d))
-                cs.append(jnp.where(upd, cd, rd))
-            return (jnp.where(upd, key, kacc_v), cs[0], cs[1], cs[2], cs[3])
+                cd = (w0 * col(14 + d) + w1 * col(14 + D + d)
+                      + w2 * col(14 + 2 * D + d))
+                cd = jnp.where(win, cd, 0.0)
+                cdm = jnp.sum(cd, axis=0, keepdims=True)    # (1, P)
+                outs.append(jnp.where(upd, cdm, rd))
+            return (jnp.where(upd, cmin, kacc),
+                    outs[0], outs[1], outs[2], outs[3])
 
-        sky = jnp.full((tile_h, tile_w), SKY_KEY, jnp.int32)
-        zero = jnp.zeros((tile_h, tile_w), jnp.float32)
-        kacc_v, r0, r1, r2, r3 = lax.fori_loop(
-            0, count, body, (sky, zero, zero, zero, zero))
+        sky = jnp.full((1, P), SKY_KEY, jnp.int32)
+        zero = jnp.zeros((1, P), jnp.float32)
+        kacc, r0, r1, r2, r3 = lax.fori_loop(
+            0, nchunks, body, (sky, zero, zero, zero, zero))
 
-        keys_ref[0] = kacc_v
-        rgba_ref[0, 0] = r0
-        rgba_ref[0, 1] = r1
-        rgba_ref[0, 2] = r2
-        rgba_ref[0, 3] = r3
+        keys_ref[0] = kacc
+        rgba_ref[0] = jnp.concatenate([r0, r1, r2, r3], axis=0)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def raster_tiles(rows, scalars, nt: int, tile_h: int, tile_w: int,
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def raster_tiles(bins, table, scalars, nt: int, tile_h: int, tile_w: int,
                  interpret: bool = False):
-    """rows: (NT, K, 32) f32; scalars: (3*NT,) i32 = [counts | ox | oy].
-    Returns keys (NT, th, tw) i32, rgba (NT, D, th, tw) f32."""
-    K = rows.shape[1]
+    """bins: (NT, K) i32 (NO_TRI slots remapped to the table's NaN pad
+    row); table: (F_pad, 32) f32 edge-major rows, VMEM-resident constant;
+    scalars: (3*NT,) i32 = [counts | ox | oy].
+    Returns keys (NT, 1, P) i32, rgba (NT, D, P)."""
+    K = bins.shape[1]
+    P = tile_h * tile_w
+    bins = bins.reshape(nt, 1, K)   # (1, 1, K) blocks: trailing dims must
+    # be (8,128)-divisible or equal the array dims — (1, K) equals.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, K, ROW_W), lambda i, s: (i, 0, 0),
+            pl.BlockSpec((1, 1, K), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((table.shape[0], ROW_W), lambda i, s: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_h, tile_w), lambda i, s: (i, 0, 0)),
-            pl.BlockSpec((1, D, tile_h, tile_w), lambda i, s: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, D, P), lambda i, s: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((KCC, ROW_W), jnp.float32),
         ],
     )
     keys, rgba = pl.pallas_call(
-        _make_kernel(tile_h, tile_w),
+        _make_kernel(tile_h, tile_w, K),
         out_shape=(
-            jax.ShapeDtypeStruct((nt, tile_h, tile_w), jnp.int32),
-            jax.ShapeDtypeStruct((nt, D, tile_h, tile_w), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
+            jax.ShapeDtypeStruct((nt, D, P), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(scalars, rows)
+    )(scalars, bins, table)
     return keys, rgba
 
 
 def render_binned_pallas(bins, counts, A, B, C, zplane_scaled, inv_area,
                          sign, valid, attrs, bg, width: int, height: int,
-                         tile_w: int, tile_h: int, interpret: bool = False):
+                         tile_w: int, tile_h: int, interpret: bool = False,
+                         return_ids: bool = False):
     """Fused raster via the Pallas kernel + XLA pre/post.
 
-    Returns (keys (H, W) int32 with global triangle ids, rgba (H, W, 4))."""
+    Returns (keys (H, W) int32, rgba (H, W, 4)).  The key id bits are the
+    per-tile BIN SLOT unless ``return_ids`` — remapping slots to global
+    triangle ids costs a 2M-element gather (~10+ ms on TPU) and only the
+    depth bits are consumed by the render paths, so it's off by default."""
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
     nt, K = bins.shape
     F = A.shape[0]
     dtype = A.dtype
 
+    # edge-major table: [A0 B0 C0 | A1 B1 C1 | A2 B2 C2 | zsc | sign | ia
+    #                    | colors]
+    cols = [A[:, 0], B[:, 0], C[:, 0],
+            A[:, 1], B[:, 1], C[:, 1],
+            A[:, 2], B[:, 2], C[:, 2]]
+    table = jnp.stack(cols, axis=1)
     table = jnp.concatenate(
-        [A, B, C, zplane_scaled, sign[:, None], inv_area[:, None],
+        [table, zplane_scaled, sign[:, None], inv_area[:, None],
          attrs.reshape(F, 3 * D)], axis=1)
     table = jnp.where(valid[:, None], table, jnp.nan).astype(jnp.float32)
     table = jnp.concatenate(
@@ -163,24 +191,26 @@ def render_binned_pallas(bins, counts, A, B, C, zplane_scaled, inv_area,
         axis=0)
     table = jnp.pad(table, ((0, 0), (0, ROW_W - table.shape[1])))
     safe = jnp.where(bins == NO_TRI, F, bins)
-    rows = table[safe]                                   # (NT, K, 32)
 
     tids = jnp.arange(nt, dtype=jnp.int32)
     scalars = jnp.concatenate(
         [counts.astype(jnp.int32), tids % ntx * tile_w,
          tids // ntx * tile_h])
 
-    keys_local, rgba = raster_tiles(rows, scalars, nt, tile_h, tile_w,
-                                    interpret)
+    keys_local, rgba = raster_tiles(safe, table, scalars, nt, tile_h,
+                                    tile_w, interpret)
 
-    # remap bin-slot ids -> global triangle ids
     kl = keys_local.reshape(nt, -1)
-    slot = kl & ((1 << IDX_BITS) - 1)
-    hit = slot != NO_TRI
-    gid = jnp.take_along_axis(safe, jnp.minimum(slot, K - 1),
-                              axis=1).astype(jnp.int32)
-    keys_g = jnp.where(hit, (kl & ~((1 << IDX_BITS) - 1)) | gid,
-                       jnp.int32(SKY_KEY))
+    if return_ids:
+        # remap bin-slot ids -> global triangle ids (debug/tooling only)
+        slot = kl & ((1 << IDX_BITS) - 1)
+        hit = slot != NO_TRI
+        gid = jnp.take_along_axis(safe, jnp.minimum(slot, K - 1),
+                                  axis=1).astype(jnp.int32)
+        keys_g = jnp.where(hit, (kl & ~((1 << IDX_BITS) - 1)) | gid,
+                           jnp.int32(SKY_KEY))
+    else:
+        keys_g = kl
 
     keys2d = keys_g.reshape(nty, ntx, tile_h, tile_w)
     keys2d = jnp.moveaxis(keys2d, 2, 1).reshape(nty * tile_h,
