@@ -243,11 +243,14 @@ def bin_triangles(sxy, valid, width, height, tile_w: int, tile_h: int,
           & (tys[:, :, None] <= y1c[:, None, None]))    # (F, span_y, span_x)
     tid = tys[:, :, None] * ntx + txs[:, None, :]
     tid = jnp.where(ok, tid, nt)                        # sentinel tile
-    tri = jnp.broadcast_to(
-        jnp.arange(F, dtype=jnp.int32)[:, None, None], tid.shape)
-    tid_flat = tid.reshape(-1)
-    tri_flat = tri.reshape(-1)
-    tid_sorted, tri_sorted = lax.sort([tid_flat, tri_flat], num_keys=2)
+    # one packed int32 sort (tile major, triangle-id minor): F <= 2^IDX_BITS
+    # and nt << IDX_BITS must stay below 2^31 (nt <= 4095 tiles)
+    assert nt < (1 << (31 - IDX_BITS)), "too many tiles for packed binning"
+    tri = jnp.arange(F, dtype=jnp.int32)[:, None, None]
+    packed = (tid << IDX_BITS) | tri
+    packed_sorted = lax.sort(packed.reshape(-1))
+    tid_sorted = packed_sorted >> IDX_BITS
+    tri_sorted = packed_sorted & IDX_MASK
 
     starts = jnp.searchsorted(tid_sorted, jnp.arange(nt + 1, dtype=jnp.int32))
     counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
