@@ -250,12 +250,13 @@ class Renderer:
         ]
 
     # -- one frame (reference :865-1038) ----------------------------------
-    def draw_frame(self, chart: chart_mod.Chart, t: float,
-                   hit_effects: list) -> None:
+    def draw_static(self, chart: chart_mod.Chart) -> None:
+        """The per-frame-constant layers: clear, background texture, dim
+        fill, bottom gradient (reference :866-878).  These are identical
+        every frame, so the renderer composites them once and reuses the
+        result as each frame's initial framebuffer."""
         ctx, w, h = self.ctx, self.w, self.h
         ctx.set_color(0, 0, 0, 0)
-        chart.update(t)
-
         ctx.draw_texture(self.bg_tex, w / 2 - self.bg_tex.width / 2,
                          h / 2 - self.bg_tex.height / 2,
                          self.bg_tex.width, self.bg_tex.height)
@@ -268,9 +269,13 @@ class Renderer:
             (1.0, (0, 0, 0, 1.0)),
         ])
 
+    def draw_frame(self, chart: chart_mod.Chart, t: float,
+                   hit_effects: list, include_static: bool = True) -> None:
+        chart.update(t)
+        if include_static:
+            self.draw_static(chart)
         for line in chart.lines:
             self._draw_line(line, t, hit_effects)
-
         self._draw_hit_effects(t, hit_effects)
 
     def _draw_line(self, line, t, hit_effects):
@@ -493,6 +498,13 @@ class Renderer:
         self.load_assets(pkg)
 
         log.info("rendering frames %d..%d", start_frame, num_frames)
+        import jax.numpy as jnp
+
+        # composite the constant layers once; every frame starts from this
+        # snapshot instead of re-sampling the full-screen background
+        self.draw_static(chart)
+        static_fb = self.ctx.framebuffer()
+
         hit_effects: list = []
         frame_range = range(start_frame, num_frames)
         if progress:
@@ -504,16 +516,21 @@ class Renderer:
             # path the reference's mode=1 preparer never finished)
             from ..pipeline import BatchedVideoPipeline
             pipe = BatchedVideoPipeline(self.cap, self.w, self.h,
-                                        self.batch_frames)
+                                        self.batch_frames, fb0=static_fb)
             for i in frame_range:
-                self.draw_frame(chart, i / self.fps, hit_effects)
+                self.draw_frame(chart, i / self.fps, hit_effects,
+                                include_static=False)
                 k, p = self.ctx._cmds.snapshot()
                 pipe.submit(k, p)
                 self.ctx._cmds.clear()
             pipe.finish()
         else:
             for i in frame_range:
-                self.draw_frame(chart, i / self.fps, hit_effects)
+                # executor flushes donate the framebuffer, so each frame
+                # starts from a fresh device copy of the snapshot
+                self.ctx._fb = jnp.copy(static_fb)
+                self.draw_frame(chart, i / self.fps, hit_effects,
+                                include_static=False)
                 self.cap.put_renderer_context_frame(self.ctx)
         self.cap.release()
 

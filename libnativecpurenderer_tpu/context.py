@@ -39,6 +39,7 @@ class RenderContext:
         self._dtype = np.dtype(dtype or config.default_dtype())
         self._state = RenderState()
         self._cmds = C.CommandBuffer()
+        self._max_sampling_extent = 0.0
         self._store = atlas_mod.get_store(self._dtype)
         # Reference allocates uninitialised memory (cpp:15); we zero-init.
         self._fb = jnp.zeros((self.height, self.width, 4), self._dtype)
@@ -59,6 +60,24 @@ class RenderContext:
     def _record(self, kind, box, specific):
         self._cmds.append(kind, self._common(box), specific)
 
+    def _record_sampling(self, kind, box, specific):
+        """Record a sampling (texture/hit-effect) command, tracking its
+        AABB extent so flush can pick a patch bucket (ops/executor.py)."""
+        extent = max(box[1] - box[0], box[3] - box[2])
+        if extent > self._max_sampling_extent:
+            self._max_sampling_extent = extent
+        self._record(kind, box, specific)
+
+    def _patch_bucket(self) -> int:
+        if self._max_sampling_extent <= 0:
+            return 0  # no sampling commands: patch pass unnecessary
+        for b in (128, 256, 512, 1024):
+            if b > min(self.width, self.height):
+                break
+            if self._max_sampling_extent <= b:
+                return b
+        return 0  # extent exceeds buckets (e.g. background blit): full path
+
     def flush(self) -> None:
         """Execute all pending draw commands on device."""
         if self._cmds.n == 0:
@@ -70,8 +89,10 @@ class RenderContext:
         pp = np.zeros((b, C.PARAM_W), self._dtype)
         pp[: params.shape[0]] = params
         self._fb = executor._run(
-            self._fb, jnp.asarray(kp), jnp.asarray(pp), self._store.device)
+            self._fb, jnp.asarray(kp), jnp.asarray(pp), self._store.device,
+            self._patch_bucket())
         self._cmds.clear()
+        self._max_sampling_extent = 0.0
 
     # ------------------------------------------------------------------ #
     # transform / state (host-side, cpp:277-309, 386-492, 623-641)
@@ -197,17 +218,17 @@ class RenderContext:
                 box = (float(int(x)), x + w, float(int(y)), y + h)
             else:
                 box = self._aabb(x, y, w, h)
-            self._record(C.KIND_HITEFFECT, box, spec)
+            self._record_sampling(C.KIND_HITEFFECT, box, spec)
             return
         spec = self._tex_specific(tex, x, y, w, h)
         if fast:
             # Fast path (cpp:731-752): loop range [trunc(x), x+w), raw
             # pixel coords, no membership test.
             box = (float(int(x)), x + w, float(int(y)), y + h)
-            self._record(C.KIND_TEX_FAST, box, spec)
+            self._record_sampling(C.KIND_TEX_FAST, box, spec)
         else:
             box = self._aabb(x, y, w, h)
-            self._record(C.KIND_TEX, box, spec)
+            self._record_sampling(C.KIND_TEX, box, spec)
 
     def draw_splitted_texture(self, tex: Texture, x, y, width, height,
                               u_start, u_end, v_start, v_end):
@@ -216,7 +237,7 @@ class RenderContext:
         box = self._aabb(x, y, width, height)
         spec = self._tex_specific(tex, x, y, width, height)
         spec += [u_start, u_end, v_start, v_end]
-        self._record(C.KIND_SPLIT_TEX, box, spec)
+        self._record_sampling(C.KIND_SPLIT_TEX, box, spec)
 
     def set_pixel(self, x, y, r, g, b, a):
         self._record(C.KIND_SET_PIXEL, self._full_box(),

@@ -220,11 +220,35 @@ def _build_branches(X, Y, atlas_flat, atlas_w, dtype):
     ]
 
 
-def render_command_list(fb, kinds, params, atlas):
+# command kinds whose colour comes from atlas/noise sampling: these are the
+# gather-heavy branches that patch-bounded execution confines
+_SAMPLING_KINDS = (C.KIND_TEX, C.KIND_TEX_FAST, C.KIND_SPLIT_TEX,
+                   C.KIND_HITEFFECT)
+
+
+def _blend_into(fb, mask, rgba, store):
+    src_rgb = rgba[..., :3]
+    src_a = rgba[..., 3:4]
+    blended = fb[..., :3] * (1.0 - src_a) + src_rgb * src_a
+    new_rgb = jnp.where(store, src_rgb, blended)
+    new = jnp.concatenate([new_rgb, src_a], axis=-1)
+    return jnp.where(mask[..., None], new, fb)
+
+
+def render_command_list(fb, kinds, params, atlas, patch: int = 0):
     """Pure function: fold a command list into the framebuffer.
 
     fb: (H, W, 4) float; kinds: (N,) int32; params: (N, PARAM_W) fb.dtype;
     atlas: (AH, AW, 4) fb.dtype.
+
+    ``patch`` > 0 enables patch-bounded execution: sampling commands
+    (texture blits, hit effects) evaluate on a (patch, patch) window
+    positioned at their AABB instead of the full frame — a TPU random
+    gather runs at ~7-9 GB/s, so confining the 2M-pixel atlas gathers to
+    the command's actual extent is a ~(H*W/patch^2)x win.  Arithmetic
+    primitives stay full-frame (they are gather-free).  Callers must
+    guarantee every sampling command's AABB fits in ``patch`` pixels
+    (context.flush buckets accordingly).
     """
     H, W = fb.shape[0], fb.shape[1]
     dtype = fb.dtype
@@ -233,24 +257,66 @@ def render_command_list(fb, kinds, params, atlas):
     atlas_flat = atlas.reshape(-1, 4)
     branches = _build_branches(X, Y, atlas_flat, atlas.shape[1], dtype)
 
+    if not patch:
+        def step(fb, xs):
+            kind, p = xs
+            mask, rgba, store = lax.switch(kind, branches, p)
+            return _blend_into(fb, mask, rgba, store), None
+
+        fb, _ = lax.scan(step, fb, (kinds, params))
+        return fb
+
+    # patch-bounded executor
+    noop_full = branches[C.KIND_NOOP]
+    full_branches = [
+        noop_full if k in _SAMPLING_KINDS else branches[k]
+        for k in range(C.N_KINDS)
+    ]
+
+    is_sampling = jnp.isin(kinds, jnp.asarray(_SAMPLING_KINDS,
+                                              kinds.dtype))
+
+    def full_pass(fb, kind, p):
+        mask, rgba, store = lax.switch(kind, full_branches, p)
+        return _blend_into(fb, mask, rgba, store)
+
+    def patch_pass(fb, kind, p):
+        # sampling command confined to a patch at its AABB origin
+        px0 = jnp.clip(p[6].astype(jnp.int32), 0, W - patch)
+        py0 = jnp.clip(p[8].astype(jnp.int32), 0, H - patch)
+        Xp = px0.astype(dtype) + lax.broadcasted_iota(dtype,
+                                                      (patch, patch), 1)
+        Yp = py0.astype(dtype) + lax.broadcasted_iota(dtype,
+                                                      (patch, patch), 0)
+        pbranches = _build_branches(Xp, Yp, atlas_flat, atlas.shape[1],
+                                    dtype)
+        noop_p = pbranches[C.KIND_NOOP]
+        patch_branches = [
+            pbranches[k] if k in _SAMPLING_KINDS else noop_p
+            for k in range(C.N_KINDS)
+        ]
+        maskp, rgbap, storep = lax.switch(kind, patch_branches, p)
+        old = lax.dynamic_slice(fb, (py0, px0, jnp.int32(0)),
+                                (patch, patch, 4))
+        newp = _blend_into(old, maskp, rgbap, storep)
+        return lax.dynamic_update_slice(fb, newp,
+                                        (py0, px0, jnp.int32(0)))
+
     def step(fb, xs):
-        kind, p = xs
-        mask, rgba, store = lax.switch(kind, branches, p)
-        src_rgb = rgba[..., :3]
-        src_a = rgba[..., 3:4]
-        blended = fb[..., :3] * (1.0 - src_a) + src_rgb * src_a
-        new_rgb = jnp.where(store, src_rgb, blended)
-        new = jnp.concatenate([new_rgb, src_a], axis=-1)
-        fb = jnp.where(mask[..., None], new, fb)
+        kind, p, samp = xs
+        fb = lax.cond(samp,
+                      lambda f: patch_pass(f, kind, p),
+                      lambda f: full_pass(f, kind, p),
+                      fb)
         return fb, None
 
-    fb, _ = lax.scan(step, fb, (kinds, params))
+    fb, _ = lax.scan(step, fb, (kinds, params, is_sampling))
     return fb
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _run(fb, kinds, params, atlas):
-    return render_command_list(fb, kinds, params, atlas)
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+def _run(fb, kinds, params, atlas, patch: int = 0):
+    return render_command_list(fb, kinds, params, atlas, patch)
 
 
 def execute(fb, kinds_np, params_np, atlas):

@@ -10,6 +10,7 @@ to u8 on device, and hand frames to the encoder as one host transfer.
 
 from __future__ import annotations
 
+import functools
 import typing
 
 import jax
@@ -21,13 +22,23 @@ from .ops import commands as C
 from .ops import executor
 
 
-@jax.jit
-def _render_batch(fb0, kinds, params, atlas):
-    def one(k, p):
-        return executor.render_command_list(fb0, k, p, atlas)
-    fbs = jax.vmap(one)(kinds, params)
-    u8 = (fbs * 255.0).astype(jnp.int32).astype(jnp.uint8)
-    return u8
+@functools.partial(jax.jit, static_argnums=(4,))
+def _render_one(fb0, kinds, params, atlas, patch: int = 0):
+    fb = executor.render_command_list(fb0, kinds, params, atlas, patch)
+    return (fb * 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _render_batch(fb0, kinds, params, atlas, patch: int = 0):
+    """Render a (B, ...) command batch to (B, H, W, 4) u8.
+
+    Frames are dispatched as individual async jit calls and stacked:
+    wrapping the command scan in lax.map/vmap at 1080p reliably crashed
+    the TPU worker (Mosaic/XLA loop nesting fault), while per-frame
+    dispatches pipeline fine — the batch still amortises the host
+    transfer and keeps the dispatch queue full."""
+    outs = [_render_one(fb0, kinds[i], params[i], atlas, patch)
+            for i in range(kinds.shape[0])]
+    return jnp.stack(outs)
 
 
 class BatchedVideoPipeline:
@@ -42,7 +53,7 @@ class BatchedVideoPipeline:
     """
 
     def __init__(self, cap, width: int, height: int, batch: int = 16,
-                 dtype=None):
+                 dtype=None, fb0=None):
         from . import config
         self.cap = cap
         self.width = width
@@ -51,7 +62,11 @@ class BatchedVideoPipeline:
         self._dtype = np.dtype(dtype or config.default_dtype())
         self._store = atlas_mod.get_store(self._dtype)
         self._pending: list = []
-        self._fb0 = jnp.zeros((height, width, 4), self._dtype)
+        # fb0: shared initial framebuffer for every frame — e.g. a
+        # pre-composited static background (milrenderer's bg + dim +
+        # gradient layers are constant per frame)
+        self._fb0 = (jnp.zeros((height, width, 4), self._dtype)
+                     if fb0 is None else jnp.asarray(fb0, self._dtype))
         self._inflight = None  # overlap device batch N with encode N-1
 
     def submit(self, kinds: np.ndarray, params: np.ndarray) -> None:
@@ -72,8 +87,25 @@ class BatchedVideoPipeline:
             params[i, : p.shape[0]] = p
         self._pending.clear()
 
+        # patch bucket from the sampling commands' AABB extents (see
+        # ops/executor.py): confine atlas gathers to command footprints
+        from .ops.commands import (KIND_HITEFFECT, KIND_SPLIT_TEX,
+                                   KIND_TEX, KIND_TEX_FAST)
+        samp = np.isin(kinds, (KIND_TEX, KIND_TEX_FAST, KIND_SPLIT_TEX,
+                               KIND_HITEFFECT))
+        patch = 0
+        if samp.any():
+            ext = np.maximum(params[..., 7] - params[..., 6],
+                             params[..., 9] - params[..., 8])
+            ext = float(ext[samp].max())
+            for b in (128, 256, 512, 1024):
+                if b > min(self.width, self.height):
+                    break
+                if ext <= b:
+                    patch = b
+                    break
         u8 = _render_batch(self._fb0, jnp.asarray(kinds),
-                           jnp.asarray(params), self._store.device)
+                           jnp.asarray(params), self._store.device, patch)
         self._drain()
         # keep the device->host copy async until the next flush
         self._inflight = (u8, n_frames)

@@ -1,0 +1,72 @@
+"""Patch-bounded executor vs full-frame executor (must be identical)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import libnativecpurenderer_tpu as R
+from libnativecpurenderer_tpu.ops import executor
+
+
+def _scene(ctx, tex, het):
+    ctx.set_color(0.1, 0.1, 0.1, 1.0)
+    ctx.draw_rect(10, 10, 100, 80, 0.2, 0.5, 0.9, 0.7)
+    ctx.save_state()
+    ctx.translate(60.0, 70.0)
+    ctx.rotate(0.4)
+    ctx.scale(1.5, 1.5)   # general (non-fast) texture path
+    ctx.draw_texture(tex, -20, -10, 40, 20)
+    ctx.draw_splitted_texture(tex, 5, 5, 30, 30, 0.2, 0.8, 0.1, 0.9)
+    ctx.restore_state()
+    ctx.draw_texture(tex, 100.5, 30.5, 50, 40)  # fast path near edge
+    ctx.draw_texture(tex, 170, 120, 60, 60)     # clipped at border
+    ctx.draw_texture(het, 20, 90, 40, 40)       # procedural hit effect
+    ctx.draw_circle(150, 100, 30, 1, 0.2, 0.2, 0.5)
+
+
+def test_patch_equals_full():
+    W, H = 192, 144
+    rng = np.random.default_rng(0)
+    arr = rng.random((16, 16, 4))
+    tex = R.Texture(16, 16, True, arr.astype(np.float64).tobytes(),
+                    is_uint8=False)
+    het = R.HitEffectTexture(tex, 0.3, 0.5, 0.9, 0.8, 0.7)
+
+    ctx = R.RenderContext(W, H, True)
+    _scene(ctx, tex, het)
+    assert ctx._patch_bucket() == 128  # sampling extents fit the bucket
+    via_patch = ctx.numpy_buffer()
+
+    ctx2 = R.RenderContext(W, H, True)
+    _scene(ctx2, tex, het)
+    # force the legacy full-frame path
+    ctx2._max_sampling_extent = 1e9
+    assert ctx2._patch_bucket() == 0
+    via_full = ctx2.numpy_buffer()
+
+    np.testing.assert_array_equal(via_patch, via_full)
+
+
+def test_patch_kernel_direct():
+    """render_command_list(patch=k) == render_command_list(patch=0)."""
+    W, H = 192, 144
+    rng = np.random.default_rng(1)
+    arr = rng.random((8, 8, 4))
+    tex = R.Texture(8, 8, True, arr.astype(np.float64).tobytes(),
+                    is_uint8=False)
+    ctx = R.RenderContext(W, H, True)
+    ctx.set_color(0, 0, 0, 1)
+    for i in range(10):
+        ctx.save_state()
+        ctx.translate(15 + i * 17.3, 20 + (i * 31) % 90)
+        ctx.rotate(0.2 * i)
+        ctx.draw_texture(tex, -10, -10, 25, 25)
+        ctx.restore_state()
+    kinds, params = ctx._cmds.snapshot()
+    fb0 = jnp.zeros((H, W, 4), jnp.float64)
+    kp = jnp.asarray(np.ascontiguousarray(kinds))
+    pp = jnp.asarray(np.ascontiguousarray(params))
+    atlas = ctx._store.device
+    out_full = executor.render_command_list(fb0, kp, pp, atlas, 0)
+    out_patch = executor.render_command_list(fb0, kp, pp, atlas, 128)
+    np.testing.assert_array_equal(np.asarray(out_patch),
+                                  np.asarray(out_full))
