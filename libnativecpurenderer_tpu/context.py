@@ -16,7 +16,6 @@ frame presentation).
 from __future__ import annotations
 
 import math
-import typing
 
 import jax.numpy as jnp
 import numpy as np

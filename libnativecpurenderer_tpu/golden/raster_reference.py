@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.raster3d import IDX_BITS, IDX_MASK, NO_TRI, Z_LEVELS
+from ..ops.raster3d import IDX_BITS, NO_TRI, Z_LEVELS
 
 
 def project(verts, mvp, width, height):

@@ -29,7 +29,6 @@ Alpha-blended geometry (BASELINE config 2) uses painter's order with z-test
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ to u8 on device, and hand frames to the encoder as one host transfer.
 from __future__ import annotations
 
 import functools
-import typing
 
 import jax
 import jax.numpy as jnp
