@@ -66,7 +66,8 @@ def setup_triangles(verts, faces, mvp, width: int, height: int):
     fz = sz[faces]
     valid = jnp.all(w_ok[faces], axis=1)
     sxy = jnp.stack([fsx, fsy], axis=-1)     # (F, 3, 2)
-    return {"sxy": sxy, "z": fz, "valid": valid}
+    inv_w = (1.0 / jnp.where(w_ok[:, None], w, 1.0))[faces][..., 0]  # (F,3)
+    return {"sxy": sxy, "z": fz, "valid": valid, "inv_w": inv_w}
 
 
 def edge_coeffs(sxy, z, valid):
@@ -409,11 +410,17 @@ def raster_binned_fused(bins, A, B, C, zplane_scaled, inv_area, sign, valid,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12))
+                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13))
 def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 64, bg=None, span_x: int = 8,
-                          span_y: int = 8, batch_tiles: int = 128):
+                          span_y: int = 8, batch_tiles: int = 128,
+                          perspective_correct: bool = False):
+    """Binned Gouraud render.  ``perspective_correct`` interpolates vertex
+    attributes hyperbolically (attr/w and 1/w planes, divided per pixel);
+    screen-affine interpolation is the default, matching classic software
+    rasterizers.  Depth is NDC z either way (z/w already interpolates
+    linearly in screen space)."""
     dtype = verts.dtype
     if mvp is None:
         mvp = jnp.eye(4, dtype=dtype)
@@ -427,9 +434,20 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
                                            tile_w, tile_h, capacity,
                                            span_x, span_y)
     attrs = vtx_colors[faces]
+    bg_eff = bg
+    if perspective_correct:
+        iw = tri["inv_w"][..., None]                       # (F, 3, 1)
+        attrs = jnp.concatenate([attrs * iw, iw], axis=-1)  # (F, 3, D+1)
+        bg_eff = jnp.concatenate([bg, jnp.ones(1, dtype)])
     keys, rgba = raster_binned_fused(bins, A, B, C, zsc, inv_area, sign,
-                                     valid, attrs, bg, width, height,
+                                     valid, attrs, bg_eff, width, height,
                                      tile_w, tile_h, batch_tiles)
+    if perspective_correct:
+        denom = rgba[..., -1:]
+        hit = keys != SKY_KEY
+        rgba = jnp.where(hit[..., None],
+                         rgba[..., :-1] / jnp.where(denom != 0.0, denom, 1.0),
+                         rgba[..., :-1])
     zq = (keys >> IDX_BITS).astype(dtype) / Z_LEVELS
     return rgba, zq, overflow
 
