@@ -319,20 +319,6 @@ def _run(fb, kinds, params, atlas, patch: int = 0):
     return render_command_list(fb, kinds, params, atlas, patch)
 
 
-def execute(fb, kinds_np, params_np, atlas):
-    """Pad the host command arrays to a bucket size and run on device."""
-    n = kinds_np.shape[0]
-    if n == 0:
-        return fb
-    b = C.bucket_for(n)
-    dtype = fb.dtype
-    kinds = jnp.zeros(b, jnp.int32).at[:n].set(jnp.asarray(kinds_np))
-    params = (
-        jnp.zeros((b, C.PARAM_W), dtype)
-        .at[:n].set(jnp.asarray(params_np, dtype=dtype))
-    )
-    return _run(fb, kinds, params, atlas)
-
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def quantize_u8(fb, channels: int = 4):

@@ -263,67 +263,6 @@ def bin_triangles(sxy, valid, width, height, tile_w: int, tile_h: int,
     return bins, counts, overflow
 
 
-def visibility_binned(bins, A, B, C, zplane_scaled, sign, valid,
-                      width: int, height: int, tile_w: int, tile_h: int,
-                      batch_tiles: int = 0):
-    """Per-tile visibility: each tile min-reduces keys over its K residents.
-
-    One fused-table gather per bin entry (invalid triangles and NO_TRI
-    padding resolve to a NaN row, whose coverage test is vacuously false),
-    then a dense (tiles, K, P) elementwise+min that XLA fuses on the VPU.
-    Returns (H, W) int32 keys.
-    """
-    ntx = (width + tile_w - 1) // tile_w
-    nty = (height + tile_h - 1) // tile_h
-    nt, K = bins.shape
-    dtype = A.dtype
-    F = A.shape[0]
-
-    # fused table: [A3 | B3 | C3 | zsc3 | sign]; invalid rows and the pad
-    # row (index F, used for NO_TRI bin slots) are NaN -> coverage false
-    table = jnp.concatenate(
-        [A, B, C, zplane_scaled, sign[:, None]], axis=1)        # (F, 13)
-    table = jnp.where(valid[:, None], table, jnp.nan).astype(dtype)
-    table = jnp.concatenate(
-        [table, jnp.full((1, 13), jnp.nan, dtype)], axis=0)     # (F+1, 13)
-    safe = jnp.where(bins == NO_TRI, F, bins)                   # (NT, K)
-    rows = table[safe]                                          # (NT, K, 13)
-    ids = safe.astype(jnp.int32)
-
-    px = lax.broadcasted_iota(dtype, (tile_h, tile_w), 1).reshape(-1)
-    py = lax.broadcasted_iota(dtype, (tile_h, tile_w), 0).reshape(-1)
-    ox = (jnp.arange(nt, dtype=jnp.int32) % ntx * tile_w).astype(dtype)
-    oy = (jnp.arange(nt, dtype=jnp.int32) // ntx * tile_h).astype(dtype)
-    X = ox[:, None] + px[None, :]                               # (NT, P)
-    Y = oy[:, None] + py[None, :]
-
-    def tile_fn(rows, ids, x, y):
-        # one tile: rows (K, 13), ids (K,), x/y (P,)
-        r = rows[:, :, None]                                     # (K,13,1)
-        xb = x[None, :]
-        yb = y[None, :]
-        e0 = r[:, 0] * xb + r[:, 3] * yb + r[:, 6]               # (K,P)
-        e1 = r[:, 1] * xb + r[:, 4] * yb + r[:, 7]
-        e2 = r[:, 2] * xb + r[:, 5] * yb + r[:, 8]
-        sg = r[:, 12]
-        covered = ((e0 * sg >= 0.0) & (e1 * sg >= 0.0) & (e2 * sg >= 0.0))
-        zz = e0 * r[:, 9] + e1 * r[:, 10] + e2 * r[:, 11]
-        covered &= (zz >= 0.0) & (zz <= 1.0)
-        zq = jnp.clip(zz * Z_LEVELS, 0, Z_LEVELS).astype(jnp.int32)
-        keys = jnp.where(covered, (zq << IDX_BITS) | ids[:, None],
-                         jnp.int32(SKY_KEY))
-        return jnp.min(keys, axis=0)                             # (P,)
-
-    if batch_tiles and batch_tiles < nt:
-        keys = lax.map(lambda a: tile_fn(*a), (rows, ids, X, Y),
-                       batch_size=batch_tiles)
-    else:
-        keys = jax.vmap(tile_fn)(rows, ids, X, Y)
-    keys = keys.reshape(nty, ntx, tile_h, tile_w)
-    keys = jnp.moveaxis(keys, 2, 1).reshape(nty * tile_h, ntx * tile_w)
-    return keys[:height, :width]
-
-
 def raster_binned_fused(bins, A, B, C, zplane_scaled, inv_area, sign, valid,
                         attrs, bg, width: int, height: int,
                         tile_w: int, tile_h: int, batch_tiles: int = 128):
