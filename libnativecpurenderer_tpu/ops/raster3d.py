@@ -421,6 +421,57 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
     return rgba, zq, overflow
 
 
+@functools.partial(jax.jit,
+                   static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14))
+def render_textured_binned(verts, faces, uvs, tex, width: int, height: int,
+                           mvp=None, tile_w: int = 128, tile_h: int = 16,
+                           capacity: int = 64, bg=None, span_x: int = 8,
+                           span_y: int = 8, batch_tiles: int = 128,
+                           perspective_correct: bool = True):
+    """Binned z-buffered render with per-pixel texture sampling.
+
+    UVs ride the fused pass as interpolated attributes; the winner's (u, v)
+    then drives ONE nearest-neighbour texel fetch per pixel from ``tex``
+    (th_t, tw_t, 4).  That final fetch is a per-pixel gather — TPU random
+    gathers run ~7-9 GB/s, so this path costs ~5-15 ms/frame at 1080p on
+    top of the Gouraud pipeline; see ROADMAP.md for the planned
+    footprint-bounded kernel variant.
+    """
+    dtype = verts.dtype
+    if mvp is None:
+        mvp = jnp.eye(4, dtype=dtype)
+    if bg is None:
+        bg = jnp.zeros(4, dtype)
+    tri = setup_triangles(verts, faces, mvp, width, height)
+    A, B, C, inv_area, sign, valid = edge_coeffs(tri["sxy"], tri["z"],
+                                                 tri["valid"])
+    zsc = tri["z"] * inv_area[:, None]
+    bins, counts, overflow = bin_triangles(tri["sxy"], valid, width, height,
+                                           tile_w, tile_h, capacity,
+                                           span_x, span_y)
+    attrs = uvs[faces]                                     # (F, 3, 2)
+    if perspective_correct:
+        iw = tri["inv_w"][..., None]
+        attrs = jnp.concatenate([attrs * iw, iw], axis=-1)  # (F, 3, 3)
+        bg_eff = jnp.zeros(3, dtype)
+    else:
+        bg_eff = jnp.zeros(2, dtype)
+    keys, uvq = raster_binned_fused(bins, A, B, C, zsc, inv_area, sign,
+                                    valid, attrs, bg_eff, width, height,
+                                    tile_w, tile_h, batch_tiles)
+    hit = keys != SKY_KEY
+    if perspective_correct:
+        denom = uvq[..., 2:3]
+        uvq = uvq[..., :2] / jnp.where(denom != 0.0, denom, 1.0)
+    th_t, tw_t = tex.shape[0], tex.shape[1]
+    ui = jnp.clip((uvq[..., 0] * tw_t).astype(jnp.int32), 0, tw_t - 1)
+    vi = jnp.clip((uvq[..., 1] * th_t).astype(jnp.int32), 0, th_t - 1)
+    texel = jnp.take(tex.reshape(-1, 4), vi * tw_t + ui, axis=0)
+    rgba = jnp.where(hit[..., None], texel, bg[None, None, :])
+    zq = (keys >> IDX_BITS).astype(dtype) / Z_LEVELS
+    return rgba, zq, overflow
+
+
 # ---------------------------------------------------------------------------
 # Alpha-blended pass (BASELINE config 2: textured quads, blend + z-test)
 # ---------------------------------------------------------------------------
