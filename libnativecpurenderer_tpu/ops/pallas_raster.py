@@ -75,7 +75,7 @@ def _make_kernel(tile_h: int, tile_w: int, K: int):
             # VMEM row copies are ~free)
             for j in range(KCC):
                 tid = bins_ref[0, 0, c * KCC + j]
-                rows_s[pl.ds(j, 1), :] = table_ref[pl.ds(tid, 1), :]
+                rows_s[pl.ds(j, 1), :] = table_ref[0, pl.ds(tid, 1), :]
             rows = rows_s[:, :]                             # (KCC, 32)
 
             def col(j):
@@ -121,24 +121,34 @@ def _make_kernel(tile_h: int, tile_w: int, K: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def raster_tiles(bins, table, scalars, nt: int, tile_h: int, tile_w: int,
-                 interpret: bool = False):
+                 interpret: bool = False, tiles_per_frame: int = 0):
     """bins: (NT, K) i32 (NO_TRI slots remapped to the table's NaN pad
-    row); table: (F_pad, 32) f32 edge-major rows, VMEM-resident constant;
+    row); table: edge-major rows, VMEM-resident — (F_pad, 32) single table
+    or (B, F_pad, 32) one per frame, selected by grid position when
+    ``tiles_per_frame`` is set (re-DMA'd only at frame boundaries);
     scalars: (3*NT,) i32 = [counts | ox | oy].
-    Returns keys (NT, 1, P) i32, rgba (NT, D, P)."""
+    Returns keys (NT, 1, P) i32, rgba (NT, D, P).
+
+    Batching B frames into one launch (NT = B * tiles_per_frame) amortises
+    the per-dispatch overheads that dominate at single-frame granularity.
+    """
     K = bins.shape[1]
     P = tile_h * tile_w
     bins = bins.reshape(nt, 1, K)   # (1, 1, K) blocks: trailing dims must
     # be (8,128)-divisible or equal the array dims — (1, K) equals.
+    if table.ndim == 2:
+        table = table[None]
+    tpf = tiles_per_frame or nt
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, 1, K), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((table.shape[0], ROW_W), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, table.shape[1], ROW_W),
+                         lambda i, s: (i // tpf, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)),
@@ -160,6 +170,77 @@ def raster_tiles(bins, table, scalars, nt: int, tile_h: int, tile_w: int,
     return keys, rgba
 
 
+def build_table(A, B, C, zplane_scaled, inv_area, sign, valid, attrs):
+    """Edge-major triangle row table for the kernel:
+    [A0 B0 C0 | A1 B1 C1 | A2 B2 C2 | zsc | sign | ia | attrs], NaN rows
+    for invalid triangles plus one NaN pad row (index F) for NO_TRI bin
+    slots, padded to ROW_W floats."""
+    F = A.shape[0]
+    cols = [A[:, 0], B[:, 0], C[:, 0],
+            A[:, 1], B[:, 1], C[:, 1],
+            A[:, 2], B[:, 2], C[:, 2]]
+    table = jnp.stack(cols, axis=1)
+    table = jnp.concatenate(
+        [table, zplane_scaled, sign[:, None], inv_area[:, None],
+         attrs.reshape(F, 3 * D)], axis=1)
+    table = jnp.where(valid[:, None], table, jnp.nan).astype(jnp.float32)
+    table = jnp.concatenate(
+        [table, jnp.full((1, table.shape[1]), jnp.nan, jnp.float32)],
+        axis=0)
+    return jnp.pad(table, ((0, 0), (0, ROW_W - table.shape[1])))
+
+
+def _detile(keys_flat, rgba_flat, nty, ntx, tile_h, tile_w, height, width,
+            bg, dtype):
+    """(NT, P) keys + (NT, D, P) rgba -> (H, W) + (H, W, D) with bg fill."""
+    keys2d = keys_flat.reshape(nty, ntx, tile_h, tile_w)
+    keys2d = jnp.moveaxis(keys2d, 2, 1).reshape(nty * tile_h, ntx * tile_w)
+    keys2d = keys2d[:height, :width]
+    Dn = rgba_flat.shape[1]
+    rgba2d = rgba_flat.reshape(nty, ntx, Dn, tile_h, tile_w)
+    rgba2d = jnp.transpose(rgba2d, (0, 3, 1, 4, 2))
+    rgba2d = rgba2d.reshape(nty * tile_h, ntx * tile_w, Dn)
+    rgba2d = rgba2d[:height, :width]
+    bgv = jnp.asarray(bg, dtype)
+    sky = keys2d == SKY_KEY
+    rgba2d = jnp.where(sky[..., None], bgv[None, None, :],
+                       rgba2d.astype(dtype))
+    return keys2d, rgba2d
+
+
+def render_binned_pallas_batch(bins, counts, tables, bg,
+                               width: int, height: int,
+                               tile_w: int, tile_h: int,
+                               interpret: bool = False):
+    """Batched fused raster: B frames in ONE Pallas launch.
+
+    bins: (B, NT, K) with NO_TRI already remapped to the pad row; counts:
+    (B, NT); tables: (B, F+1, ROW_W) from build_table (vmapped).  The grid
+    is B*NT tiles; each frame's table block is selected by grid position
+    (one extra 1.3 MB DMA per frame boundary).  Per-dispatch/per-stage
+    launch overheads amortise across the batch.
+    Returns keys (B, H, W) i32, rgba (B, H, W, D)."""
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    Bn, nt, K = bins.shape
+    dtype = tables.dtype
+
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    ox = jnp.tile(tids % ntx * tile_w, Bn)
+    oy = jnp.tile(tids // ntx * tile_h, Bn)
+    scalars = jnp.concatenate(
+        [counts.reshape(-1).astype(jnp.int32), ox, oy])
+
+    keys_l, rgba = raster_tiles(bins.reshape(Bn * nt, K), tables, scalars,
+                                Bn * nt, tile_h, tile_w, interpret, nt)
+    keys_l = keys_l.reshape(Bn, nt, -1)
+    rgba = rgba.reshape(Bn, nt, D, -1)
+    outs = jax.vmap(
+        lambda k, r: _detile(k, r, nty, ntx, tile_h, tile_w, height,
+                             width, bg, dtype))(keys_l, rgba)
+    return outs
+
+
 def render_binned_pallas(bins, counts, A, B, C, zplane_scaled, inv_area,
                          sign, valid, attrs, bg, width: int, height: int,
                          tile_w: int, tile_h: int, interpret: bool = False,
@@ -176,20 +257,8 @@ def render_binned_pallas(bins, counts, A, B, C, zplane_scaled, inv_area,
     F = A.shape[0]
     dtype = A.dtype
 
-    # edge-major table: [A0 B0 C0 | A1 B1 C1 | A2 B2 C2 | zsc | sign | ia
-    #                    | colors]
-    cols = [A[:, 0], B[:, 0], C[:, 0],
-            A[:, 1], B[:, 1], C[:, 1],
-            A[:, 2], B[:, 2], C[:, 2]]
-    table = jnp.stack(cols, axis=1)
-    table = jnp.concatenate(
-        [table, zplane_scaled, sign[:, None], inv_area[:, None],
-         attrs.reshape(F, 3 * D)], axis=1)
-    table = jnp.where(valid[:, None], table, jnp.nan).astype(jnp.float32)
-    table = jnp.concatenate(
-        [table, jnp.full((1, table.shape[1]), jnp.nan, jnp.float32)],
-        axis=0)
-    table = jnp.pad(table, ((0, 0), (0, ROW_W - table.shape[1])))
+    table = build_table(A, B, C, zplane_scaled, inv_area, sign, valid,
+                        attrs)
     safe = jnp.where(bins == NO_TRI, F, bins)
 
     tids = jnp.arange(nt, dtype=jnp.int32)

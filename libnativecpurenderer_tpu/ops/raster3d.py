@@ -422,6 +422,45 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
 
 
 @functools.partial(jax.jit,
+                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12))
+def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
+                                height: int, mvps=None, tile_w: int = 128,
+                                tile_h: int = 32, capacity: int = 512,
+                                bg=None, span_x: int = 8, span_y: int = 4,
+                                interpret: bool = False):
+    """Batched Pallas render: B frames (mvps (B, 4, 4)) in one kernel
+    launch.  Per-frame prep (projection, edge setup, binning, tables) is
+    vmapped; tiles of all frames share one grid.  Amortises the
+    per-dispatch overheads that cap single-frame throughput.
+    Returns (rgba (B, H, W, 4), z (B, H, W), overflow)."""
+    from . import pallas_raster
+    dtype = verts.dtype
+    if bg is None:
+        bg = jnp.zeros(4, dtype)
+    F = faces.shape[0]
+    attrs = vtx_colors[faces]
+
+    def prep(mvp):
+        tri = setup_triangles(verts, faces, mvp, width, height)
+        A, B, C, ia, sg, vl = edge_coeffs(tri["sxy"], tri["z"],
+                                          tri["valid"])
+        zsc = tri["z"] * ia[:, None]
+        bins, counts, ovf = bin_triangles(tri["sxy"], vl, width, height,
+                                          tile_w, tile_h, capacity,
+                                          span_x, span_y)
+        table = pallas_raster.build_table(A, B, C, zsc, ia, sg, vl, attrs)
+        safe = jnp.where(bins == NO_TRI, F, bins)
+        return safe, counts, table, ovf
+
+    safes, counts, tables, ovfs = jax.vmap(prep)(mvps)
+    keys, rgba = pallas_raster.render_binned_pallas_batch(
+        safes, counts, tables, bg, width, height, tile_w, tile_h,
+        interpret)
+    zq = (keys >> IDX_BITS).astype(dtype) / Z_LEVELS
+    return rgba, zq, jnp.any(ovfs)
+
+
+@functools.partial(jax.jit,
                    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14))
 def render_textured_binned(verts, faces, uvs, tex, width: int, height: int,
                            mvp=None, tile_w: int = 128, tile_h: int = 16,
