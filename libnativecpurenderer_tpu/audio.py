@@ -26,6 +26,10 @@ from .ops import audio_ops
 class AudioClip:
     def __init__(self, sample_rate: int, channels: int,
                  data: typing.Iterable[float]):
+        # data is interleaved samples; num_frames = len(data) / channels.
+        # (The reference binding passes len(data) as numFrames,
+        # pybind:510 — a channels-times over-count that makes the C++ side
+        # read past the buffer; defect not replicated.)
         arr = np.asarray(list(data) if not isinstance(data, np.ndarray) else data,
                          dtype=np.float64)
         num_frames = arr.size // channels

@@ -48,14 +48,14 @@ ROW_W = 32      # padded row width
 D = 4           # RGBA
 
 
-def _make_kernel(tile_h: int, tile_w: int, K: int):
+def _make_kernel(tile_h: int, tile_w: int, K: int, kcc: int = KCC):
     P = tile_h * tile_w
 
     def kernel(scal_ref, bins_ref, table_ref, keys_ref, rgba_ref, rows_s):
         i = pl.program_id(0)
         nt = pl.num_programs(0)
         count = scal_ref[i]
-        nchunks = (count + KCC - 1) // KCC
+        nchunks = (count + kcc - 1) // kcc
         ox = scal_ref[nt + i]
         oy = scal_ref[2 * nt + i]
 
@@ -63,9 +63,9 @@ def _make_kernel(tile_h: int, tile_w: int, K: int):
         p_idx = lax.broadcasted_iota(jnp.int32, (1, P), 1)
         x1 = (ox + p_idx % tile_w).astype(jnp.float32)
         y1 = (oy + p_idx // tile_w).astype(jnp.float32)
-        X = jnp.broadcast_to(x1, (KCC, P))
-        Y = jnp.broadcast_to(y1, (KCC, P))
-        slot0 = lax.broadcasted_iota(jnp.int32, (KCC, P), 0)
+        X = jnp.broadcast_to(x1, (kcc, P))
+        Y = jnp.broadcast_to(y1, (kcc, P))
+        slot0 = lax.broadcasted_iota(jnp.int32, (kcc, P), 0)
 
         def body(c, carry):
             kacc, r0, r1, r2, r3 = carry
@@ -73,8 +73,8 @@ def _make_kernel(tile_h: int, tile_w: int, K: int):
             # table (the XLA-side (NT, K, 32) pre-gather measured ~25
             # ms/frame of pathological HBM gather traffic; KCC unrolled
             # VMEM row copies are ~free)
-            for j in range(KCC):
-                tid = bins_ref[0, 0, c * KCC + j]
+            for j in range(kcc):
+                tid = bins_ref[0, 0, c * kcc + j]
                 rows_s[pl.ds(j, 1), :] = table_ref[0, pl.ds(tid, 1), :]
             rows = rows_s[:, :]                             # (KCC, 32)
 
@@ -89,7 +89,7 @@ def _make_kernel(tile_h: int, tile_w: int, K: int):
             zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
             cov &= (zz >= 0.0) & (zz <= 1.0)
             zq = jnp.clip(zz * Z_LEVELS, 0, Z_LEVELS).astype(jnp.int32)
-            ids = c * KCC + slot0
+            ids = c * kcc + slot0
             keys = jnp.where(cov, (zq << IDX_BITS) | ids,
                              jnp.int32(SKY_KEY))
 
@@ -121,9 +121,10 @@ def _make_kernel(tile_h: int, tile_w: int, K: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def raster_tiles(bins, table, scalars, nt: int, tile_h: int, tile_w: int,
-                 interpret: bool = False, tiles_per_frame: int = 0):
+                 interpret: bool = False, tiles_per_frame: int = 0,
+                 kcc: int = KCC):
     """bins: (NT, K) i32 (NO_TRI slots remapped to the table's NaN pad
     row); table: edge-major rows, VMEM-resident — (F_pad, 32) single table
     or (B, F_pad, 32) one per frame, selected by grid position when
@@ -155,11 +156,11 @@ def raster_tiles(bins, table, scalars, nt: int, tile_h: int, tile_w: int,
             pl.BlockSpec((1, D, P), lambda i, s: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((KCC, ROW_W), jnp.float32),
+            pltpu.VMEM((kcc, ROW_W), jnp.float32),
         ],
     )
     keys, rgba = pl.pallas_call(
-        _make_kernel(tile_h, tile_w, K),
+        _make_kernel(tile_h, tile_w, K, kcc),
         out_shape=(
             jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
             jax.ShapeDtypeStruct((nt, D, P), jnp.float32),
@@ -244,7 +245,7 @@ def render_binned_pallas_batch(bins, counts, tables, bg,
 def render_binned_pallas(bins, counts, A, B, C, zplane_scaled, inv_area,
                          sign, valid, attrs, bg, width: int, height: int,
                          tile_w: int, tile_h: int, interpret: bool = False,
-                         return_ids: bool = False):
+                         return_ids: bool = False, kcc: int = KCC):
     """Fused raster via the Pallas kernel + XLA pre/post.
 
     Returns (keys (H, W) int32, rgba (H, W, 4)).  The key id bits are the
@@ -267,7 +268,7 @@ def render_binned_pallas(bins, counts, A, B, C, zplane_scaled, inv_area,
          tids // ntx * tile_h])
 
     keys_local, rgba = raster_tiles(safe, table, scalars, nt, tile_h,
-                                    tile_w, interpret)
+                                    tile_w, interpret, 0, kcc)
 
     kl = keys_local.reshape(nt, -1)
     if return_ids:

@@ -392,11 +392,12 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12))
+                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13))
 def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 512, bg=None, span_x: int = 8,
-                          span_y: int = 8, interpret: bool = False):
+                          span_y: int = 8, interpret: bool = False,
+                          kcc: int = 32):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned."""
@@ -416,7 +417,7 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
     attrs = vtx_colors[faces]
     keys, rgba = pallas_raster.render_binned_pallas(
         bins, counts, A, B, C, zsc, inv_area, sign, valid, attrs, bg,
-        width, height, tile_w, tile_h, interpret)
+        width, height, tile_w, tile_h, interpret, kcc=kcc)
     zq = (keys >> IDX_BITS).astype(dtype) / Z_LEVELS
     return rgba, zq, overflow
 
