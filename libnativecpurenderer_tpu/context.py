@@ -67,15 +67,21 @@ class RenderContext:
             self._max_sampling_extent = extent
         self._record(kind, box, specific)
 
-    def _patch_bucket(self) -> int:
-        if self._max_sampling_extent <= 0:
-            return 0  # no sampling commands: patch pass unnecessary
-        for b in (128, 256, 512, 1024):
+    def _patch_buckets(self):
+        """(small, big) window classes for the executor — small covers the
+        common case (note-sized blits); big only exists when some command
+        exceeds it (ops/executor.py)."""
+        ext = self._max_sampling_extent
+        if ext <= 0 or min(self.width, self.height) < 128:
+            return 0, 0
+        if ext <= 128:
+            return 128, 0
+        for b in (256, 512, 1024):
             if b > min(self.width, self.height):
-                break
-            if self._max_sampling_extent <= b:
-                return b
-        return 0  # extent exceeds buckets (e.g. background blit): full path
+                return 0, 0
+            if ext <= b:
+                return 128, b
+        return 0, 0  # oversized (e.g. background blit): full-frame path
 
     def flush(self) -> None:
         """Execute all pending draw commands on device."""
@@ -87,9 +93,10 @@ class RenderContext:
         kp[: kinds.shape[0]] = kinds
         pp = np.zeros((b, C.PARAM_W), self._dtype)
         pp[: params.shape[0]] = params
+        patch, patch_big = self._patch_buckets()
         self._fb = executor._run(
             self._fb, jnp.asarray(kp), jnp.asarray(pp), self._store.device,
-            self._patch_bucket())
+            patch, patch_big)
         self._cmds.clear()
         self._max_sampling_extent = 0.0
 

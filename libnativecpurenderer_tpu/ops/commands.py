@@ -73,7 +73,8 @@ N_KINDS = 13
 
 # Command-count buckets: the executor is compiled once per bucket size, and
 # shorter lists are padded with NOOP commands.
-BUCKETS = (8, 32, 128, 512, 2048, 8192)
+BUCKETS = (8, 32, 64, 128, 192, 256, 384, 512, 768, 1024,
+           2048, 8192)
 
 
 def bucket_for(n: int) -> int:

@@ -235,7 +235,8 @@ def _blend_into(fb, mask, rgba, store):
     return jnp.where(mask[..., None], new, fb)
 
 
-def render_command_list(fb, kinds, params, atlas, patch: int = 0):
+def render_command_list(fb, kinds, params, atlas, patch: int = 0,
+                        patch_big: int = 0):
     """Pure function: fold a command list into the framebuffer.
 
     fb: (H, W, 4) float; kinds: (N,) int32; params: (N, PARAM_W) fb.dtype;
@@ -246,9 +247,14 @@ def render_command_list(fb, kinds, params, atlas, patch: int = 0):
     positioned at their AABB instead of the full frame — a TPU random
     gather runs at ~7-9 GB/s, so confining the 2M-pixel atlas gathers to
     the command's actual extent is a ~(H*W/patch^2)x win.  Arithmetic
-    primitives stay full-frame (they are gather-free).  Callers must
-    guarantee every sampling command's AABB fits in ``patch`` pixels
-    (context.flush buckets accordingly).
+    primitives stay full-frame (they are gather-free).
+
+    ``patch_big`` adds a second, larger window class routed per command by
+    its own AABB extent — one oversized command (e.g. a 360 px hit effect)
+    must not force every small note blit onto a big patch (a global 512
+    bucket measured ~16x slower per command than 128).  Callers guarantee
+    every sampling command fits ``patch_big`` (or ``patch`` when
+    ``patch_big`` is 0); context.flush buckets accordingly.
     """
     H, W = fb.shape[0], fb.shape[1]
     dtype = fb.dtype
@@ -260,8 +266,13 @@ def render_command_list(fb, kinds, params, atlas, patch: int = 0):
     if not patch:
         def step(fb, xs):
             kind, p = xs
-            mask, rgba, store = lax.switch(kind, branches, p)
-            return _blend_into(fb, mask, rgba, store), None
+
+            def run(f):
+                mask, rgba, store = lax.switch(kind, branches, p)
+                return _blend_into(f, mask, rgba, store)
+
+            # NOOP padding steps skip the framebuffer rewrite entirely
+            return lax.cond(kind == C.KIND_NOOP, lambda f: f, run, fb), None
 
         fb, _ = lax.scan(step, fb, (kinds, params))
         return fb
@@ -280,43 +291,63 @@ def render_command_list(fb, kinds, params, atlas, patch: int = 0):
         mask, rgba, store = lax.switch(kind, full_branches, p)
         return _blend_into(fb, mask, rgba, store)
 
-    def patch_pass(fb, kind, p):
-        # sampling command confined to a patch at its AABB origin
-        px0 = jnp.clip(p[6].astype(jnp.int32), 0, W - patch)
-        py0 = jnp.clip(p[8].astype(jnp.int32), 0, H - patch)
-        Xp = px0.astype(dtype) + lax.broadcasted_iota(dtype,
-                                                      (patch, patch), 1)
-        Yp = py0.astype(dtype) + lax.broadcasted_iota(dtype,
-                                                      (patch, patch), 0)
-        pbranches = _build_branches(Xp, Yp, atlas_flat, atlas.shape[1],
-                                    dtype)
-        noop_p = pbranches[C.KIND_NOOP]
-        patch_branches = [
-            pbranches[k] if k in _SAMPLING_KINDS else noop_p
-            for k in range(C.N_KINDS)
-        ]
-        maskp, rgbap, storep = lax.switch(kind, patch_branches, p)
-        old = lax.dynamic_slice(fb, (py0, px0, jnp.int32(0)),
-                                (patch, patch, 4))
-        newp = _blend_into(old, maskp, rgbap, storep)
-        return lax.dynamic_update_slice(fb, newp,
-                                        (py0, px0, jnp.int32(0)))
+    def patch_pass(size):
+        def run(fb, kind, p):
+            # sampling command confined to a window at its AABB origin
+            px0 = jnp.clip(p[6].astype(jnp.int32), 0, W - size)
+            py0 = jnp.clip(p[8].astype(jnp.int32), 0, H - size)
+            Xp = px0.astype(dtype) + lax.broadcasted_iota(dtype,
+                                                          (size, size), 1)
+            Yp = py0.astype(dtype) + lax.broadcasted_iota(dtype,
+                                                          (size, size), 0)
+            pbranches = _build_branches(Xp, Yp, atlas_flat, atlas.shape[1],
+                                        dtype)
+            noop_p = pbranches[C.KIND_NOOP]
+            patch_branches = [
+                pbranches[k] if k in _SAMPLING_KINDS else noop_p
+                for k in range(C.N_KINDS)
+            ]
+            maskp, rgbap, storep = lax.switch(kind, patch_branches, p)
+            old = lax.dynamic_slice(fb, (py0, px0, jnp.int32(0)),
+                                    (size, size, 4))
+            newp = _blend_into(old, maskp, rgbap, storep)
+            return lax.dynamic_update_slice(fb, newp,
+                                            (py0, px0, jnp.int32(0)))
+        return run
+
+    patch_small = patch_pass(patch)
+    patch_large = patch_pass(patch_big) if patch_big else None
 
     def step(fb, xs):
         kind, p, samp = xs
-        fb = lax.cond(samp,
-                      lambda f: patch_pass(f, kind, p),
-                      lambda f: full_pass(f, kind, p),
-                      fb)
+
+        def sampling(f):
+            if patch_large is None:
+                return patch_small(f, kind, p)
+            fits = ((p[7] - p[6] <= patch) & (p[9] - p[8] <= patch))
+            return lax.cond(fits,
+                            lambda g: patch_small(g, kind, p),
+                            lambda g: patch_large(g, kind, p),
+                            f)
+
+        # 3-way routing: NOOP padding must be free — command lists pad to
+        # bucket sizes and a blend-with-empty-mask still rewrites the whole
+        # framebuffer carry (~0.7 ms each at 1080p)
+        fb = lax.cond(
+            kind == C.KIND_NOOP,
+            lambda f: f,
+            lambda f: lax.cond(samp, sampling,
+                               lambda g: full_pass(g, kind, p), f),
+            fb)
         return fb, None
 
     fb, _ = lax.scan(step, fb, (kinds, params, is_sampling))
     return fb
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
-def _run(fb, kinds, params, atlas, patch: int = 0):
-    return render_command_list(fb, kinds, params, atlas, patch)
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4, 5))
+def _run(fb, kinds, params, atlas, patch: int = 0, patch_big: int = 0):
+    return render_command_list(fb, kinds, params, atlas, patch, patch_big)
 
 
 

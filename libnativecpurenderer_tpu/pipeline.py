@@ -21,13 +21,16 @@ from .ops import commands as C
 from .ops import executor
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _render_one(fb0, kinds, params, atlas, patch: int = 0):
-    fb = executor.render_command_list(fb0, kinds, params, atlas, patch)
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _render_one(fb0, kinds, params, atlas, patch: int = 0,
+                patch_big: int = 0):
+    fb = executor.render_command_list(fb0, kinds, params, atlas, patch,
+                                      patch_big)
     return (fb * 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _render_batch(fb0, kinds, params, atlas, patch: int = 0):
+def _render_batch(fb0, kinds, params, atlas, patch: int = 0,
+                  patch_big: int = 0):
     """Render a (B, ...) command batch to (B, H, W, 4) u8.
 
     Frames are dispatched as individual async jit calls and stacked:
@@ -35,7 +38,7 @@ def _render_batch(fb0, kinds, params, atlas, patch: int = 0):
     the TPU worker (Mosaic/XLA loop nesting fault), while per-frame
     dispatches pipeline fine — the batch still amortises the host
     transfer and keeps the dispatch queue full."""
-    outs = [_render_one(fb0, kinds[i], params[i], atlas, patch)
+    outs = [_render_one(fb0, kinds[i], params[i], atlas, patch, patch_big)
             for i in range(kinds.shape[0])]
     return jnp.stack(outs)
 
@@ -92,19 +95,23 @@ class BatchedVideoPipeline:
                                    KIND_TEX, KIND_TEX_FAST)
         samp = np.isin(kinds, (KIND_TEX, KIND_TEX_FAST, KIND_SPLIT_TEX,
                                KIND_HITEFFECT))
-        patch = 0
-        if samp.any():
+        patch, patch_big = 0, 0
+        if samp.any() and min(self.width, self.height) >= 128:
             ext = np.maximum(params[..., 7] - params[..., 6],
                              params[..., 9] - params[..., 8])
             ext = float(ext[samp].max())
-            for b in (128, 256, 512, 1024):
-                if b > min(self.width, self.height):
-                    break
-                if ext <= b:
-                    patch = b
-                    break
+            if ext <= 128:
+                patch = 128
+            else:
+                for b in (256, 512, 1024):
+                    if b > min(self.width, self.height):
+                        break
+                    if ext <= b:
+                        patch, patch_big = 128, b
+                        break
         u8 = _render_batch(self._fb0, jnp.asarray(kinds),
-                           jnp.asarray(params), self._store.device, patch)
+                           jnp.asarray(params), self._store.device, patch,
+                           patch_big)
         self._drain()
         # keep the device->host copy async until the next flush
         self._inflight = (u8, n_frames)

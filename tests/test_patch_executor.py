@@ -33,14 +33,14 @@ def test_patch_equals_full():
 
     ctx = R.RenderContext(W, H, True)
     _scene(ctx, tex, het)
-    assert ctx._patch_bucket() == 128  # sampling extents fit the bucket
+    assert ctx._patch_buckets() == (128, 0)  # extents fit the small class
     via_patch = ctx.numpy_buffer()
 
     ctx2 = R.RenderContext(W, H, True)
     _scene(ctx2, tex, het)
     # force the legacy full-frame path
     ctx2._max_sampling_extent = 1e9
-    assert ctx2._patch_bucket() == 0
+    assert ctx2._patch_buckets() == (0, 0)
     via_full = ctx2.numpy_buffer()
 
     np.testing.assert_array_equal(via_patch, via_full)
@@ -70,3 +70,35 @@ def test_patch_kernel_direct():
     out_patch = executor.render_command_list(fb0, kp, pp, atlas, 128)
     np.testing.assert_array_equal(np.asarray(out_patch),
                                   np.asarray(out_full))
+
+
+def test_two_class_patches():
+    """A big hit effect must not change results while small notes use the
+    small window class (mixed patch/patch_big routing)."""
+    W, H = 320, 280
+    rng = np.random.default_rng(3)
+    arr = rng.random((16, 16, 4))
+    tex = R.Texture(16, 16, True, arr.astype(np.float64).tobytes(),
+                    is_uint8=False)
+    het = R.HitEffectTexture(tex, 0.4, 0.6, 0.8, 0.7, 0.6)
+
+    def scene(ctx):
+        ctx.set_color(0.05, 0.05, 0.05, 1.0)
+        for i in range(6):
+            ctx.save_state()
+            ctx.translate(30 + i * 45.0, 40 + (i * 67) % 180)
+            ctx.rotate(0.3 * i)
+            ctx.draw_texture(tex, -15, -15, 30, 30)   # small blits
+            ctx.restore_state()
+        ctx.draw_texture(het, 40, 40, 200, 200)       # big effect -> class 2
+
+    ctx = R.RenderContext(W, H, True)
+    scene(ctx)
+    assert ctx._patch_buckets() == (128, 256)
+    got = ctx.numpy_buffer()
+
+    ctx2 = R.RenderContext(W, H, True)
+    scene(ctx2)
+    ctx2._max_sampling_extent = 1e9  # legacy full path
+    want = ctx2.numpy_buffer()
+    np.testing.assert_array_equal(got, want)
