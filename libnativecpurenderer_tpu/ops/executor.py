@@ -236,7 +236,7 @@ def _blend_into(fb, mask, rgba, store):
 
 
 def render_command_list(fb, kinds, params, atlas, patch: int = 0,
-                        patch_big: int = 0):
+                        patch_big: int = 0, y0=None):
     """Pure function: fold a command list into the framebuffer.
 
     fb: (H, W, 4) float; kinds: (N,) int32; params: (N, PARAM_W) fb.dtype;
@@ -255,11 +255,21 @@ def render_command_list(fb, kinds, params, atlas, patch: int = 0,
     bucket measured ~16x slower per command than 128).  Callers guarantee
     every sampling command fits ``patch_big`` (or ``patch`` when
     ``patch_big`` is 0); context.flush buckets accordingly.
+
+    ``y0``: global row of the band's first row for sharded y-band
+    rendering (commands stay in global coordinates).  Band rendering uses
+    the full-frame path (pass patch=0) — patch window clamping assumes
+    fb spans the whole surface.
     """
     H, W = fb.shape[0], fb.shape[1]
     dtype = fb.dtype
     X = lax.broadcasted_iota(dtype, (H, W), 1)
     Y = lax.broadcasted_iota(dtype, (H, W), 0)
+    if y0 is not None:
+        # fb is a horizontal band starting at global row y0 (multi-device
+        # y-band sharding, parallel/sharding.py); commands are recorded in
+        # global coordinates
+        Y = Y + jnp.asarray(y0, dtype)
     atlas_flat = atlas.reshape(-1, 4)
     branches = _build_branches(X, Y, atlas_flat, atlas.shape[1], dtype)
 

@@ -25,7 +25,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import raster3d
@@ -80,6 +80,8 @@ def sharded_render_step(mesh: Mesh, width: int, height: int,
         out_specs=(P("data", "tile"), P(), P("data")),
     )
     def step(angles_local, verts, proj_view, audio_events_local):
+        # NOTE: the canvas (2D display-list) analogue of this sharded step
+        # is sharded_canvas_step below.
         t_idx = jax.lax.axis_index("tile")
         y0 = (t_idx * band_h).astype(jnp.float32)
 
@@ -116,3 +118,42 @@ def sharded_render_step(mesh: Mesh, width: int, height: int,
         return bands, mixed, lum
 
     return step, (data_n, tile_n, band_h)
+
+
+def sharded_canvas_step(mesh: Mesh, width: int, height: int):
+    """Sharded 2D display-list rendering: the command list is replicated,
+    each device renders its y-band of each frame in its frame shard (the
+    reference's per-pixel loops become per-band executor dispatches;
+    SURVEY §2.3's framebuffer y-tile split).
+
+    Returns a shard_map'd fn (kinds (B, N), params (B, N, PW), atlas) ->
+    u8 frames (B, H, W, 4) assembled by the output sharding.
+    """
+    from ..ops import executor
+
+    tile_n = mesh.shape["tile"]
+    assert height % tile_n == 0
+    band_h = height // tile_n
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data"), P("data"), P(None, None, None)),
+        out_specs=P("data", "tile"),
+        # the executor mixes tile-varying (band Y offsets) and invariant
+        # constants through switch/cond; the conservative VMA
+        # checker rejects that even though the data flow is correct
+        check_vma=False,
+    )
+    def step(kinds_local, params_local, atlas):
+        t_idx = jax.lax.axis_index("tile")
+        y0 = (t_idx * band_h).astype(params_local.dtype)
+        fb0 = jnp.zeros((band_h, width, 4), params_local.dtype)
+
+        def one(kinds, params):
+            fb = executor.render_command_list(fb0, kinds, params, atlas,
+                                              y0=y0)
+            return (fb * 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+        return jax.vmap(one)(kinds_local, params_local)  # (Bl, band, W, 4)
+
+    return step, band_h

@@ -60,3 +60,44 @@ def test_mesh_factoring(devices):
 def test_dryrun_entry(devices):
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_canvas_matches_single_device(devices):
+    import libnativecpurenderer_tpu as R
+    from libnativecpurenderer_tpu.ops import commands as C
+
+    dev_mesh = sharding.make_mesh(devices)
+    W, H = 64, 32
+    ctx = R.RenderContext(W, H, True)
+    rng = np.random.default_rng(0)
+    tex = R.Texture(8, 8, True, rng.random((8, 8, 4)).tobytes(),
+                    is_uint8=False)
+
+    frames_k, frames_p = [], []
+    seq = []
+    B = dev_mesh.shape["data"] * 2
+    for i in range(B):
+        ctx.set_color(0, 0, 0, 1)
+        ctx.save_state()
+        ctx.translate(5 + i * 3.0, 4.0)
+        ctx.rotate(0.15 * i)
+        ctx.draw_rect(0, 0, 12, 8, 0.9, 0.4, 0.2, 0.8)
+        ctx.draw_texture(tex, 2, 2, 10, 10)
+        ctx.draw_circle(30, 16, 6 + i, 0.1, 0.6, 1.0, 0.5)
+        ctx.restore_state()
+        k, p = ctx._cmds.snapshot()
+        b = C.bucket_for(k.shape[0])
+        kp = np.zeros(b, np.int32); kp[: k.shape[0]] = k
+        pp = np.zeros((b, C.PARAM_W), np.float64)
+        pp[: p.shape[0]] = p
+        frames_k.append(kp); frames_p.append(pp)
+        seq.append(ctx.uint8_buffer().copy())   # single-device reference
+        ctx._cmds.clear()
+
+    step, band_h = sharding.sharded_canvas_step(dev_mesh, W, H)
+    out = jax.jit(step)(jnp.asarray(np.stack(frames_k)),
+                        jnp.asarray(np.stack(frames_p)),
+                        ctx._store.device)
+    assert out.shape == (B, H, W, 4)
+    for i in range(B):
+        np.testing.assert_array_equal(np.asarray(out[i]), seq[i])
