@@ -75,11 +75,21 @@ class Texture:
             self.width, self.height))
 
     # -- parity API ------------------------------------------------------
-    def resample(self, width: int, height: int) -> "Texture":
-        """ResampleTexture (cpp:950-976)."""
-        out = sampling.resample_region(
-            self._store.device, self._ox, self._oy,
-            float(self.width), float(self.height), int(width), int(height))
+    def resample(self, width: int, height: int,
+                 filter: str = "nearest") -> "Texture":
+        """ResampleTexture (cpp:950-976).  ``filter="bilinear"`` opts into
+        the smoother kernel the reference left commented out
+        (cpp:575-620); the parity default is nearest."""
+        if filter == "bilinear":
+            out = sampling.resample_region_bilinear(
+                self._store.device, self._ox, self._oy,
+                float(self.width), float(self.height),
+                int(width), int(height))
+        else:
+            out = sampling.resample_region(
+                self._store.device, self._ox, self._oy,
+                float(self.width), float(self.height),
+                int(width), int(height))
         return Texture._from_device_array(out, self.enableAlpha)
 
     @staticmethod

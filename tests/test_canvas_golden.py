@@ -265,3 +265,25 @@ def test_as_texture_roundtrip():
 
 def test_get_version():
     assert R.get_version() == 1
+
+
+def test_bilinear_resample_option():
+    """Opt-in bilinear resample: exact on a linear ramp, default unchanged."""
+    w = 8
+    ramp = np.zeros((w, w, 4))
+    ramp[..., 0] = np.arange(w)[None, :] / (w - 1)
+    ramp[..., 3] = 1.0
+    tex = R.Texture(w, w, True, ramp.astype(np.float64).tobytes(),
+                    is_uint8=False)
+    up = tex.resample(16, 16, filter="bilinear")
+    out = up.to_numpy()
+    # interior of a bilinear upscale of a linear ramp stays linear in x
+    mid = out[8, 2:14, 0]
+    d = np.diff(mid)
+    np.testing.assert_allclose(d, d[0], atol=1e-9)
+    # rows identical (no vertical variation)
+    np.testing.assert_allclose(out[3, :, 0], out[12, :, 0], atol=1e-12)
+    # default filter still matches the golden nearest model
+    near = tex.resample(16, 16)
+    gt = gold.GoldenTexture(ramp, True).resample(16, 16)
+    np.testing.assert_allclose(near.to_numpy(), gt.buf, atol=1e-12)
