@@ -11,7 +11,22 @@ reference bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# Persistent XLA compilation cache: compiles on this TPU path go through a
+# remote-compile tunnel at 0.5-10 min each; the on-disk cache turns warm
+# process starts from minutes into seconds (measured 136 s -> 1.2 s).
+_cache_dir = os.environ.get("TPURENDER_JAX_CACHE",
+                            "/tmp/tpurender_jaxcache")
+if _cache_dir:
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never block import on cache plumbing
+        pass
 
 _default_dtype = np.float32
 
