@@ -48,29 +48,49 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
 
     use_pallas = jax.default_backend() != "cpu"  # no Mosaic on CPU
 
-    # config ladder: fastest measured first, safer fallbacks after
+    # config ladder: fastest measured first, safer fallbacks after.
+    # ``flat`` = gatherless binning (sorted pair array straight into the
+    # kernel); only the Pallas path understands it.
     ladder = [
+        dict(tile_w=128, tile_h=16, span_x=3, span_y=6, capacity=512,
+             flat=True),
+        dict(tile_w=128, tile_h=32, span_x=3, span_y=4, capacity=512,
+             flat=True),
         dict(tile_w=128, tile_h=32, span_y=4, capacity=512),
         dict(tile_w=128, tile_h=16, capacity=512),
         dict(tile_w=128, tile_h=16, capacity=1024, span_x=16, span_y=16),
     ]
+
+    # NOTE: results are forced to host via a checksum fetch —
+    # block_until_ready does not reliably block on the axon backend
+    def checksum(arrs):
+        return float(jnp.sum(jnp.stack([jnp.sum(a) for a in arrs])))
+
+    checksum(mvps)  # force the staged matrices onto the device
+
     render = None
     cfg = None
+    outs = None
     for candidate in ladder:
+        kw = dict(candidate)
         try:
             if use_pallas:
-                fn = functools.partial(raster3d.render_gouraud_pallas,
-                                       **candidate)
+                fn = functools.partial(raster3d.render_gouraud_pallas, **kw)
             else:
-                fn = functools.partial(raster3d.render_gouraud_binned,
-                                       **candidate)
-            fb, z, overflow = fn(verts, faces, colors, width, height,
-                                 mvp_for(0))
-            jax.block_until_ready(fb)
-            if bool(overflow):
+                kw.pop("flat", None)
+                fn = functools.partial(raster3d.render_gouraud_binned, **kw)
+            # untimed full pass doubles as the overflow check for EVERY
+            # frame (a config must hold over the whole sequence) and as
+            # cache warm-up (the tunnel charges ~30 ms per first-touch
+            # round trip; production dispatch has none of this)
+            res = [fn(verts, faces, colors, width, height, mvp_for(i))
+                   for i in range(frames)]
+            if bool(jnp.any(jnp.stack([r[2] for r in res]))):
                 log(f"bin/span overflow with {candidate}; next config")
                 continue
-            render = lambda *a, **kw: fn(*a, **kw)  # noqa: E731
+            outs = [r[0] for r in res]
+            checksum(outs)
+            render = fn
             cfg = candidate
             break
         except Exception as e:
@@ -79,23 +99,11 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         log("all pallas configs failed; XLA fallback")
         fn = functools.partial(raster3d.render_gouraud_binned,
                                capacity=1024, span_x=16, span_y=16)
-        fb, z, overflow = fn(verts, faces, colors, width, height, mvp_for(0))
+        outs = [fn(verts, faces, colors, width, height, mvp_for(i))[0]
+                for i in range(frames)]
+        checksum(outs)
         render = fn
         cfg = "xla-fallback"
-
-    # warm the cache for a second angle (same shapes, no recompile);
-    # NOTE: results are forced to host via a checksum fetch —
-    # block_until_ready does not reliably block on the axon backend
-    def checksum(arrs):
-        return float(jnp.sum(jnp.stack([jnp.sum(a) for a in arrs])))
-
-    checksum(mvps)  # force the staged matrices onto the device
-
-    # one untimed full pass (the tunnel charges ~30 ms per first-touch
-    # round trip; production dispatch has none of this)
-    outs = [render(verts, faces, colors, width, height, mvp_for(i),
-                   )[0] for i in range(frames)]
-    checksum(outs)
 
     best = None
     for _rep in range(3):

@@ -121,6 +121,155 @@ def _make_kernel(tile_h: int, tile_w: int, K: int, kcc: int = KCC):
     return kernel
 
 
+def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC):
+    """Flat-bins variant: triangle ids come straight from the sorted pair
+    array (two SMEM blocks selected by scalar-prefetched block index), not
+    from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
+    into the next tile's run — harmless: a triangle covering a pixel of
+    tile t has t inside its AABB, so it also sits in t's own run at a
+    smaller slot and wins any tie (see raster3d.bin_triangles_flat)."""
+    P = tile_h * tile_w
+
+    def kernel(scal_ref, blk0_ref, blk1_ref, table_ref, keys_ref, rgba_ref,
+               rows_s):
+        i = pl.program_id(0)
+        nt = pl.num_programs(0)
+        count = scal_ref[i]
+        nchunks = (count + kcc - 1) // kcc
+        ox = scal_ref[nt + i]
+        oy = scal_ref[2 * nt + i]
+        woff = scal_ref[4 * nt + i]
+
+        p_idx = lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        x1 = (ox + p_idx % tile_w).astype(jnp.float32)
+        y1 = (oy + p_idx // tile_w).astype(jnp.float32)
+        X = jnp.broadcast_to(x1, (kcc, P))
+        Y = jnp.broadcast_to(y1, (kcc, P))
+        slot0 = lax.broadcasted_iota(jnp.int32, (kcc, P), 0)
+
+        def body(c, carry):
+            kacc, r0, r1, r2, r3 = carry
+            for j in range(kcc):
+                idx = woff + c * kcc + j
+                p0 = blk0_ref[0, 0, jnp.minimum(idx, Kb - 1)]
+                # clamp keeps reads in-bounds even when a run overflows
+                # the two-block window (callers see the overflow flag)
+                p1 = blk1_ref[0, 0, jnp.clip(idx - Kb, 0, Kb - 1)]
+                tid = jnp.where(idx < Kb, p0, p1) & ((1 << IDX_BITS) - 1)
+                rows_s[pl.ds(j, 1), :] = table_ref[0, pl.ds(tid, 1), :]
+            rows = rows_s[:, :]
+
+            def col(j):
+                return rows[:, j:j + 1]
+
+            e0 = col(0) * X + col(1) * Y + col(2)
+            e1 = col(3) * X + col(4) * Y + col(5)
+            e2 = col(6) * X + col(7) * Y + col(8)
+            sg = col(12)
+            cov = (e0 * sg >= 0.0) & (e1 * sg >= 0.0) & (e2 * sg >= 0.0)
+            zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
+            cov &= (zz >= 0.0) & (zz <= 1.0)
+            zq = jnp.clip(zz * Z_LEVELS, 0, Z_LEVELS).astype(jnp.int32)
+            ids = c * kcc + slot0
+            keys = jnp.where(cov, (zq << IDX_BITS) | ids,
+                             jnp.int32(SKY_KEY))
+
+            cmin = jnp.min(keys, axis=0, keepdims=True)
+            win = (keys == cmin) & cov
+            ia = col(13)
+            w0 = e0 * ia
+            w1 = e1 * ia
+            w2 = e2 * ia
+            upd = cmin < kacc
+            outs = []
+            for d, rd in enumerate((r0, r1, r2, r3)):
+                cd = (w0 * col(14 + d) + w1 * col(14 + D + d)
+                      + w2 * col(14 + 2 * D + d))
+                cd = jnp.where(win, cd, 0.0)
+                cdm = jnp.sum(cd, axis=0, keepdims=True)
+                outs.append(jnp.where(upd, cdm, rd))
+            return (jnp.where(upd, cmin, kacc),
+                    outs[0], outs[1], outs[2], outs[3])
+
+        sky = jnp.full((1, P), SKY_KEY, jnp.int32)
+        zero = jnp.zeros((1, P), jnp.float32)
+        kacc, r0, r1, r2, r3 = lax.fori_loop(
+            0, nchunks, body, (sky, zero, zero, zero, zero))
+
+        keys_ref[0] = kacc
+        rgba_ref[0] = jnp.concatenate([r0, r1, r2, r3], axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
+                      tile_w: int, Kb: int, interpret: bool = False,
+                      kcc: int = KCC):
+    """Flat-bins kernel launch.  sorted_pad: (Spad,) i32 packed pairs from
+    bin_triangles_flat; scalars: (5*NT,) i32 = [counts | ox | oy |
+    start_block | start_offset].  The two SMEM blocks per tile re-DMA only
+    when the block index advances (~every Kb/mean_count tiles), so id
+    traffic is ~the sorted array size per frame, not NT*Kb."""
+    P = tile_h * tile_w
+    nblocks = sorted_pad.shape[0] // Kb
+    blocks = sorted_pad.reshape(nblocks, 1, Kb)
+    if table.ndim == 2:
+        table = table[None]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Kb), lambda i, s: (s[3 * nt + i], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Kb), lambda i, s: (s[3 * nt + i] + 1, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, table.shape[1], ROW_W),
+                         lambda i, s: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, D, P), lambda i, s: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kcc, ROW_W), jnp.float32),
+        ],
+    )
+    keys, rgba = pl.pallas_call(
+        _make_kernel_flat(tile_h, tile_w, Kb, kcc),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
+            jax.ShapeDtypeStruct((nt, D, P), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, blocks, blocks, table)
+    return keys, rgba
+
+
+def render_binned_pallas_flat(sorted_pad, starts, counts, table, bg,
+                              width: int, height: int, tile_w: int,
+                              tile_h: int, Kb: int,
+                              interpret: bool = False, kcc: int = KCC):
+    """Gatherless raster: sorted pair array + starts from
+    bin_triangles_flat, table from build_table.  Returns (keys (H, W) i32
+    with per-tile BIN SLOT ids, rgba (H, W, D))."""
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    nt = ntx * nty
+    dtype = table.dtype
+
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    scalars = jnp.concatenate(
+        [counts.astype(jnp.int32), tids % ntx * tile_w,
+         tids // ntx * tile_h, starts // Kb, starts % Kb])
+
+    keys_l, rgba = raster_tiles_flat(sorted_pad, table, scalars, nt,
+                                     tile_h, tile_w, Kb, interpret, kcc)
+    return _detile(keys_l.reshape(nt, -1), rgba, nty, ntx, tile_h, tile_w,
+                   height, width, bg, dtype)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def raster_tiles(bins, table, scalars, nt: int, tile_h: int, tile_w: int,
                  interpret: bool = False, tiles_per_frame: int = 0,

@@ -46,6 +46,48 @@ def test_pallas_matches_binned_xla():
     np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_b), atol=1e-6)
 
 
+def test_flat_matches_binned_xla():
+    """Gatherless (flat) kernel == XLA binned reference, incl. fuzz scenes
+    where bin runs straddle SMEM block boundaries arbitrarily."""
+    v, f, c, m = _scene()
+    fb_b, z_b, _ = raster3d.render_gouraud_binned(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96)
+    fb_p, z_p, ovf = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96,
+        interpret=True, flat=True)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(fb_p), np.asarray(fb_b),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_b), atol=1e-6)
+
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        nv = 50
+        verts = jnp.asarray(rng.uniform(-1, 1, (nv, 3)), jnp.float32)
+        faces = jnp.asarray(rng.integers(0, nv, (30, 3)), jnp.int32)
+        cols = jnp.asarray(rng.uniform(0, 1, (nv, 4)), jnp.float32)
+        eye = jnp.eye(4, dtype=jnp.float32)
+        ref = raster3d.render_gouraud_binned(
+            verts, faces, cols, W, H, eye, tile_w=32, tile_h=8,
+            capacity=96, span_x=3, span_y=5)
+        out = raster3d.render_gouraud_pallas(
+            verts, faces, cols, W, H, eye, tile_w=32, tile_h=8,
+            capacity=96, span_x=3, span_y=5, interpret=True, flat=True)
+        assert bool(ref[2]) == bool(out[2])
+        if not bool(ref[2]):
+            np.testing.assert_allclose(np.asarray(out[0]),
+                                       np.asarray(ref[0]), atol=2e-5)
+
+
+def test_flat_overflow_flag():
+    """Run longer than the SMEM block (capacity) must raise overflow."""
+    v, f, c, m = _scene()
+    _, _, ovf = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=64, tile_h=32, capacity=32,
+        span_x=3, span_y=3, interpret=True, flat=True)
+    assert bool(ovf)
+
+
 def test_batched_matches_per_frame():
     v, f, c, m = _scene()
     import numpy as np
