@@ -500,16 +500,18 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12))
+                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14))
 def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
                                 height: int, mvps=None, tile_w: int = 128,
                                 tile_h: int = 32, capacity: int = 512,
                                 bg=None, span_x: int = 8, span_y: int = 4,
-                                interpret: bool = False):
+                                interpret: bool = False, flat: bool = False,
+                                kcc: int = 32):
     """Batched Pallas render: B frames (mvps (B, 4, 4)) in one kernel
     launch.  Per-frame prep (projection, edge setup, binning, tables) is
     vmapped; tiles of all frames share one grid.  Amortises the
-    per-dispatch overheads that cap single-frame throughput.
+    per-dispatch overheads that cap single-frame throughput.  ``flat``
+    uses the gatherless binning (see render_gouraud_pallas).
     Returns (rgba (B, H, W, 4), z (B, H, W), overflow)."""
     from . import pallas_raster
     dtype = verts.dtype
@@ -517,6 +519,26 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
         bg = jnp.zeros(4, dtype)
     F = faces.shape[0]
     attrs = vtx_colors[faces]
+
+    if flat:
+        def prep(mvp):
+            tri = setup_triangles(verts, faces, mvp, width, height)
+            A, B, C, ia, sg, vl = edge_coeffs(tri["sxy"], tri["z"],
+                                              tri["valid"])
+            zsc = tri["z"] * ia[:, None]
+            sorted_pad, starts, counts, ovf = bin_triangles_flat(
+                tri["sxy"], vl, width, height, tile_w, tile_h, capacity,
+                span_x, span_y)
+            table = pallas_raster.build_table(A, B, C, zsc, ia, sg, vl,
+                                              attrs)
+            return sorted_pad, starts, counts, table, ovf
+
+        sps, starts, counts, tables, ovfs = jax.vmap(prep)(mvps)
+        keys, rgba = pallas_raster.render_binned_pallas_flat_batch(
+            sps, starts, counts, tables, bg, width, height, tile_w,
+            tile_h, capacity, interpret, kcc)
+        zq = (keys >> IDX_BITS).astype(dtype) / Z_LEVELS
+        return rgba, zq, jnp.any(ovfs)
 
     def prep(mvp):
         tri = setup_triangles(verts, faces, mvp, width, height)

@@ -88,6 +88,27 @@ def test_flat_overflow_flag():
     assert bool(ovf)
 
 
+def test_batched_flat_matches_per_frame():
+    v, f, c, m = _scene()
+    from libnativecpurenderer_tpu.models import mesh as mesh_mod
+    mvps = jnp.stack([
+        m,
+        jnp.asarray(np.asarray(m) @ mesh_mod.rotation_y(0.3), jnp.float32),
+        jnp.asarray(np.asarray(m) @ mesh_mod.rotation_y(0.6), jnp.float32),
+    ])
+    fb_b, z_b, ovf = raster3d.render_gouraud_pallas_batch(
+        v, f, c, W, H, mvps, tile_w=32, tile_h=8, capacity=96,
+        span_x=8, span_y=8, interpret=True, flat=True)
+    assert not bool(ovf)
+    for i in range(3):
+        fb_1, z_1, _ = raster3d.render_gouraud_pallas(
+            v, f, c, W, H, mvps[i], tile_w=32, tile_h=8, capacity=96,
+            span_x=8, span_y=8, interpret=True, flat=True)
+        np.testing.assert_array_equal(np.asarray(fb_b[i]),
+                                      np.asarray(fb_1))
+        np.testing.assert_array_equal(np.asarray(z_b[i]), np.asarray(z_1))
+
+
 def test_batched_matches_per_frame():
     v, f, c, m = _scene()
     import numpy as np
