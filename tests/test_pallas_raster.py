@@ -79,6 +79,34 @@ def test_flat_matches_binned_xla():
                                        np.asarray(ref[0]), atol=2e-5)
 
 
+def test_flat_matches_naive_random_cameras():
+    """Flat kernel vs the naive all-triangles reference under random
+    camera orbits (exercises varied bin layouts, offscreen culling and
+    near-plane-adjacent geometry)."""
+    verts, faces = mesh.icosphere(2)
+    colors = np.concatenate([np.abs(verts), np.ones((len(verts), 1))], 1)
+    v = jnp.asarray(verts, jnp.float32)
+    f = jnp.asarray(faces, jnp.int32)
+    c = jnp.asarray(colors, jnp.float32)
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        eye = rng.uniform(-1, 1, 3)
+        eye = eye / np.linalg.norm(eye) * rng.uniform(1.8, 4.0)
+        m = (mesh.perspective(rng.uniform(0.7, 1.4), W / H, 0.1, 10.0)
+             @ mesh.look_at(eye, [0, 0, 0], [0, 1, 0]))
+        m = jnp.asarray(m, jnp.float32)
+        fb_n, z_n = raster3d.render_gouraud(v, f, c, W, H, m)
+        fb_p, z_p, ovf = raster3d.render_gouraud_pallas(
+            v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96,
+            span_x=4, span_y=6, interpret=True, flat=True)
+        if bool(ovf):
+            continue
+        np.testing.assert_allclose(np.asarray(fb_p), np.asarray(fb_n),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_n),
+                                   atol=1e-6)
+
+
 def test_flat_overflow_flag():
     """Run longer than the SMEM block (capacity) must raise overflow."""
     v, f, c, m = _scene()
