@@ -54,6 +54,12 @@ def overlay_many(target, source, starts):
     while m < N + n:
         m *= 2
     dtype = target.dtype
+    # Events starting at/after the target's end must vanish entirely
+    # (cpp:1146 truncates at the target end; the scatter path drops them).
+    # Left in the impulse train they'd land in [N, m) and, when start+n > m,
+    # wrap around the circular convolution into the head of the mix — push
+    # them to m, which mode="drop" discards.
+    starts = jnp.where(starts >= N, m, starts)
     imp = jnp.zeros((m,), dtype).at[starts].add(jnp.asarray(1.0, dtype),
                                                 mode="drop")
     src_pad = jnp.zeros((m, C), dtype).at[:n].set(source)

@@ -52,6 +52,11 @@ def setup_triangles(verts, faces, mvp, width: int, height: int):
       valid: (F,) bool (in front of near plane, non-degenerate)
     """
     dtype = verts.dtype
+    # IDX_BITS caps triangle ids; one more and ids overflow into the depth
+    # field of the packed visibility keys (id NO_TRI doubles as the
+    # background sentinel), silently corrupting visibility.
+    assert faces.shape[0] < NO_TRI, (
+        f"draw has {faces.shape[0]} faces; packed keys support < {NO_TRI}")
     v4 = jnp.concatenate([verts, jnp.ones((verts.shape[0], 1), dtype)], -1)
     clip = v4 @ mvp.T                       # (V, 4)
     w = clip[:, 3:4]

@@ -43,6 +43,7 @@ class Texture:
         self.enableAlpha = bool(enableAlpha)
         self._store = atlas_mod.get_store()
         self._ox, self._oy = self._store.add(arr)
+        self._alt_regions = {}
 
     # -- internal --------------------------------------------------------
     @classmethod
@@ -62,11 +63,33 @@ class Texture:
         tex._store = atlas_mod.get_store()
         tex._ox, tex._oy = tex._store.alloc(w, h)
         tex._store.upload(tex._ox, tex._oy, dev_arr)
+        tex._alt_regions = {}
         return tex
 
     @property
     def atlas_region(self):
         return (self._ox, self._oy, self.width, self.height)
+
+    def region_for(self, store):
+        """(ox, oy) of this texture's texels in ``store``.
+
+        Textures land in the default-dtype store at creation; a context
+        constructed with a different explicit dtype samples its *own* store
+        (context.py), which would otherwise read zeros at this region.  On
+        first use under such a context the texels are migrated (device
+        copy), then cached per target dtype.
+        """
+        if store is self._store:
+            return self._ox, self._oy
+        key = store.dtype.str
+        cached = self._alt_regions.get(key)
+        if cached is None:
+            data = sampling.read_region(
+                self._store.device, self._ox, self._oy,
+                self.width, self.height, self.width, self.height)
+            cached = store.add(data)
+            self._alt_regions[key] = cached
+        return cached
 
     def to_numpy(self) -> np.ndarray:
         """Readback of the (h, w, 4) texel data."""
@@ -131,6 +154,7 @@ class HitEffectTexture(Texture):
         self.enableAlpha = True
         self._store = mask._store
         self._ox, self._oy = mask._ox, mask._oy  # atlas region = the mask
+        self._alt_regions = mask._alt_regions   # share migrations too
         self.seed = float(seed)
         self.t = float(t)
         self.rgb = (float(r), float(g), float(b))

@@ -156,9 +156,21 @@ struct Encoder {
     int width = 0, height = 0;
     double fps = 0.0;
     bool want_audio = false;
+    bool audio_added = false;
     bool header_written = false;
     int64_t frame_index = 0;
     int error = 0;
+
+    // Serializes all muxer/codec access between the encode worker and
+    // EncAddAudio (which the API contract allows at any point before
+    // EncFinish — it would otherwise race enc_write_header /
+    // av_interleaved_write_frame on the shared AVFormatContext).
+    std::mutex mux_mu;
+    // While want_audio && !audio_added the header can't be written yet (an
+    // MP4 stream set is fixed at write_header); encoded video packets wait
+    // here, still in vctx time_base (stream time_base may change at header
+    // write, so rescale happens at flush).
+    std::vector<AVPacket*> vbuf;
 
     // worker thread + bounded queue of RGBA frames (w, h, data)
     std::thread worker;
@@ -193,6 +205,18 @@ static int enc_write_header(Encoder* e) {
 }
 
 static void enc_encode_rgba(Encoder* e, const uint8_t* rgba, int sw, int sh);
+
+// Write any header-deferred video packets.  Caller holds mux_mu and has
+// written the header.
+static void enc_flush_vbuf(Encoder* e) {
+    for (AVPacket*& p : e->vbuf) {
+        av_packet_rescale_ts(p, e->vctx->time_base, e->vst->time_base);
+        p->stream_index = e->vst->index;
+        av_interleaved_write_frame(e->ofmt, p);
+        av_packet_free(&p);
+    }
+    e->vbuf.clear();
+}
 
 static void enc_worker(Encoder* e) {
     for (;;) {
@@ -279,7 +303,10 @@ extern "C" int EncAddAudio(void* handle, const void* pcm_f32, long long rate,
                            long long channels, long long num_frames,
                            long long bit_rate) {
     Encoder* e = (Encoder*)handle;
-    if (!e || e->header_written) return 2;
+    if (!e) return 2;
+    // Serialize against the encode worker: both sides touch the muxer.
+    std::lock_guard<std::mutex> lk(e->mux_mu);
+    if (e->header_written) return 2;  // stream set is fixed at write_header
     const float* pcm = (const float*)pcm_f32;
 
     const AVCodec* acodec = avcodec_find_encoder(AV_CODEC_ID_AAC);
@@ -303,17 +330,21 @@ extern "C" int EncAddAudio(void* handle, const void* pcm_f32, long long rate,
     e->ast->time_base = e->actx->time_base;
 
     if ((ret = enc_write_header(e)) < 0) return 5;
+    e->audio_added = true;
+    enc_flush_vbuf(e);  // video packets that waited for the header
 
     const int fsz = e->actx->frame_size > 0 ? e->actx->frame_size : 1024;
     int64_t apts = 0;
 
+    // Own packet: e->pkt belongs to the video path.
+    AVPacket* apkt = av_packet_alloc();
     auto drain = [&]() {
-        while (avcodec_receive_packet(e->actx, e->pkt) == 0) {
-            av_packet_rescale_ts(e->pkt, e->actx->time_base,
+        while (avcodec_receive_packet(e->actx, apkt) == 0) {
+            av_packet_rescale_ts(apkt, e->actx->time_base,
                                  e->ast->time_base);
-            e->pkt->stream_index = e->ast->index;
-            av_interleaved_write_frame(e->ofmt, e->pkt);
-            av_packet_unref(e->pkt);
+            apkt->stream_index = e->ast->index;
+            av_interleaved_write_frame(e->ofmt, apkt);
+            av_packet_unref(apkt);
         }
     };
 
@@ -325,6 +356,7 @@ extern "C" int EncAddAudio(void* handle, const void* pcm_f32, long long rate,
         f->nb_samples = fsz;
         if (av_frame_get_buffer(f, 0) < 0) {
             av_frame_free(&f);
+            av_packet_free(&apkt);
             return 6;
         }
         const long long avail = num_frames - off;
@@ -343,12 +375,18 @@ extern "C" int EncAddAudio(void* handle, const void* pcm_f32, long long rate,
     }
     avcodec_send_frame(e->actx, nullptr);
     drain();
+    av_packet_free(&apkt);
     return 0;
 }
 
 static void enc_encode_rgba(Encoder* e, const uint8_t* rgba, int sw, int sh) {
+    std::lock_guard<std::mutex> lk(e->mux_mu);
     if (e->error) return;
-    if (!e->header_written) {
+    // Audio was promised but hasn't arrived: the header (which fixes the
+    // stream set) must wait, so encoded video packets are buffered in vbuf
+    // until EncAddAudio writes it.
+    const bool defer = e->want_audio && !e->audio_added;
+    if (!defer && !e->header_written) {
         if (enc_write_header(e) < 0) {
             e->error = 1;
             return;
@@ -376,6 +414,12 @@ static void enc_encode_rgba(Encoder* e, const uint8_t* rgba, int sw, int sh) {
         return;
     }
     while (avcodec_receive_packet(e->vctx, e->pkt) == 0) {
+        if (defer) {
+            AVPacket* cp = av_packet_alloc();
+            av_packet_move_ref(cp, e->pkt);
+            e->vbuf.push_back(cp);
+            continue;
+        }
         av_packet_rescale_ts(e->pkt, e->vctx->time_base, e->vst->time_base);
         e->pkt->stream_index = e->vst->index;
         av_interleaved_write_frame(e->ofmt, e->pkt);
@@ -413,6 +457,8 @@ extern "C" int EncFinish(void* handle) {
 
     int rc = e->error;
     if (e->header_written || enc_write_header(e) == 0) {
+        // promised audio never arrived: release the deferred video packets
+        enc_flush_vbuf(e);
         // flush video encoder (ReleaseVideoCap semantics, cpp:198-230)
         avcodec_send_frame(e->vctx, nullptr);
         while (avcodec_receive_packet(e->vctx, e->pkt) == 0) {
@@ -427,6 +473,7 @@ extern "C" int EncFinish(void* handle) {
         rc = rc ? rc : 7;
     }
 
+    for (AVPacket*& p : e->vbuf) av_packet_free(&p);  // header-write failure
     if (!(e->ofmt->oformat->flags & AVFMT_NOFILE) && e->ofmt->pb)
         avio_closep(&e->ofmt->pb);
     if (e->sws) sws_freeContext(e->sws);

@@ -222,3 +222,31 @@ def test_wav_roundtrip_via_stdlib():
     assert w.getnchannels() == 2
     assert w.getframerate() == 22050
     assert w.getnframes() == 500
+
+
+def test_overlay_many_fft_path_drops_out_of_range():
+    """FFT-path overlay_many must drop events starting past the target's end
+    (cpp:1146 truncation): left in the impulse train they would wrap the
+    circular convolution into the head of the mix (ADVICE r1)."""
+    import jax.numpy as jnp
+
+    from libnativecpurenderer_tpu.ops import audio_ops
+
+    rng = np.random.default_rng(9)
+    N, n, n_ev = 10000, 20000, 64            # n_ev * n > 1<<20 -> FFT path
+    t = rng.standard_normal((N, 2)) * 0.1
+    s = rng.standard_normal((n, 2)) * 0.1
+    starts = rng.integers(0, N - 1, n_ev)
+    starts[0] = 15000                         # past the end: must vanish
+    starts[1] = N                             # exactly at the end
+    starts[2] = N + n                         # far past
+
+    out = np.asarray(audio_ops.overlay_many(
+        jnp.asarray(t), jnp.asarray(s), jnp.asarray(starts, jnp.int32)))
+
+    golden = t.copy()
+    for st in starts:
+        if st >= N:
+            continue
+        golden[st:] += s[: N - st]
+    np.testing.assert_allclose(out, golden, atol=1e-9)
