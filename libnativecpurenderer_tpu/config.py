@@ -43,3 +43,21 @@ def default_dtype():
 # Texture atlas geometry (see atlas.py)
 ATLAS_WIDTH = 4096
 ATLAS_INIT_HEIGHT = 1024
+
+# Canvas flush strategy (see ops/patch_exec.py):
+#   "auto" — segmented executor: patch-sized commands ride the aliasing
+#            DUS loop with region/MXU sampling, oversized ones the full
+#            scan (~16x faster at 1080p than "scan")
+#   "scan" — the round-1 single-scan executor (A/B reference)
+_flush_mode = "auto"
+
+
+def set_flush_mode(mode: str) -> None:
+    global _flush_mode
+    if mode not in ("auto", "scan"):
+        raise ValueError(f"unknown flush mode {mode!r}")
+    _flush_mode = mode
+
+
+def flush_mode() -> str:
+    return _flush_mode

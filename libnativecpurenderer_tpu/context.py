@@ -26,6 +26,7 @@ from .core import transform as xf
 from .core.state import RenderState
 from .ops import commands as C
 from .ops import executor
+from .ops import patch_exec
 from .texture import HitEffectTexture, Texture
 
 
@@ -88,6 +89,16 @@ class RenderContext:
         if self._cmds.n == 0:
             return
         kinds, params = self._cmds.snapshot()
+        if config.flush_mode() == "auto":
+            self._flush_segmented(kinds, params)
+        else:
+            self._flush_scan(kinds, params)
+        self._cmds.clear()
+        self._max_sampling_extent = 0.0
+
+    def _flush_scan(self, kinds, params) -> None:
+        """Round-1 path: one lax.scan over the whole list (A/B reference;
+        also what sharded band rendering uses)."""
         b = C.bucket_for(kinds.shape[0])
         kp = np.zeros(b, np.int32)
         kp[: kinds.shape[0]] = kinds
@@ -97,8 +108,63 @@ class RenderContext:
         self._fb = executor._run(
             self._fb, jnp.asarray(kp), jnp.asarray(pp), self._store.device,
             patch, patch_big)
-        self._cmds.clear()
-        self._max_sampling_extent = 0.0
+
+    def _flush_segmented(self, kinds, params) -> None:
+        """Production path (ops/patch_exec.py): order-preserving segments.
+
+        Consecutive patch / full-arith segments fold into ONE packed
+        upload + ONE render_flush execution (the axon tunnel costs ~1 ms
+        per queue item even pipelined, so per-segment dispatch would pay
+        2-3 ms of pure transport each).  Full-frame *sampling* commands
+        (whole-atlas gathers) dispatch on the round-1 scan in between.
+        """
+        atlas = self._store.device
+        segs = patch_exec.plan_segments(kinds, params, self.width,
+                                        self.height, atlas.shape)
+        group: list = []
+        for seg in segs:
+            if seg[0] == "fullsamp":
+                self._dispatch_group(group, kinds, params, atlas)
+                group = []
+                _, lo, hi = seg
+                b = C.bucket_for(hi - lo)
+                kp = np.zeros(b, np.int32)
+                kp[: hi - lo] = kinds[lo:hi]
+                pp = np.zeros((b, C.PARAM_W), self._dtype)
+                pp[: hi - lo] = params[lo:hi]
+                self._fb = executor._run(
+                    self._fb, jnp.asarray(kp), jnp.asarray(pp), atlas, 0, 0)
+            else:
+                group.append(seg)
+        self._dispatch_group(group, kinds, params, atlas)
+
+    def _dispatch_group(self, group, kinds, params, atlas) -> None:
+        """One packed upload + one render_flush call for a run of
+        patch/fullarith segments."""
+        if not group:
+            return
+        lo0 = group[0][1] if group[0][0] == "fullarith" else group[0][3]
+        hi_last = group[-1][2] if group[-1][0] == "fullarith" \
+            else group[-1][4]
+        ncmds = hi_last - lo0
+        nbase = patch_exec.len_bucket(ncmds)
+        packed = np.zeros((nbase + len(group), patch_exec.PACKED_W),
+                          self._dtype)
+        packed[:ncmds, : C.PARAM_W] = params[lo0:hi_last]
+        plan = []
+        for k, seg in enumerate(group):
+            if seg[0] == "patch":
+                _, P, R, lo, hi, sels, with_region = seg
+                packed[lo - lo0: hi - lo0, C.PARAM_W] = sels
+                plan.append(("patch", P, R, with_region))
+            else:
+                _, lo, hi = seg
+                packed[lo - lo0: hi - lo0, C.PARAM_W] = kinds[lo:hi]
+                plan.append(("fullarith",))
+            packed[nbase + k, 0] = lo - lo0
+            packed[nbase + k, 1] = hi - lo
+        self._fb = patch_exec.render_flush(
+            self._fb, jnp.asarray(packed), atlas, tuple(plan), nbase)
 
     # ------------------------------------------------------------------ #
     # transform / state (host-side, cpp:277-309, 386-492, 623-641)
@@ -178,10 +244,22 @@ class RenderContext:
                x0 + vx * hw, y0 + vy * hw,
                x1 + vx * hw, y1 + vy * hw,
                x1 - vx * hw, y1 - vy * hw]
-        # The reference scans the whole framebuffer (cpp:908-909); the
-        # polygon membership test decides coverage, so a full-screen AABB is
-        # semantically exact (and robust to degenerate inverse transforms).
-        self._record(C.KIND_LINE, self._full_box(), pts + [r, g, b, a])
+        # The reference scans the whole framebuffer (cpp:908-909) and lets
+        # the even-odd polygon test decide coverage.  A pixel is covered
+        # iff its inverse-mapped point lies in the quad, i.e. iff the pixel
+        # lies in the forward-transformed quad — so the transformed
+        # corners' AABB (with a 1 px guard on the open ends) is an *exact*
+        # coverage superset, which keeps small lines on the patch executor.
+        m = self._state.matrix
+        cs = [xf.transform_point(m, pts[i], pts[i + 1])
+              for i in range(0, 8, 2)]
+        tx = [c[0] for c in cs]
+        ty = [c[1] for c in cs]
+        box = (max(0.0, min(float(self.width), math.floor(min(tx)))),
+               max(0.0, min(float(self.width), max(tx) + 1.0)),
+               max(0.0, min(float(self.height), math.floor(min(ty)))),
+               max(0.0, min(float(self.height), max(ty) + 1.0)))
+        self._record(C.KIND_LINE, box, pts + [r, g, b, a])
 
     def draw_vertical_grd(self, x, y, width, height,
                           top_r, top_g, top_b, top_a,
@@ -209,9 +287,12 @@ class RenderContext:
     def _tex_specific(self, tex, x, y, width, height):
         scale_x = tex.width / width
         scale_y = tex.height / height
-        ox, oy, tw, th = tex.atlas_region
+        # resolve against THIS context's store: textures created under a
+        # different default dtype live in another store and are migrated on
+        # first use (texture.region_for)
+        ox, oy = tex.region_for(self._store)
         return [x, y, x + width, y + height, scale_x, scale_y,
-                float(ox), float(oy), float(tw), float(th)]
+                float(ox), float(oy), float(tex.width), float(tex.height)]
 
     def draw_texture(self, tex: Texture, x, y, w, h):
         if w == 0 or h == 0:  # cpp:726
@@ -245,12 +326,20 @@ class RenderContext:
         spec += [u_start, u_end, v_start, v_end]
         self._record_sampling(C.KIND_SPLIT_TEX, box, spec)
 
+    def _pixel_box(self, xi: int, yi: int):
+        # single-pixel AABB (clamped like SetPixel's bounds check,
+        # cpp:498-501) so pixel writes ride the patch executor
+        return (float(max(0, min(self.width, xi))),
+                float(max(0, min(self.width, xi + 1))),
+                float(max(0, min(self.height, yi))),
+                float(max(0, min(self.height, yi + 1))))
+
     def set_pixel(self, x, y, r, g, b, a):
-        self._record(C.KIND_SET_PIXEL, self._full_box(),
+        self._record(C.KIND_SET_PIXEL, self._pixel_box(int(x), int(y)),
                      [float(int(x)), float(int(y)), r, g, b, a])
 
     def apply_pixel(self, x, y, r, g, b, a):
-        self._record(C.KIND_APPLY_PIXEL, self._full_box(),
+        self._record(C.KIND_APPLY_PIXEL, self._pixel_box(int(x), int(y)),
                      [float(int(x)), float(int(y)), r, g, b, a])
 
     # ------------------------------------------------------------------ #

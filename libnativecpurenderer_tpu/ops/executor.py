@@ -74,7 +74,12 @@ def _tex_uv(p, ix, iy):
     return (ix - p[14]) * p[18], (iy - p[15]) * p[19]
 
 
-def _build_branches(X, Y, atlas_flat, atlas_w, dtype):
+def _build_branches(X, Y, atlas_flat, atlas_w, dtype, no_sampling=False):
+    """Per-kind (mask, rgba, store) branch table over the (X, Y) pixel
+    grid.  ``no_sampling=True`` replaces the atlas-reading branches with
+    noops (the patch executor routes sampling kinds to its own
+    region-bounded branches and must never reference the atlas inside a
+    switch — ops/patch_exec.py)."""
     zeros_rgba = jnp.zeros(X.shape + (4,), dtype)
     false_mask = jnp.zeros(X.shape, bool)
     t_true = jnp.array(True)
@@ -213,6 +218,8 @@ def _build_branches(X, Y, atlas_flat, atlas_w, dtype):
         r, g, b, a = apply_ct(p, *_rgba_const(p, 16))
         return m, pack(r, g, b, a), t_false
 
+    if no_sampling:
+        b_tex = b_tex_fast = b_split_tex = b_hiteffect = b_noop
     return [
         b_noop, b_set_color, b_fill, b_rect, b_circle, b_line, b_vgrd,
         b_tex, b_tex_fast, b_split_tex, b_hiteffect, b_set_pixel,

@@ -1,0 +1,579 @@
+"""Patch-bounded display-list executor (the fast canvas path).
+
+The round-1 executor paid ~0.7 ms/command at 1080p: ``lax.cond`` around the
+framebuffer rewrite defeats XLA's in-place aliasing of the 33 MB scan carry
+(ROADMAP).  Measured on v5e (tools/exp_patch_scan.py, exp_patch_prod.py):
+a loop whose fb path is an *unconditional* ``dynamic_slice -> blend ->
+dynamic_update_slice`` chain aliases in place at ~43 us/command, with any
+``lax.switch`` confined to PATCH-sized values.  This module is that
+production executor:
+
+* one loop step per command; the fb update is always slice/blend/update of
+  a (P, P) window at the command's AABB — commands routed here by
+  ``context.flush`` are guaranteed to fit P;
+* texture sampling never gathers from (or even touches) the full atlas
+  inside a branch: the loop body unconditionally ``dynamic_slice``s the
+  command's (R, R, 4) texel region — contiguous HBM read, host-verified to
+  cover the command's footprint — and the branches sample that small
+  region either by one-hot MXU matmuls (separable = axis-aligned mappings;
+  exact under Precision.HIGHEST) or by a region-confined gather (rotated
+  transforms).  Keeping the atlas out of the conditional branches matters:
+  an atlas-sized ``dynamic_slice`` inside ``lax.switch`` made XLA copy the
+  whole atlas every iteration (measured: 3.3 ms/command with a 64 MB
+  atlas, scaling linearly with atlas size — tools/exp_bisect_bench.py);
+* the command count is a *dynamic* scalar driving ``lax.fori_loop``, so one
+  compilation per (fb shape, P, R) serves every display-list length with
+  zero padding cost.
+
+Commands whose texel footprint exceeds R (or whose AABB exceeds the
+largest patch) run on the round-1 full-frame scan instead
+(``plan_segments`` routes them to a "full" segment).
+
+Semantics are identical to ops/executor.py (same branch math, same blend,
+same reference quirks — cpp:515-549, 555-573, 720-948); the golden suite
+runs both paths and compares bit-for-bit
+(tests/test_fuzz_canvas.py::test_fuzz_segmented_vs_scan).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import commands as C
+from . import executor
+from . import noise
+
+# sampling routes (host-computed in context.flush / plan_segments)
+ROUTE_MXU = 0       # separable mapping, footprint fits R
+ROUTE_REGION = 1    # non-separable, footprint fits R
+ROUTE_FULL = 2      # footprint exceeds R: full-frame scan segment
+
+_SAMPLING_KINDS_T = (C.KIND_TEX, C.KIND_TEX_FAST, C.KIND_SPLIT_TEX,
+                     C.KIND_HITEFFECT)
+_SAMPLING_KINDS = frozenset(_SAMPLING_KINDS_T)
+
+
+def sel_for(kind: int, route) -> int:
+    """Switch index for a command: arith kinds use the executor branch
+    table directly; fitted sampling gets dedicated region branches."""
+    if route is None:
+        return kind
+    assert route in (ROUTE_MXU, ROUTE_REGION), "ROUTE_FULL is not patchable"
+    return C.N_KINDS + (kind - C.KIND_TEX) * 2 + route
+
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _clamp_uv(u, size):
+    """InterpolateColorFromBuffer clamp quirk (cpp:560-563): [0, size-2]."""
+    u = jnp.where(u < 0.0, jnp.zeros_like(u), u)
+    return jnp.where(u >= size - 1.0, size - 2.0, u)
+
+
+def _kind_uv(p, kind, ix_raw, iy_raw, ivx, ivy):
+    """Shared uv math for a sampling ``kind``: membership + clamped texel
+    coords, given raw pixel coords and inverse-mapped coords (any shape).
+    Mirrors ops/executor.py's branches exactly."""
+    if kind == C.KIND_TEX_FAST:
+        ix, iy = ix_raw, iy_raw
+        member = None  # all-true
+    elif kind == C.KIND_HITEFFECT:
+        fast = p[29] > 0.0
+        ix = jnp.where(fast, ix_raw, ivx)
+        iy = jnp.where(fast, iy_raw, ivy)
+        member = fast | ((ix >= p[14]) & (ix <= p[16])
+                         & (iy >= p[15]) & (iy <= p[17]))
+    else:
+        ix, iy = ivx, ivy
+        member = ((ix >= p[14]) & (ix <= p[16])
+                  & (iy >= p[15]) & (iy <= p[17]))
+    u = (ix - p[14]) * p[18]
+    v = (iy - p[15]) * p[19]
+    if kind == C.KIND_SPLIT_TEX:
+        tw, th = p[22], p[23]
+        u = (p[24] + (p[25] - p[24]) * u / tw) * tw
+        v = (p[26] + (p[27] - p[26]) * v / th) * th
+    uc = _clamp_uv(u, p[22])
+    vc = _clamp_uv(v, p[23])
+    ui = uc.astype(jnp.int32) + p[20].astype(jnp.int32)
+    vi = vc.astype(jnp.int32) + p[21].astype(jnp.int32)
+    return ui, vi, uc, vc, member
+
+
+def _corner_origin(p, kind, px0, py0, P, AH, AW, R, dtype):
+    """(v0, u0) scalar region origin for one sampling kind: texel indices
+    are affine in screen coords (then clamped monotonically), so the grid
+    min is attained at the patch-window corners."""
+    cx = px0.astype(dtype) + jnp.asarray([0.0, P - 1.0, 0.0, P - 1.0],
+                                         dtype)
+    cy = py0.astype(dtype) + jnp.asarray([0.0, 0.0, P - 1.0, P - 1.0],
+                                         dtype)
+    ivx = p[0] * cx + p[2] * cy + p[4]
+    ivy = p[1] * cx + p[3] * cy + p[5]
+    ui, vi, _, _, _ = _kind_uv(p, kind, cx, cy, ivx, ivy)
+    u0 = jnp.clip(jnp.min(ui), 0, AW - R)
+    v0 = jnp.clip(jnp.min(vi), 0, AH - R)
+    return v0.astype(jnp.int32), u0.astype(jnp.int32)
+
+
+def _build_region_branches(P, R, px0, py0, Xp, Yp, dtype):
+    """The 8 fitted-sampling branches (4 kinds x {MXU, region-gather}).
+    Operand = (p, region, u0, v0); the atlas itself is never touched here.
+    """
+    xs1 = px0.astype(dtype) + lax.broadcasted_iota(dtype, (P,), 0)
+    ys1 = py0.astype(dtype) + lax.broadcasted_iota(dtype, (P,), 0)
+    jR = jnp.arange(R, dtype=jnp.int32)
+    t_false = jnp.array(False)
+
+    def apply_ct(p, r, g, b, a):
+        return r * p[10], g * p[11], b * p[12], a * p[13]
+
+    def pack(r, g, b, a):
+        bc = jnp.broadcast_to
+        sh = (P, P)
+        return jnp.stack(
+            [bc(r, sh).astype(dtype), bc(g, sh).astype(dtype),
+             bc(b, sh).astype(dtype), bc(a, sh).astype(dtype)], axis=-1)
+
+    def aabb_1d(p):
+        return ((xs1 >= p[6]) & (xs1 < p[7]),
+                (ys1 >= p[8]) & (ys1 < p[9]))
+
+    # ------------------------------------------------------------------ #
+    # separable (axis-aligned) MXU path: 1-D per-axis texel indices,
+    # one-hot selection matmuls — no gather at all
+    # ------------------------------------------------------------------ #
+    def mk_mxu(kind):
+        def br(args):
+            p, region, u0, v0 = args
+            ivx = p[0] * xs1 + p[4]      # separable: p[1] == p[2] == 0
+            ivy = p[3] * ys1 + p[5]
+            ui, vi, uc, vc, _ = _kind_uv(p, kind, xs1, ys1, ivx, ivy)
+            rsel = (vi[:, None] - v0 == jR[None, :]).astype(dtype)  # (P,R)
+            csel = (jR[:, None] == ui[None, :] - u0).astype(dtype)  # (R,P)
+            # one-hot selection rides the MXU; HIGHEST keeps f32 exact
+            texel = jnp.einsum("pj,jic,iq->pqc", rsel,
+                               region.astype(dtype), csel,
+                               precision=_HIGH)
+            if kind == C.KIND_HITEFFECT:
+                tw, th = p[22], p[23]
+                tx = jnp.floor(uc)[None, :]          # col-wise
+                ty = jnp.floor(vc)[:, None]          # row-wise
+                na = noise.hit_effect_alpha(ty / tw, tx / th, p[24], p[25])
+                a = na * texel[..., 3]
+                r, g, b, a = apply_ct(p, p[26], p[27], p[28], a)
+            else:
+                r, g, b, a = apply_ct(p, texel[..., 0], texel[..., 1],
+                                      texel[..., 2], texel[..., 3])
+            acol, arow = aabb_1d(p)
+            mask = _sep_mask(p, kind, ivx, ivy, acol, arow)
+            return mask, pack(r, g, b, a), t_false
+        return br
+
+    def _sep_mask(p, kind, ivx, ivy, acol, arow):
+        if kind == C.KIND_TEX_FAST:
+            mcol = jnp.ones((P,), bool)
+            mrow = jnp.ones((P,), bool)
+        elif kind == C.KIND_HITEFFECT:
+            fast = p[29] > 0.0
+            ix = jnp.where(fast, xs1, ivx)
+            iy = jnp.where(fast, ys1, ivy)
+            mcol = fast | ((ix >= p[14]) & (ix <= p[16]))
+            mrow = fast | ((iy >= p[15]) & (iy <= p[17]))
+        else:
+            mcol = (ivx >= p[14]) & (ivx <= p[16])
+            mrow = (ivy >= p[15]) & (ivy <= p[17])
+        return (mrow & arow)[:, None] & (mcol & acol)[None, :]
+
+    # ------------------------------------------------------------------ #
+    # non-separable region-gather path: full 2-D inverse mapping, gather
+    # confined to the (R, R) region
+    # ------------------------------------------------------------------ #
+    def mk_region(kind):
+        def br(args):
+            p, region, u0, v0 = args
+            ivx = p[0] * Xp + p[2] * Yp + p[4]
+            ivy = p[1] * Xp + p[3] * Yp + p[5]
+            ui, vi, uc, vc, member = _kind_uv(p, kind, Xp, Yp, ivx, ivy)
+            flat = (vi - v0) * R + (ui - u0)
+            texel = jnp.take(region.reshape(-1, 4).astype(dtype), flat,
+                             axis=0)
+            if kind == C.KIND_HITEFFECT:
+                tw, th = p[22], p[23]
+                na = noise.hit_effect_alpha(jnp.floor(vc) / tw,
+                                            jnp.floor(uc) / th,
+                                            p[24], p[25])
+                a = na * texel[..., 3]
+                r, g, b, a = apply_ct(p, p[26], p[27], p[28], a)
+            else:
+                r, g, b, a = apply_ct(p, texel[..., 0], texel[..., 1],
+                                      texel[..., 2], texel[..., 3])
+            aabb = ((Xp >= p[6]) & (Xp < p[7])
+                    & (Yp >= p[8]) & (Yp < p[9]))
+            mask = aabb if member is None else (member & aabb)
+            return mask, pack(r, g, b, a), t_false
+        return br
+
+    out = []
+    for kind in _SAMPLING_KINDS_T:
+        out.append(mk_mxu(kind))
+        out.append(mk_region(kind))
+    return out
+
+
+def render_patch_list(fb, sels, params, n, atlas, P: int, R: int,
+                      with_region: bool = True):
+    """Fold ``n`` patch-sized commands into fb (pure function).
+
+    fb: (H, W, 4); sels: (Nmax,) i32 switch indices (see ``sel_for``);
+    params: (Nmax, PARAM_W) fb.dtype; n: dynamic i32 count; P/R static.
+    ``with_region=False`` compiles the arith-only variant (no sampling
+    sels allowed): it skips the per-command region staging, whose
+    ~1 MB/iteration contiguous read is pure waste for gather-free kinds.
+    """
+    H, W = fb.shape[0], fb.shape[1]
+    AH, AW = atlas.shape[0], atlas.shape[1]
+    assert R <= AH and R <= AW, (R, atlas.shape)
+    dtype = fb.dtype
+
+    if not with_region:
+        def body_arith(i, fb):
+            sel = lax.dynamic_index_in_dim(sels, i, keepdims=False)
+            p = lax.dynamic_index_in_dim(params, i, keepdims=False)
+            px0 = jnp.clip(p[6].astype(jnp.int32), 0, W - P)
+            py0 = jnp.clip(p[8].astype(jnp.int32), 0, H - P)
+            Xp = px0.astype(dtype) + lax.broadcasted_iota(dtype, (P, P), 1)
+            Yp = py0.astype(dtype) + lax.broadcasted_iota(dtype, (P, P), 0)
+            branches = executor._build_branches(Xp, Yp, None, AW, dtype,
+                                                no_sampling=True)
+            mask, rgba, store = lax.switch(sel, branches, p)
+            old = lax.dynamic_slice(fb, (py0, px0, jnp.int32(0)),
+                                    (P, P, 4))
+            new = executor._blend_into(old, mask, rgba, store)
+            return lax.dynamic_update_slice(fb, new,
+                                            (py0, px0, jnp.int32(0)))
+
+        return lax.fori_loop(0, n, body_arith, fb)
+
+    # scalar-only region-origin switch (arith kinds -> (0, 0))
+    def origin_noop(p, px0, py0):
+        z = jnp.int32(0)
+        return z, z
+
+    origin_branches = []
+    for kind in range(C.N_KINDS):
+        if kind in _SAMPLING_KINDS:
+            origin_branches.append(
+                lambda p, px0, py0, kind=kind: _corner_origin(
+                    p, kind, px0, py0, P, AH, AW, R, dtype))
+        else:
+            origin_branches.append(origin_noop)
+    for kind in _SAMPLING_KINDS_T:
+        for _route in (ROUTE_MXU, ROUTE_REGION):
+            origin_branches.append(
+                lambda p, px0, py0, kind=kind: _corner_origin(
+                    p, kind, px0, py0, P, AH, AW, R, dtype))
+
+    def body(i, fb):
+        sel = lax.dynamic_index_in_dim(sels, i, keepdims=False)
+        p = lax.dynamic_index_in_dim(params, i, keepdims=False)
+        px0 = jnp.clip(p[6].astype(jnp.int32), 0, W - P)
+        py0 = jnp.clip(p[8].astype(jnp.int32), 0, H - P)
+        # region staging is UNCONDITIONAL: an atlas-sized dynamic_slice
+        # inside lax.switch makes XLA copy the whole atlas per iteration
+        v0, u0 = lax.switch(sel, origin_branches, p, px0, py0)
+        region = lax.dynamic_slice(atlas, (v0, u0, jnp.int32(0)),
+                                   (R, R, 4))
+        Xp = px0.astype(dtype) + lax.broadcasted_iota(dtype, (P, P), 1)
+        Yp = py0.astype(dtype) + lax.broadcasted_iota(dtype, (P, P), 0)
+        # arith branches ignore the region operand
+        ar = executor._build_branches(Xp, Yp, None, AW, dtype,
+                                      no_sampling=True)
+        arith = [lambda args, b=b: b(args[0]) for b in ar]
+        branches = arith + _build_region_branches(P, R, px0, py0, Xp, Yp,
+                                                  dtype)
+        mask, rgba, store = lax.switch(sel, branches, (p, region, u0, v0))
+        old = lax.dynamic_slice(fb, (py0, px0, jnp.int32(0)), (P, P, 4))
+        new = executor._blend_into(old, mask, rgba, store)
+        return lax.dynamic_update_slice(fb, new, (py0, px0, jnp.int32(0)))
+
+    return lax.fori_loop(0, n, body, fb)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6, 7))
+def _run(fb, sels, params, n, atlas, P: int, R: int,
+         with_region: bool = True):
+    return render_patch_list(fb, sels, params, n, atlas, P, R, with_region)
+
+
+# --------------------------------------------------------------------- #
+# whole-flush executor: ONE upload + ONE execution per flush
+# --------------------------------------------------------------------- #
+#
+# The axon tunnel costs ~1 ms per queue item (transfer or execution) even
+# fully pipelined (tools/exp_dispatch_cost.py), so a flush that dispatches
+# per segment pays 2-3 ms of pure transport per segment.  render_flush
+# folds every segment of a flush into a single jitted call keyed on the
+# static segment plan; command rows and per-segment (lo, n) bounds travel
+# in one packed array.  Layout: rows [0, nbase) are commands (cols 0-31 =
+# params, col 32 = switch sel), row nbase+k holds segment k's (lo, n) in
+# cols 0-1.  Counts stay dynamic, so one compilation per plan structure
+# serves all frames with that shape.
+
+PACKED_W = C.PARAM_W + 1
+
+
+def _patch_span(fb, sels, params, lo, n, atlas, P, R, with_region, dtype):
+    H, W = fb.shape[0], fb.shape[1]
+    AH, AW = atlas.shape[0], atlas.shape[1]
+
+    def body(i, fb):
+        idx = lo + i
+        sel = lax.dynamic_index_in_dim(sels, idx, keepdims=False)
+        p = lax.dynamic_index_in_dim(params, idx, keepdims=False)
+        px0 = jnp.clip(p[6].astype(jnp.int32), 0, W - P)
+        py0 = jnp.clip(p[8].astype(jnp.int32), 0, H - P)
+        Xp = px0.astype(dtype) + lax.broadcasted_iota(dtype, (P, P), 1)
+        Yp = py0.astype(dtype) + lax.broadcasted_iota(dtype, (P, P), 0)
+        if with_region:
+            origin_branches = _origin_table(P, AH, AW, R, dtype)
+            v0, u0 = lax.switch(sel, origin_branches, p, px0, py0)
+            # region staging is UNCONDITIONAL: an atlas-sized
+            # dynamic_slice inside lax.switch makes XLA copy the whole
+            # atlas per iteration (tools/exp_bisect_bench.py)
+            region = lax.dynamic_slice(atlas, (v0, u0, jnp.int32(0)),
+                                       (R, R, 4))
+            ar = executor._build_branches(Xp, Yp, None, AW, dtype,
+                                          no_sampling=True)
+            arith = [lambda args, b=b: b(args[0]) for b in ar]
+            branches = arith + _build_region_branches(P, R, px0, py0,
+                                                      Xp, Yp, dtype)
+            mask, rgba, store = lax.switch(sel, branches,
+                                           (p, region, u0, v0))
+        else:
+            branches = executor._build_branches(Xp, Yp, None, AW, dtype,
+                                                no_sampling=True)
+            mask, rgba, store = lax.switch(sel, branches, p)
+        old = lax.dynamic_slice(fb, (py0, px0, jnp.int32(0)), (P, P, 4))
+        new = executor._blend_into(old, mask, rgba, store)
+        return lax.dynamic_update_slice(fb, new, (py0, px0, jnp.int32(0)))
+
+    return lax.fori_loop(0, n, body, fb)
+
+
+def _origin_table(P, AH, AW, R, dtype):
+    def origin_noop(p, px0, py0):
+        z = jnp.int32(0)
+        return z, z
+
+    table = []
+    for kind in range(C.N_KINDS):
+        if kind in _SAMPLING_KINDS:
+            table.append(lambda p, px0, py0, kind=kind: _corner_origin(
+                p, kind, px0, py0, P, AH, AW, R, dtype))
+        else:
+            table.append(origin_noop)
+    for kind in _SAMPLING_KINDS_T:
+        for _route in (ROUTE_MXU, ROUTE_REGION):
+            table.append(lambda p, px0, py0, kind=kind: _corner_origin(
+                p, kind, px0, py0, P, AH, AW, R, dtype))
+    return table
+
+
+def _full_span(fb, sels, params, lo, n, atlas, dtype):
+    """Full-frame arith commands (fill/set_color/huge rects...): one
+    whole-fb blend per command, gather-free branches only."""
+    H, W = fb.shape[0], fb.shape[1]
+    X = lax.broadcasted_iota(dtype, (H, W), 1)
+    Y = lax.broadcasted_iota(dtype, (H, W), 0)
+    branches = executor._build_branches(X, Y, None, atlas.shape[1], dtype,
+                                        no_sampling=True)
+
+    def body(i, fb):
+        idx = lo + i
+        sel = lax.dynamic_index_in_dim(sels, idx, keepdims=False)
+        p = lax.dynamic_index_in_dim(params, idx, keepdims=False)
+        mask, rgba, store = lax.switch(sel, branches, p)
+        return executor._blend_into(fb, mask, rgba, store)
+
+    return lax.fori_loop(0, n, body, fb)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3, 4))
+def render_flush(fb, packed, atlas, plan: tuple, nbase: int):
+    """Execute a whole flush plan in one device program.
+
+    packed: (nbase + len(plan), PACKED_W) fb.dtype — see module comment.
+    plan: static tuple of ('patch', P, R, with_region) / ('fullarith',).
+    """
+    dtype = fb.dtype
+    params = packed[:, : C.PARAM_W]
+    sels = packed[:, C.PARAM_W].astype(jnp.int32)
+    for k, seg in enumerate(plan):
+        lo = packed[nbase + k, 0].astype(jnp.int32)
+        n = packed[nbase + k, 1].astype(jnp.int32)
+        if seg[0] == "patch":
+            _, P, R, with_region = seg
+            fb = _patch_span(fb, sels, params, lo, n, atlas, P, R,
+                             with_region, dtype)
+        else:
+            fb = _full_span(fb, sels, params, lo, n, atlas, dtype)
+    return fb
+
+
+# --------------------------------------------------------------------- #
+# host-side flush planning
+# --------------------------------------------------------------------- #
+
+PATCH_SIZES = (128, 256, 512)
+# command-array length buckets; the loop trip count is dynamic, so padding
+# is never executed — buckets only bound the number of compiled variants
+LEN_BUCKETS = (16, 64, 256, 1024, 4096)
+# texel indices can shift by a pixel between host f64 planning and device
+# f32 math; keep the footprint this far under R so the one-hot/gather
+# windows always cover
+_R_MARGIN = 8
+
+
+def _sampling_route(kind, p, P, W, H, r_choices):
+    """Route + region size for one sampling command, from exact host f64
+    math over the (P, P) patch window the device will evaluate."""
+    px0 = min(max(int(p[6]), 0), W - P)
+    py0 = min(max(int(p[8]), 0), H - P)
+    xs = np.array([px0, px0 + P - 1, px0, px0 + P - 1], np.float64)
+    ys = np.array([py0, py0, py0 + P - 1, py0 + P - 1], np.float64)
+    fast = kind == C.KIND_TEX_FAST or (
+        kind == C.KIND_HITEFFECT and p[29] > 0.0)
+    sep = fast or (p[1] == 0.0 and p[2] == 0.0)
+    if fast:
+        ix, iy = xs, ys
+    else:
+        ix = p[0] * xs + p[2] * ys + p[4]
+        iy = p[1] * xs + p[3] * ys + p[5]
+    u = (ix - p[14]) * p[18]
+    v = (iy - p[15]) * p[19]
+    tw, th = p[22], p[23]
+    if kind == C.KIND_SPLIT_TEX:
+        u = (p[24] + (p[25] - p[24]) * u / tw) * tw
+        v = (p[26] + (p[27] - p[26]) * v / th) * th
+    # the affine map attains extrema at window corners; clamping (the
+    # cpp:560-563 quirk) only shrinks the span
+    u = np.clip(u, 0.0, max(tw - 2.0, 0.0))
+    v = np.clip(v, 0.0, max(th - 2.0, 0.0))
+    ui = u.astype(np.int64)
+    vi = v.astype(np.int64)
+    need = max(ui.max() - ui.min(), vi.max() - vi.min()) + 1
+    for r in r_choices:
+        if need <= r - _R_MARGIN:
+            return (ROUTE_MXU if sep else ROUTE_REGION), r
+    return ROUTE_FULL, 0
+
+
+def plan_segments(kinds, params, W, H, atlas_shape):
+    """Split a recorded command list into ordered executor segments.
+
+    Returns a list of
+      ('patch', P, R, lo, hi, sels, with_region)  — patch loop
+      ('fullarith', lo, hi)                       — full-frame, gather-free
+      ('fullsamp', lo, hi)                        — full-frame sampling
+                                                    (round-1 scan path)
+    covering [0, n) contiguously — blending is order-dependent, so
+    segments execute in sequence.  context.flush folds consecutive
+    patch/fullarith segments into ONE render_flush call; fullsamp
+    segments (big texture blits: whole-atlas gathers) dispatch on the
+    old scan executor.
+    """
+    n = len(kinds)
+    sizes = [s for s in PATCH_SIZES if s <= min(W, H)]
+    r_choices = [r for r in (128, 256, 512)
+                 if r <= min(atlas_shape[0], atlas_shape[1])]
+    # region slices are unconditional in the sampling loop body, so R must
+    # be a valid atlas slice
+    r_floor = min(128, atlas_shape[0], atlas_shape[1])
+
+    # pass 1: patch-size class per command (None -> full-frame scan)
+    Ps = []
+    for i in range(n):
+        p = params[i]
+        ext = max(p[7] - p[6], p[9] - p[8])
+        Ps.append(next((s for s in sizes if ext <= s), None))
+
+    # pass 2: group consecutive same-class commands; a patch group's P is
+    # its max (safe: any member fits a larger window).  Routes are
+    # computed against the group's final P; footprint-overflow (ROUTE_FULL)
+    # demotes the command to a full segment, splitting the group.
+    segs = []
+    i = 0
+    while i < n:
+        if Ps[i] is None:
+            j = i
+            while j < n and Ps[j] is None:
+                j += 1
+            segs.append(("full", i, j))
+            i = j
+            continue
+        j = i
+        P = 0
+        while j < n and Ps[j] is not None:
+            P = max(P, Ps[j])
+            j += 1
+        # routes for [i, j) under P; demotions split the run
+        lo = i
+        routes = []
+        for k_i in range(i, j):
+            k = int(kinds[k_i])
+            if k in _SAMPLING_KINDS:
+                route, rneed = (_sampling_route(k, params[k_i], P, W, H,
+                                                r_choices)
+                                if r_choices else (ROUTE_FULL, 0))
+            else:
+                route, rneed = None, 0
+            if route == ROUTE_FULL:
+                if k_i > lo:
+                    segs.append(_mk_patch(kinds, lo, k_i, P, routes,
+                                          r_floor))
+                segs.append(("full", k_i, k_i + 1))
+                lo = k_i + 1
+                routes = []
+            else:
+                routes.append((route, rneed))
+        if j > lo:
+            segs.append(_mk_patch(kinds, lo, j, P, routes, r_floor))
+        i = j
+
+    # split full segments by sampling-ness, merging adjacent same-type runs
+    out = []
+    for s in segs:
+        if s[0] != "full":
+            out.append(s)
+            continue
+        _, lo, hi = s
+        for k_i in range(lo, hi):
+            cls = ("fullsamp" if int(kinds[k_i]) in _SAMPLING_KINDS
+                   else "fullarith")
+            if out and out[-1][0] == cls and out[-1][2] == k_i:
+                out[-1] = (cls, out[-1][1], k_i + 1)
+            else:
+                out.append((cls, k_i, k_i + 1))
+    return out
+
+
+def _mk_patch(kinds, lo, hi, P, routes, r_floor):
+    R = max([r_floor] + [r for _, r in routes])
+    sels = [sel_for(int(kinds[lo + j]), routes[j][0])
+            for j in range(hi - lo)]
+    with_region = any(s >= C.N_KINDS for s in sels)
+    return ("patch", P, R, lo, hi, sels, with_region)
+
+
+def len_bucket(n: int) -> int:
+    for b in LEN_BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"display list too long for patch executor ({n})")

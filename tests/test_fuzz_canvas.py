@@ -113,3 +113,122 @@ def test_fuzz_commands_match_oracle(seed):
         np.abs(got[finite] - want[finite]).max())
     # non-finite positions (degenerate transforms) must match in location
     np.testing.assert_array_equal(np.isfinite(got), finite)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_segmented_vs_scan(seed):
+    """The segmented patch executor (ops/patch_exec.py) must be bit-exact
+    with the round-1 scan executor on a framebuffer large enough that
+    patch segments actually form (128 <= P <= 256)."""
+    from libnativecpurenderer_tpu import config
+
+    W2, H2 = 420, 300
+
+    def render(mode):
+        prev = config.flush_mode()
+        config.set_flush_mode(mode)
+        try:
+            rng = np.random.default_rng(1000 + seed)
+            texs = []
+            for i in range(2):
+                w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+                arr = rng.random((h, w, 4))
+                texs.append(R.Texture(w, h, True,
+                                      arr.astype(np.float64).tobytes(),
+                                      is_uint8=False))
+            ctx = R.RenderContext(W2, H2, True)
+            ctx.set_color(0.05, 0.05, 0.1, 1)
+            for _ in range(30):
+                op = rng.integers(0, 9)
+                if op == 0:
+                    ctx.draw_rect(rng.uniform(0, W2), rng.uniform(0, H2),
+                                  rng.uniform(1, 100), rng.uniform(1, 80),
+                                  *rng.uniform(0, 1, 4))
+                elif op == 1:
+                    ctx.draw_circle(rng.uniform(0, W2), rng.uniform(0, H2),
+                                    rng.uniform(1, 50), *rng.uniform(0, 1, 4))
+                elif op == 2:
+                    ctx.draw_line(rng.uniform(0, W2), rng.uniform(0, H2),
+                                  rng.uniform(0, W2), rng.uniform(0, H2),
+                                  rng.uniform(1, 5), *rng.uniform(0, 1, 4))
+                elif op == 3:
+                    ctx.draw_vertical_grd(rng.uniform(0, W2),
+                                          rng.uniform(0, H2),
+                                          rng.uniform(1, 90),
+                                          rng.uniform(1, 90),
+                                          *rng.uniform(0, 1, 8))
+                elif op == 4:
+                    # axis-aligned (separable MXU route when identity-ish)
+                    t = texs[rng.integers(2)]
+                    ctx.draw_texture(t, rng.uniform(0, W2),
+                                     rng.uniform(0, H2),
+                                     rng.uniform(4, 100),
+                                     rng.uniform(4, 100))
+                elif op == 5:
+                    t = texs[rng.integers(2)]
+                    ctx.draw_splitted_texture(
+                        t, rng.uniform(0, W2), rng.uniform(0, H2),
+                        rng.uniform(4, 100), rng.uniform(4, 100),
+                        *np.sort(rng.uniform(0, 1, 2)),
+                        *np.sort(rng.uniform(0, 1, 2)))
+                elif op == 6:
+                    # rotated + upscaled (region-gather route; a pure
+                    # rotation would pass the IsNoTransform sum quirk)
+                    ctx.save_state()
+                    ctx.scale(rng.uniform(1.2, 2.0), rng.uniform(1.2, 2.0))
+                    ctx.rotate(rng.uniform(-math.pi, math.pi))
+                    t = texs[rng.integers(2)]
+                    ctx.draw_texture(t, rng.uniform(0, W2 / 2),
+                                     rng.uniform(0, H2 / 2),
+                                     rng.uniform(4, 60), rng.uniform(4, 60))
+                    ctx.restore_state()
+                elif op == 7:
+                    ctx.fill_color(*rng.uniform(0, 0.3, 4))  # full segment
+                else:
+                    ctx.set_pixel(rng.integers(0, W2), rng.integers(0, H2),
+                                  *rng.uniform(0, 1, 4))
+            return ctx.numpy_buffer()
+        finally:
+            config.set_flush_mode(prev)
+
+    a = render("auto")
+    b = render("scan")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_plan_segments_routing():
+    """Planner sanity: arith/sampling segmentation + MXU/region routes."""
+    from libnativecpurenderer_tpu import config
+    from libnativecpurenderer_tpu.ops import commands as C
+    from libnativecpurenderer_tpu.ops import patch_exec
+
+    tex = R.Texture(8, 8, True, np.zeros((8, 8, 4)).tobytes(),
+                    is_uint8=False)
+    ctx = R.RenderContext(400, 300, True)
+    ctx.draw_rect(10, 10, 50, 40, 1, 0, 0, 1)          # patch arith
+    ctx.draw_texture(tex, 20, 20, 30, 30)              # separable -> MXU
+    ctx.save_state()
+    # rotation alone passes the IsNoTransform SUM test (cpp:551-553 quirk)
+    # and would take the fast path; rotation+upscale fails it -> TEX with
+    # a non-separable inverse -> region-gather route
+    ctx.scale(2.0, 2.0)
+    ctx.rotate(0.3)
+    ctx.draw_texture(tex, 30, 30, 20, 20)              # rotated -> REGION
+    ctx.restore_state()
+    ctx.fill_color(0, 0, 1, 0.5)                       # full-frame
+    ctx.draw_circle(200, 150, 20, 0, 1, 0, 1)          # patch arith
+
+    kinds, params = ctx._cmds.snapshot()
+    segs = patch_exec.plan_segments(kinds, params, 400, 300,
+                                    ctx._store.device.shape)
+    assert [s[0] for s in segs] == ["patch", "fullarith", "patch"]
+    _, P, Rr, lo, hi, sels, with_region = segs[0]
+    assert with_region
+    assert (lo, hi) == (0, 3)
+    assert sels[0] == C.KIND_RECT
+    # identity transform selects the TEX_FAST fast path (cpp:731-752)
+    assert sels[1] == patch_exec.sel_for(C.KIND_TEX_FAST,
+                                         patch_exec.ROUTE_MXU)
+    assert sels[2] == patch_exec.sel_for(C.KIND_TEX,
+                                         patch_exec.ROUTE_REGION)
+    ctx._cmds.clear()
