@@ -16,6 +16,10 @@ import time
 
 import numpy as np
 
+from libnativecpurenderer_tpu.utils.profiling import PhaseTimer
+
+TIMER = PhaseTimer()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -52,6 +56,12 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
     # ``flat`` = gatherless binning (sorted pair array straight into the
     # kernel); only the Pallas path understands it.
     ladder = [
+        dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
+             flat=True, kcc=16),
+        dict(tile_w=128, tile_h=8, span_x=3, span_y=12, capacity=512,
+             flat=True, kcc=16),
+        dict(tile_w=128, tile_h=16, span_x=2, span_y=6, capacity=512,
+             flat=True),
         dict(tile_w=128, tile_h=16, span_x=3, span_y=6, capacity=512,
              flat=True),
         dict(tile_w=128, tile_h=32, span_x=3, span_y=4, capacity=512,
@@ -83,8 +93,9 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
             # frame (a config must hold over the whole sequence) and as
             # cache warm-up (the tunnel charges ~30 ms per first-touch
             # round trip; production dispatch has none of this)
-            res = [fn(verts, faces, colors, width, height, mvp_for(i))
-                   for i in range(frames)]
+            with TIMER.phase("raster_warm_compile"):
+                res = [fn(verts, faces, colors, width, height, mvp_for(i))
+                       for i in range(frames)]
             if bool(jnp.any(jnp.stack([r[2] for r in res]))):
                 log(f"bin/span overflow with {candidate}; next config")
                 continue
@@ -108,12 +119,13 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
     best = None
     for _rep in range(3):
         outs = []
-        t0 = time.perf_counter()
-        for i in range(frames):
-            outs.append(render(verts, faces, colors, width, height,
-                               mvp_for(i))[0])
-        chk = checksum(outs)
-        dt = time.perf_counter() - t0
+        with TIMER.phase("raster_render"):
+            t0 = time.perf_counter()
+            for i in range(frames):
+                outs.append(render(verts, faces, colors, width, height,
+                                   mvp_for(i))[0])
+            chk = checksum(outs)
+            dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     log(f"checksum {chk:.1f}")
     dt = best
@@ -144,10 +156,11 @@ def bench_audio():
     warm.save_as_wav()
     best = None
     for _rep in range(3):
-        t0 = time.perf_counter()
-        target.overlay_many(sfx, offsets)
-        wav = target.save_as_wav()
-        dt = time.perf_counter() - t0
+        with TIMER.phase("audio_overlay_wav"):
+            t0 = time.perf_counter()
+            target.overlay_many(sfx, offsets)
+            wav = target.save_as_wav()
+            dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     dt = best
     xrt = dur / dt
@@ -162,11 +175,13 @@ def main():
         bench_audio()
     except Exception as e:  # aux bench must not break the primary metric
         log(f"audio bench failed: {e}")
+    phases = TIMER.report()
     print(json.dumps({
         "metric": "raster_1080p_10ktri_fps",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 1000.0, 4),
+        "phases_s": {k: round(v, 3) for k, v in phases.items()},
     }))
 
 

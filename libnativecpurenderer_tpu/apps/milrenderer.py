@@ -463,26 +463,32 @@ class Renderer:
         just replays the animation cursors; the reference always runs
         start-to-finish, SURVEY §5).  Audio is trimmed to the range.
         """
+        from ..utils.profiling import PhaseTimer
+        timer = self.timer = PhaseTimer()
         pkg = ChartPackage(chart_path)
 
         log.info("loading audio file")
         import tempfile
         import os
-        audio_bytes = pkg.read(pkg.meta["audio_file"])
-        suffix = os.path.splitext(pkg.meta["audio_file"])[1] or ".ogg"
-        with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
-            f.write(audio_bytes)
-            tmp_audio = f.name
-        try:
-            bgm = AudioClip.from_file(tmp_audio)
-        finally:
-            os.unlink(tmp_audio)
+        with timer.phase("load_audio"):
+            audio_bytes = pkg.read(pkg.meta["audio_file"])
+            suffix = os.path.splitext(pkg.meta["audio_file"])[1] or ".ogg"
+            with tempfile.NamedTemporaryFile(suffix=suffix,
+                                             delete=False) as f:
+                f.write(audio_bytes)
+                tmp_audio = f.name
+            try:
+                bgm = AudioClip.from_file(tmp_audio)
+            finally:
+                os.unlink(tmp_audio)
 
         log.info("loading chart file")
-        chart = chart_mod.Chart(pkg.read_json(pkg.meta["chart_file"]))
+        with timer.phase("load_chart"):
+            chart = chart_mod.Chart(pkg.read_json(pkg.meta["chart_file"]))
 
         log.info("mixing bgm")
-        self.mix_bgm(bgm, chart)
+        with timer.phase("mix_bgm"):
+            self.mix_bgm(bgm, chart)
 
         num_frames = int(bgm.duration * self.fps) + 1
         if end_frame is not None:
@@ -495,7 +501,8 @@ class Renderer:
         self.cap.initialize(output, hasAudio=not self.silent, a_clip=bgm)
 
         log.info("loading assets")
-        self.load_assets(pkg)
+        with timer.phase("load_assets"):
+            self.load_assets(pkg)
 
         log.info("rendering frames %d..%d", start_frame, num_frames)
         import jax.numpy as jnp
@@ -518,21 +525,28 @@ class Renderer:
             pipe = BatchedVideoPipeline(self.cap, self.w, self.h,
                                         self.batch_frames, fb0=static_fb)
             for i in frame_range:
-                self.draw_frame(chart, i / self.fps, hit_effects,
-                                include_static=False)
-                k, p = self.ctx._cmds.snapshot()
-                pipe.submit(k, p)
+                with timer.phase("record"):
+                    self.draw_frame(chart, i / self.fps, hit_effects,
+                                    include_static=False)
+                    k, p = self.ctx._cmds.snapshot()
+                with timer.phase("dispatch"):
+                    pipe.submit(k, p)
                 self.ctx._cmds.clear()
-            pipe.finish()
+            with timer.phase("dispatch"):
+                pipe.finish()
         else:
             for i in frame_range:
                 # executor flushes donate the framebuffer, so each frame
                 # starts from a fresh device copy of the snapshot
-                self.ctx._fb = jnp.copy(static_fb)
-                self.draw_frame(chart, i / self.fps, hit_effects,
-                                include_static=False)
-                self.cap.put_renderer_context_frame(self.ctx)
-        self.cap.release()
+                with timer.phase("record"):
+                    self.ctx._fb = jnp.copy(static_fb)
+                    self.draw_frame(chart, i / self.fps, hit_effects,
+                                    include_static=False)
+                with timer.phase("dispatch"):
+                    self.cap.put_renderer_context_frame(self.ctx)
+        with timer.phase("encode_release"):
+            self.cap.release()
+        timer.report(log)
 
 
 def build_parser() -> argparse.ArgumentParser:

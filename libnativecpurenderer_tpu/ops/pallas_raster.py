@@ -85,25 +85,26 @@ def _make_kernel(tile_h: int, tile_w: int, K: int, kcc: int = KCC):
             e1 = col(3) * X + col(4) * Y + col(5)
             e2 = col(6) * X + col(7) * Y + col(8)
             sg = col(12)
-            cov = (e0 * sg >= 0.0) & (e1 * sg >= 0.0) & (e2 * sg >= 0.0)
+            # min-form inside test: 2 mins + 1 cmp vs 3 cmps + 2 ands
+            m = jnp.minimum(jnp.minimum(e0 * sg, e1 * sg), e2 * sg)
             zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
-            cov &= (zz >= 0.0) & (zz <= 1.0)
-            zq = jnp.clip(zz * Z_LEVELS, 0, Z_LEVELS).astype(jnp.int32)
+            cov = (m >= 0.0) & (zz >= 0.0) & (zz <= 1.0)
+            # cov bounds zz to [0, 1] already; uncovered lanes' casts are
+            # garbage but discarded by the select, so no clip needed
+            zq = (zz * Z_LEVELS).astype(jnp.int32)
             ids = c * kcc + slot0
             keys = jnp.where(cov, (zq << IDX_BITS) | ids,
                              jnp.int32(SKY_KEY))
 
             cmin = jnp.min(keys, axis=0, keepdims=True)     # (1, P)
             win = (keys == cmin) & cov                      # (KCC, P)
-            ia = col(13)
-            w0 = e0 * ia
-            w1 = e1 * ia
-            w2 = e2 * ia
             upd = cmin < kacc
             outs = []
             for d, rd in enumerate((r0, r1, r2, r3)):
-                cd = (w0 * col(14 + d) + w1 * col(14 + D + d)
-                      + w2 * col(14 + 2 * D + d))
+                # attr columns carry attr*inv_area (build_table): the raw
+                # edge values are the barycentric weights directly
+                cd = (e0 * col(14 + d) + e1 * col(14 + D + d)
+                      + e2 * col(14 + 2 * D + d))
                 cd = jnp.where(win, cd, 0.0)
                 cdm = jnp.sum(cd, axis=0, keepdims=True)    # (1, P)
                 outs.append(jnp.where(upd, cdm, rd))
@@ -169,25 +170,21 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC):
             e1 = col(3) * X + col(4) * Y + col(5)
             e2 = col(6) * X + col(7) * Y + col(8)
             sg = col(12)
-            cov = (e0 * sg >= 0.0) & (e1 * sg >= 0.0) & (e2 * sg >= 0.0)
+            m = jnp.minimum(jnp.minimum(e0 * sg, e1 * sg), e2 * sg)
             zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
-            cov &= (zz >= 0.0) & (zz <= 1.0)
-            zq = jnp.clip(zz * Z_LEVELS, 0, Z_LEVELS).astype(jnp.int32)
+            cov = (m >= 0.0) & (zz >= 0.0) & (zz <= 1.0)
+            zq = (zz * Z_LEVELS).astype(jnp.int32)
             ids = c * kcc + slot0
             keys = jnp.where(cov, (zq << IDX_BITS) | ids,
                              jnp.int32(SKY_KEY))
 
             cmin = jnp.min(keys, axis=0, keepdims=True)
             win = (keys == cmin) & cov
-            ia = col(13)
-            w0 = e0 * ia
-            w1 = e1 * ia
-            w2 = e2 * ia
             upd = cmin < kacc
             outs = []
             for d, rd in enumerate((r0, r1, r2, r3)):
-                cd = (w0 * col(14 + d) + w1 * col(14 + D + d)
-                      + w2 * col(14 + 2 * D + d))
+                cd = (e0 * col(14 + d) + e1 * col(14 + D + d)
+                      + e2 * col(14 + 2 * D + d))
                 cd = jnp.where(win, cd, 0.0)
                 cdm = jnp.sum(cd, axis=0, keepdims=True)
                 outs.append(jnp.where(upd, cdm, rd))
@@ -371,17 +368,20 @@ def raster_tiles(bins, table, scalars, nt: int, tile_h: int, tile_w: int,
 
 def build_table(A, B, C, zplane_scaled, inv_area, sign, valid, attrs):
     """Edge-major triangle row table for the kernel:
-    [A0 B0 C0 | A1 B1 C1 | A2 B2 C2 | zsc | sign | ia | attrs], NaN rows
-    for invalid triangles plus one NaN pad row (index F) for NO_TRI bin
-    slots, padded to ROW_W floats."""
+    [A0 B0 C0 | A1 B1 C1 | A2 B2 C2 | zsc | sign | ia | attrs*ia], NaN
+    rows for invalid triangles plus one NaN pad row (index F) for NO_TRI
+    bin slots, padded to ROW_W floats.  inv_area is pre-folded into the
+    attribute columns (like zsc) so the kernel shades with plain
+    edge-value FMAs — no per-pixel barycentric normalisation."""
     F = A.shape[0]
     cols = [A[:, 0], B[:, 0], C[:, 0],
             A[:, 1], B[:, 1], C[:, 1],
             A[:, 2], B[:, 2], C[:, 2]]
     table = jnp.stack(cols, axis=1)
+    attrs_sc = attrs * inv_area[:, None, None]
     table = jnp.concatenate(
         [table, zplane_scaled, sign[:, None], inv_area[:, None],
-         attrs.reshape(F, 3 * D)], axis=1)
+         attrs_sc.reshape(F, 3 * D)], axis=1)
     table = jnp.where(valid[:, None], table, jnp.nan).astype(jnp.float32)
     table = jnp.concatenate(
         [table, jnp.full((1, table.shape[1]), jnp.nan, jnp.float32)],

@@ -40,6 +40,7 @@ IDX_MASK = (1 << IDX_BITS) - 1
 Z_LEVELS = (1 << (31 - IDX_BITS)) - 1   # 13 bits of depth quantisation
 NO_TRI = IDX_MASK      # sentinel triangle id (background)
 SKY_KEY = np.int32((Z_LEVELS << IDX_BITS) | NO_TRI)
+NEAR_EPS = 1e-6        # w <= NEAR_EPS is "behind the near plane"
 
 
 def setup_triangles(verts, faces, mvp, width: int, height: int):
@@ -73,6 +74,99 @@ def setup_triangles(verts, faces, mvp, width: int, height: int):
     sxy = jnp.stack([fsx, fsy], axis=-1)     # (F, 3, 2)
     inv_w = (1.0 / jnp.where(w_ok[:, None], w, 1.0))[faces][..., 0]  # (F,3)
     return {"sxy": sxy, "z": fz, "valid": valid, "inv_w": inv_w}
+
+
+def clip_near_triangles(clip, attrs, eps: float = NEAR_EPS):
+    """Clip clip-space triangles against the near plane w = eps.
+
+    A triangle with 1 or 2 vertices behind the plane is cut into 1 or 2
+    sub-triangles whose new vertices sit exactly on the plane (positions
+    AND attributes interpolated with the same parameter t); fully-behind
+    triangles become degenerate.  Fully static shapes: every input
+    triangle owns two output slots (slot i and slot F + i).
+
+    clip: (F, 3, 4) clip-space vertices; attrs: (F, 3, D).
+    Returns (clip2 (2F, 3, 4), attrs2 (2F, 3, D), valid (2F,) bool).
+    """
+    F = clip.shape[0]
+    dtype = clip.dtype
+    w = clip[..., 3]                                       # (F, 3)
+    inside = w > eps
+    n_in = jnp.sum(inside.astype(jnp.int32), axis=1)       # (F,)
+
+    # rotate each triangle (cyclically, preserving winding) so that:
+    #   n_in==1 -> the single inside vertex lands at position 0
+    #   n_in==2 -> the single outside vertex lands at position 2
+    out_idx = jnp.argmax(~inside, axis=1).astype(jnp.int32)
+    in_idx = jnp.argmax(inside, axis=1).astype(jnp.int32)
+    r = jnp.where(n_in == 1, in_idx,
+                  jnp.where(n_in == 2, (out_idx + 1) % 3, 0))
+    perm = (r[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]) % 3
+    vr = jnp.take_along_axis(clip, perm[..., None], axis=1)
+    ar = jnp.take_along_axis(attrs, perm[..., None], axis=1)
+    v0, v1, v2 = vr[:, 0], vr[:, 1], vr[:, 2]
+    a0, a1, a2 = ar[:, 0], ar[:, 1], ar[:, 2]
+    w0, w1, w2 = vr[:, 0, 3], vr[:, 1, 3], vr[:, 2, 3]
+
+    def isect(av, aa, bv, ba, wa, wb):
+        denom = wb - wa
+        t = ((eps - wa) / jnp.where(denom == 0.0, 1.0, denom))[:, None]
+        return av + t * (bv - av), aa + t * (ba - aa)
+
+    i01v, i01a = isect(v0, a0, v1, a1, w0, w1)
+    i02v, i02a = isect(v0, a0, v2, a2, w0, w2)
+    i12v, i12a = isect(v1, a1, v2, a2, w1, w2)
+
+    c3 = (n_in == 3)[:, None, None]
+    c2 = (n_in == 2)[:, None, None]
+
+    def pick(full, two, one):
+        return jnp.where(c3, full, jnp.where(c2, two, one))
+
+    # slot A: 3in -> (v0,v1,v2); 2in -> (v0,v1,i12); 1in -> (v0,i01,i02)
+    triA_v = pick(jnp.stack([v0, v1, v2], 1), jnp.stack([v0, v1, i12v], 1),
+                  jnp.stack([v0, i01v, i02v], 1))
+    triA_a = pick(jnp.stack([a0, a1, a2], 1), jnp.stack([a0, a1, i12a], 1),
+                  jnp.stack([a0, i01a, i02a], 1))
+    # slot B: only for the 2-in quad -> (v0, i12, i02)
+    triB_v = jnp.stack([v0, i12v, i02v], 1)
+    triB_a = jnp.stack([a0, i12a, i02a], 1)
+
+    validA = n_in >= 1
+    validB = n_in == 2
+    clip2 = jnp.concatenate([triA_v, triB_v], axis=0).astype(dtype)
+    attrs2 = jnp.concatenate([triA_a, triB_a], axis=0)
+    valid = jnp.concatenate([validA, validB], axis=0)
+    return clip2, attrs2, valid
+
+
+def setup_triangles_clipped(verts, faces, mvp, attrs, width: int,
+                            height: int, eps: float = NEAR_EPS):
+    """setup_triangles with near-plane clipping (see clip_near_triangles).
+
+    attrs: (F, 3, D) per-vertex attributes (clipped alongside positions).
+    Returns (tri dict with 2F entries, clipped attrs (2F, 3, D)).
+    """
+    dtype = verts.dtype
+    assert 2 * faces.shape[0] < NO_TRI, (
+        f"clipped draw has {2 * faces.shape[0]} slots; keys support "
+        f"< {NO_TRI}")
+    v4 = jnp.concatenate([verts, jnp.ones((verts.shape[0], 1), dtype)], -1)
+    clip = (v4 @ mvp.T)[faces]                          # (F, 3, 4)
+    clip2, attrs2, valid = clip_near_triangles(clip, attrs, eps)
+    w = clip2[..., 3:4]                                 # (2F, 3, 1)
+    # clipping already pinned boundary vertices to w ~= eps (up to one
+    # ulp), so the per-vertex safety test is w > 0, not w > eps
+    w_ok = w[..., 0] > 0.0
+    valid = valid & jnp.all(w_ok, axis=1)
+    wsafe = jnp.where(w_ok[..., None], w, 1.0)
+    ndc = clip2[..., :3] / wsafe
+    fsx = (ndc[..., 0] * 0.5 + 0.5) * width
+    fsy = (0.5 - ndc[..., 1] * 0.5) * height
+    fz = ndc[..., 2] * 0.5 + 0.5
+    sxy = jnp.stack([fsx, fsy], axis=-1)
+    inv_w = (1.0 / wsafe)[..., 0]
+    return ({"sxy": sxy, "z": fz, "valid": valid, "inv_w": inv_w}, attrs2)
 
 
 def edge_coeffs(sxy, z, valid):
@@ -351,10 +445,13 @@ def raster_binned_fused(bins, A, B, C, zplane_scaled, inv_area, sign, valid,
     F = A.shape[0]
     D = attrs.shape[-1]
 
-    # fused table: [A3 B3 C3 zsc3 sign ia attrs(3D)] with NaN invalid rows
+    # fused table: [A3 B3 C3 zsc3 sign ia attrs*ia(3D)] with NaN invalid
+    # rows; inv_area is pre-folded into the attribute columns so shading
+    # uses raw edge values as barycentric weights (matches build_table)
+    attrs_sc = attrs * inv_area[:, None, None]
     table = jnp.concatenate(
         [A, B, C, zplane_scaled, sign[:, None], inv_area[:, None],
-         attrs.reshape(F, 3 * D)], axis=1)                    # (F, 14+3D)
+         attrs_sc.reshape(F, 3 * D)], axis=1)                 # (F, 14+3D)
     table = jnp.where(valid[:, None], table, jnp.nan).astype(dtype)
     table = jnp.concatenate(
         [table, jnp.full((1, 14 + 3 * D), jnp.nan, dtype)], axis=0)
@@ -378,22 +475,20 @@ def raster_binned_fused(bins, A, B, C, zplane_scaled, inv_area, sign, valid,
         e1 = r[:, 1] * xb + r[:, 4] * yb + r[:, 7]
         e2 = r[:, 2] * xb + r[:, 5] * yb + r[:, 8]
         sg = r[:, 12]
-        covered = ((e0 * sg >= 0.0) & (e1 * sg >= 0.0) & (e2 * sg >= 0.0))
+        m = jnp.minimum(jnp.minimum(e0 * sg, e1 * sg), e2 * sg)
         zz = e0 * r[:, 9] + e1 * r[:, 10] + e2 * r[:, 11]
-        covered &= (zz >= 0.0) & (zz <= 1.0)
+        covered = (m >= 0.0) & (zz >= 0.0) & (zz <= 1.0)
         zq = jnp.clip(zz * Z_LEVELS, 0, Z_LEVELS).astype(jnp.int32)
         keys = jnp.where(covered, (zq << IDX_BITS) | ids[:, None],
                          jnp.int32(SKY_KEY))
         winner = jnp.min(keys, axis=0)                        # (P,)
         win_mask = (keys == winner[None, :]) & covered        # (K,P)
-        ia = r[:, 13]
-        w0 = e0 * ia
-        w1 = e1 * ia
-        w2 = e2 * ia
         out = []
         for d in range(D):
-            cd = (w0 * r[:, 14 + d] + w1 * r[:, 14 + D + d]
-                  + w2 * r[:, 14 + 2 * D + d])
+            # attr columns carry attr*inv_area: raw edge values are the
+            # barycentric weights directly
+            cd = (e0 * r[:, 14 + d] + e1 * r[:, 14 + D + d]
+                  + e2 * r[:, 14 + 2 * D + d])
             acc = jnp.sum(jnp.where(win_mask, cd, 0.0), axis=0)
             out.append(jnp.where(winner != SKY_KEY, acc, bgv[d]))
         return winner, jnp.stack(out, axis=-1)                # (P,), (P,D)
@@ -416,30 +511,37 @@ def raster_binned_fused(bins, A, B, C, zplane_scaled, inv_area, sign, valid,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13))
+                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14))
 def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 64, bg=None, span_x: int = 8,
                           span_y: int = 8, batch_tiles: int = 128,
-                          perspective_correct: bool = False):
+                          perspective_correct: bool = False,
+                          near_clip: bool = False):
     """Binned Gouraud render.  ``perspective_correct`` interpolates vertex
     attributes hyperbolically (attr/w and 1/w planes, divided per pixel);
     screen-affine interpolation is the default, matching classic software
     rasterizers.  Depth is NDC z either way (z/w already interpolates
-    linearly in screen space)."""
+    linearly in screen space).  ``near_clip`` cuts triangles crossing the
+    near plane into sub-triangles (default culls them whole, doubling
+    triangle slots when on)."""
     dtype = verts.dtype
     if mvp is None:
         mvp = jnp.eye(4, dtype=dtype)
     if bg is None:
         bg = jnp.zeros(4, dtype)
-    tri = setup_triangles(verts, faces, mvp, width, height)
+    attrs = vtx_colors[faces]
+    if near_clip:
+        tri, attrs = setup_triangles_clipped(verts, faces, mvp, attrs,
+                                             width, height)
+    else:
+        tri = setup_triangles(verts, faces, mvp, width, height)
     A, B, C, inv_area, sign, valid = edge_coeffs(tri["sxy"], tri["z"],
                                                  tri["valid"])
     zsc = tri["z"] * inv_area[:, None]
     bins, counts, overflow = bin_triangles(tri["sxy"], valid, width, height,
                                            tile_w, tile_h, capacity,
                                            span_x, span_y)
-    attrs = vtx_colors[faces]
     bg_eff = bg
     if perspective_correct:
         iw = tri["inv_w"][..., None]                       # (F, 3, 1)
@@ -459,12 +561,13 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14))
+                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15))
 def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 512, bg=None, span_x: int = 8,
                           span_y: int = 8, interpret: bool = False,
-                          kcc: int = 32, flat: bool = False):
+                          kcc: int = 32, flat: bool = False,
+                          near_clip: bool = False):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned.
@@ -479,11 +582,15 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
         mvp = jnp.eye(4, dtype=dtype)
     if bg is None:
         bg = jnp.zeros(4, dtype)
-    tri = setup_triangles(verts, faces, mvp, width, height)
+    attrs = vtx_colors[faces]
+    if near_clip:
+        tri, attrs = setup_triangles_clipped(verts, faces, mvp, attrs,
+                                             width, height)
+    else:
+        tri = setup_triangles(verts, faces, mvp, width, height)
     A, B, C, inv_area, sign, valid = edge_coeffs(tri["sxy"], tri["z"],
                                                  tri["valid"])
     zsc = tri["z"] * inv_area[:, None]
-    attrs = vtx_colors[faces]
     if flat:
         sorted_pad, starts, counts, overflow = bin_triangles_flat(
             tri["sxy"], valid, width, height, tile_w, tile_h, capacity,
