@@ -77,9 +77,16 @@ class AudioClip:
 
     @staticmethod
     def from_pydub_seg(seg) -> "AudioClip":
-        from pydub import AudioSegment  # optional dep, absent in this image
-
-        if not isinstance(seg, AudioSegment):
+        """CreateAudioClipFromPydubSeg (pybind:530-541).  When pydub is
+        installed the type is enforced; without it any object exposing the
+        AudioSegment surface (sample_width / frame_rate / channels /
+        get_array_of_samples / set_sample_width) is accepted, which also
+        makes the path testable in images without pydub."""
+        try:
+            from pydub import AudioSegment  # optional dependency
+        except ImportError:
+            AudioSegment = None
+        if AudioSegment is not None and not isinstance(seg, AudioSegment):
             raise TypeError("seg must be a pydub.AudioSegment")
         if seg.sample_width != 2:
             seg = seg.set_sample_width(2)

@@ -41,6 +41,7 @@ class RenderContext:
         self._cmds = C.CommandBuffer()
         self._max_sampling_extent = 0.0
         self._store = atlas_mod.get_store(self._dtype)
+        self._seq = 0   # draw counter: shared textures skip re-snapshots
         # Reference allocates uninitialised memory (cpp:15); we zero-init.
         self._fb = jnp.zeros((self.height, self.width, 4), self._dtype)
 
@@ -58,6 +59,7 @@ class RenderContext:
                        float(self.width), float(self.height))
 
     def _record(self, kind, box, specific):
+        self._seq += 1
         self._cmds.append(kind, self._common(box), specific)
 
     def _record_sampling(self, kind, box, specific):
@@ -285,6 +287,15 @@ class RenderContext:
                                    ns[0], ns[1], ns[2], ns[3])
 
     def _tex_specific(self, tex, x, y, width, height):
+        # shared textures alias a context's live framebuffer; when the
+        # owner has drawn since the last snapshot, first flush THIS
+        # context (earlier recorded samples must see the old texels),
+        # then re-snapshot (texture._refresh_shared flushes the owner)
+        owner = tex._shared_ctx
+        if owner is not None and getattr(tex, "_shared_seq", -1) != owner._seq:
+            self.flush()
+            tex._refresh_shared()
+            tex._shared_seq = owner._seq
         scale_x = tex.width / width
         scale_y = tex.height / height
         # resolve against THIS context's store: textures created under a
@@ -404,10 +415,17 @@ class RenderContext:
     as_texture = as_texure
 
     def as_texture_shared(self) -> Texture:
-        """CreateTextureFromRenderContextShared (cpp:377-384) aliases the
-        live framebuffer.  Functional arrays can't alias; this returns a
-        snapshot — documented divergence (reads-after-later-draws differ)."""
-        return self.as_texure()
+        """CreateTextureFromRenderContextShared (cpp:377-384): the
+        returned texture aliases this context's live framebuffer — draws
+        issued after sharing are visible through the texture.  Functional
+        arrays can't alias, so the texture re-snapshots the fb whenever a
+        draw sampling it is recorded (texture._refresh_shared), which
+        observes the same states the reference's pointer alias would."""
+        self.flush()
+        tex = Texture._from_device_array(self._fb, self.enable_alpha)
+        tex._shared_ctx = self
+        tex._shared_seq = self._seq
+        return tex
 
     def as_pilimg(self):
         from PIL import Image

@@ -74,12 +74,21 @@ def _tex_uv(p, ix, iy):
     return (ix - p[14]) * p[18], (iy - p[15]) * p[19]
 
 
-def _build_branches(X, Y, atlas_flat, atlas_w, dtype, no_sampling=False):
+def _build_branches(X, Y, atlas_flat, atlas_w, dtype, no_sampling=False,
+                    vma_taint=None):
     """Per-kind (mask, rgba, store) branch table over the (X, Y) pixel
     grid.  ``no_sampling=True`` replaces the atlas-reading branches with
     noops (the patch executor routes sampling kinds to its own
     region-bounded branches and must never reference the atlas inside a
-    switch — ops/patch_exec.py)."""
+    switch — ops/patch_exec.py).
+
+    ``vma_taint``: an exact-zero int32 scalar carrying the union of every
+    varying mesh axis reaching the executor (built by render_command_list
+    from the command stream and band offset).  Under shard_map with
+    varying-mesh-axes checking on, branches mix invariant constants,
+    band-varying Y terms and shard-varying params — OR-/add-ing the zero
+    taint into each branch's mask/rgba makes lax.switch's output types
+    uniform without changing any value (parallel/sharding.py)."""
     zeros_rgba = jnp.zeros(X.shape + (4,), dtype)
     false_mask = jnp.zeros(X.shape, bool)
     t_true = jnp.array(True)
@@ -220,11 +229,29 @@ def _build_branches(X, Y, atlas_flat, atlas_w, dtype, no_sampling=False):
 
     if no_sampling:
         b_tex = b_tex_fast = b_split_tex = b_hiteffect = b_noop
-    return [
+    branches = [
         b_noop, b_set_color, b_fill, b_rect, b_circle, b_line, b_vgrd,
         b_tex, b_tex_fast, b_split_tex, b_hiteffect, b_set_pixel,
         b_apply_pixel,
     ]
+    if vma_taint is not None:
+        target = getattr(jax.typeof(vma_taint), "vma", frozenset())
+
+        def _to_varying(x):
+            # pcast exactly the missing axes (jax.typeof carries vma under
+            # shard_map and scan tracers; vmap hides it, so callers unroll
+            # small frame batches instead of vmapping — sharding.py)
+            have = getattr(jax.typeof(x), "vma", frozenset())
+            need = tuple(a for a in target if a not in have)
+            return lax.pcast(x, need, to="varying") if need else x
+
+        def _vary(fn):
+            def g(p):
+                m, rgba, store = fn(p)
+                return _to_varying(m), _to_varying(rgba), store
+            return g
+        branches = [_vary(f) for f in branches]
+    return branches
 
 
 # command kinds whose colour comes from atlas/noise sampling: these are the
@@ -243,7 +270,7 @@ def _blend_into(fb, mask, rgba, store):
 
 
 def render_command_list(fb, kinds, params, atlas, patch: int = 0,
-                        patch_big: int = 0, y0=None):
+                        patch_big: int = 0, y0=None, vma_axes=None):
     """Pure function: fold a command list into the framebuffer.
 
     fb: (H, W, 4) float; kinds: (N,) int32; params: (N, PARAM_W) fb.dtype;
@@ -278,7 +305,16 @@ def render_command_list(fb, kinds, params, atlas, patch: int = 0,
         # global coordinates
         Y = Y + jnp.asarray(y0, dtype)
     atlas_flat = atlas.reshape(-1, 4)
-    branches = _build_branches(X, Y, atlas_flat, atlas.shape[1], dtype)
+    taint = None
+    if vma_axes:
+        # exact-zero scalar varying over every mesh axis the inputs vary
+        # over: kinds carries the shard axes of the command stream, y0 the
+        # band axis (see _build_branches vma_taint)
+        taint = kinds[0] * 0
+        if y0 is not None:
+            taint = taint + jnp.asarray(y0, jnp.int32) * 0
+    branches = _build_branches(X, Y, atlas_flat, atlas.shape[1], dtype,
+                               vma_taint=taint)
 
     if not patch:
         def step(fb, xs):

@@ -120,6 +120,36 @@ def sharded_render_step(mesh: Mesh, width: int, height: int,
     return step, (data_n, tile_n, band_h)
 
 
+def sharded_audio_mixdown(mesh: Mesh, target_len: int, channels: int,
+                          dtype=jnp.float32):
+    """Sharded batched overlay: hit/drag events split across the whole
+    device mesh, each device scatter-adds its shard with the production
+    overlay kernel (ops/audio_ops.overlay_many — the op milrenderer's
+    mix_bgm dispatches), and one psum over both axes yields the global
+    mix.  Matches single-device overlay_many exactly (addition is the
+    only cross-event interaction, cpp:1145-1151).
+
+    Returns a shard_map'd fn (target (N, C) replicated, source (n, C)
+    replicated, starts (E,) i32 sharded) -> mixed (N, C) replicated.
+    ``E`` must divide by the device count; pad extra slots with
+    ``start >= N`` (dropped, the reference's truncate semantics)."""
+    from ..ops import audio_ops
+
+    axes = ("data", "tile")
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P(axes)),
+        out_specs=P(None, None),
+    )
+    def step(target, source, starts_local):
+        local = jnp.zeros((target_len, channels), dtype)
+        local = audio_ops.overlay_many(local, source, starts_local)
+        return target + jax.lax.psum(local, axes)
+
+    return step
+
+
 def sharded_canvas_step(mesh: Mesh, width: int, height: int):
     """Sharded 2D display-list rendering: the command list is replicated,
     each device renders its y-band of each frame in its frame shard (the
@@ -135,25 +165,34 @@ def sharded_canvas_step(mesh: Mesh, width: int, height: int):
     assert height % tile_n == 0
     band_h = height // tile_n
 
+    axes = ("data", "tile")
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P("data"), P("data"), P(None, None, None)),
         out_specs=P("data", "tile"),
-        # the executor mixes tile-varying (band Y offsets) and invariant
-        # constants through switch/cond; the conservative VMA
-        # checker rejects that even though the data flow is correct
-        check_vma=False,
+        # VMA checking stays ON: the executor's switch branches mix
+        # invariant constants, band-varying Y terms and shard-varying
+        # params, so render_command_list zero-taints every branch output
+        # to a uniform varying type (executor._build_branches vma_taint)
+        check_vma=True,
     )
     def step(kinds_local, params_local, atlas):
         t_idx = jax.lax.axis_index("tile")
         y0 = (t_idx * band_h).astype(params_local.dtype)
-        fb0 = jnp.zeros((band_h, width, 4), params_local.dtype)
+        fb0 = jax.lax.pcast(
+            jnp.zeros((band_h, width, 4), params_local.dtype),
+            axes, to="varying")
 
         def one(kinds, params):
             fb = executor.render_command_list(fb0, kinds, params, atlas,
-                                              y0=y0)
+                                              y0=y0, vma_axes=axes)
             return (fb * 255.0).astype(jnp.int32).astype(jnp.uint8)
 
-        return jax.vmap(one)(kinds_local, params_local)  # (Bl, band, W, 4)
+        # unrolled over the (small) local frame batch: vmap tracers hide
+        # varying-mesh-axes types from the executor's pcast alignment
+        bl = kinds_local.shape[0]
+        return jnp.stack([one(kinds_local[i], params_local[i])
+                          for i in range(bl)])  # (Bl, band, W, 4)
 
     return step, band_h

@@ -34,6 +34,10 @@ class Texture:
         arr = arr.reshape(height, width, channels)
         self._init_from_array(arr, enableAlpha)
 
+    # set by RenderContext.as_texture_shared: the context whose live
+    # framebuffer this texture aliases (cpp:377-384)
+    _shared_ctx = None
+
     def _init_from_array(self, arr: np.ndarray, enableAlpha: bool) -> None:
         h, w = arr.shape[0], arr.shape[1]
         if arr.shape[2] == 3:
@@ -90,6 +94,29 @@ class Texture:
             cached = store.add(data)
             self._alt_regions[key] = cached
         return cached
+
+    def _refresh_shared(self) -> None:
+        """Re-snapshot the aliased framebuffer into this texture's atlas
+        region(s).
+
+        The reference's shared texture points straight at the context's
+        f64 buffer (cpp:377-384), so draws issued after sharing are
+        visible the next time the texture is sampled.  Functional arrays
+        can't alias, so the context re-uploads its fb here whenever a
+        draw USING this texture is recorded — same observable behaviour
+        for every sample-after-draw sequence.  (Sole remaining
+        divergence: the reference reads texels in flight while a blit
+        writes the same buffer, so a self-overlapping blit can see its
+        own partial output; here the source is pinned at command start.)
+        """
+        ctx = self._shared_ctx
+        if ctx is None:
+            return
+        ctx.flush()
+        fb = ctx._fb
+        self._store.upload(self._ox, self._oy, fb)
+        for key, (ox, oy) in self._alt_regions.items():
+            atlas_mod.get_store(np.dtype(key)).upload(ox, oy, fb)
 
     def to_numpy(self) -> np.ndarray:
         """Readback of the (h, w, 4) texel data."""

@@ -91,80 +91,6 @@ def test_hjm_mixer_end_to_end(tmp_path, mini_bank):
     assert abs(pcm[int(0.3 * 44100), 0]) < 1e-4
 
 
-@pytest.fixture
-def chart_package(tmp_path):
-    """Minimal Milthm chart v2 zip + res dir."""
-    from PIL import Image
-
-    res = tmp_path / "res"
-    res.mkdir()
-    rng = np.random.default_rng(1)
-    for name in ["tap", "tap_double", "extap", "extap_double", "hold",
-                 "hold_double", "exhold", "exhold_double", "drag",
-                 "drag_double", "line_head", "perfect_circ"]:
-        arr = rng.integers(0, 255, (16, 16, 4), np.uint8)
-        arr[..., 3] = 255
-        Image.fromarray(arr, "RGBA").save(str(res / f"{name}.png"))
-    (res / "meta.json").write_text(json.dumps(
-        {"holdAtlas": [4, 4], "holdDoubleAtlas": [4, 4]}))
-    # hit/drag sfx: WAV bytes under the .ogg names the app expects
-    sfx = np.zeros((441, 2))
-    sfx[:, :] = 0.1
-    write_wav(str(res / "hit.ogg"), sfx)
-    write_wav(str(res / "drag.ogg"), sfx * 0.5)
-
-    # chart zip: 1.0 s of audio, one line, two notes
-    bgm = np.zeros((44100, 2))
-    bgm_fp = tmp_path / "audio.ogg"
-    write_wav(str(bgm_fp), bgm)
-    bg_fp = tmp_path / "bg.png"
-    Image.fromarray(rng.integers(0, 255, (32, 48, 3), np.uint8),
-                    "RGB").save(str(bg_fp))
-
-    def ease(t=0, p=0):
-        return {"type": t, "press": p, "isValueExp": False,
-                "cusValueExp": "", "clipLeft": 0.0, "clipRight": 1.0}
-
-    def anim(key, start, end, st, et, bearer_type=0, bearer=0):
-        return {"startTime": st, "endTime": et, "type": key,
-                "start": start, "end": end, "index": 0,
-                "bearer_type": bearer_type, "bearer": bearer,
-                "ease": ease()}
-
-    chart = {
-        "fmt": 2,
-        "meta": {"background_dim": 0.6, "name": "t", "background_artist": "",
-                 "music_artist": "", "charter": "", "difficulty_name": "EZ",
-                 "difficulty": 1, "offset": 0.0},
-        "bpms": [{"time": [0, 0, 1], "bpm": 120}],
-        "lines": [{
-            "index": 0,
-            "animations": [
-                anim(12, 1.0, 1.0, [0, 0, 1], [4, 0, 1]),       # Speed
-                anim(4, 90.0, 90.0, [0, 0, 1], [4, 0, 1]),      # Rotation
-            ],
-            "notes": [
-                {"time": [0, 1, 2], "type": 0, "isFake": False,
-                 "isAlwaysPerfect": False, "endTime": [0, 1, 2], "index": 0},
-                {"time": [1, 0, 1], "type": 1, "isFake": False,
-                 "isAlwaysPerfect": False, "endTime": [1, 0, 1], "index": 1},
-                {"time": [1, 1, 2], "type": 0, "isFake": False,
-                 "isAlwaysPerfect": False, "endTime": [2, 0, 1],
-                 "index": 2},                                    # hold
-            ],
-        }],
-    }
-    zpath = tmp_path / "chart.zip"
-    with zipfile.ZipFile(str(zpath), "w") as z:
-        z.writestr("meta.json", json.dumps({
-            "chart_file": "chart.json", "audio_file": "audio.ogg",
-            "image_file": "bg.png"}))
-        z.writestr("chart.json", json.dumps(chart))
-        z.write(str(bgm_fp), "audio.ogg")
-        z.write(str(bg_fp), "bg.png")
-    return str(zpath), str(res)
-
-
 def test_milrenderer_end_to_end(tmp_path, chart_package):
     from libnativecpurenderer_tpu.apps.milrenderer import Renderer
     zpath, res = chart_package

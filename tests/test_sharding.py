@@ -101,3 +101,83 @@ def test_sharded_canvas_matches_single_device(devices):
     assert out.shape == (B, H, W, 4)
     for i in range(B):
         np.testing.assert_array_equal(np.asarray(out[i]), seq[i])
+
+
+def test_sharded_audio_mixdown_matches_overlay_many(devices):
+    """Production overlay kernel sharded over the mesh + psum == the
+    single-device overlay_many mixdown (milrenderer mix_bgm's op)."""
+    from libnativecpurenderer_tpu.ops import audio_ops
+
+    dev_mesh = sharding.make_mesh(devices)
+    N, C, n = 2000, 2, 441
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.standard_normal((N, C)) * 0.1, jnp.float32)
+    source = jnp.asarray(rng.standard_normal((n, C)) * 0.2, jnp.float32)
+    # 21 events incl. tail-truncated and fully out-of-range ones; pad to
+    # a multiple of the device count with the drop sentinel (start >= N)
+    starts = np.concatenate([
+        rng.integers(0, N - n, 17),
+        [N - 100, N - 1, N + 50],          # truncated / dropped
+        np.full(4, N)]).astype(np.int32)
+    assert starts.size % 8 == 0
+
+    step = sharding.sharded_audio_mixdown(dev_mesh, N, C)
+    mixed = jax.jit(step)(target, source, jnp.asarray(starts))
+
+    ref = audio_ops.overlay_many(jnp.copy(target), source,
+                                 jnp.asarray(starts))
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(ref),
+                               atol=1e-6)
+
+
+def test_sharded_milrenderer_frames_match_single_device(devices,
+                                                        chart_package):
+    """REAL milrenderer frames (production recorder + assets + chart
+    model) rendered through the sharded canvas step must equal the
+    single-device flush path bit-for-bit.  This is the production-path
+    multi-device acceptance test (VERDICT r1 item 7) and doubles as the
+    varying-mesh-axes regression catcher: band offsets flow through every
+    executor branch with check_vma=True."""
+    import jax.numpy as jnp2
+    from libnativecpurenderer_tpu.apps.milrenderer import (ChartPackage,
+                                                           Renderer)
+    from libnativecpurenderer_tpu.models import chart as chart_mod
+    from libnativecpurenderer_tpu.ops import commands as C
+
+    dev_mesh = sharding.make_mesh(devices)
+    W, H = 96, 56                       # divisible by the tile axis
+    zpath, res = chart_package
+    r = Renderer(width=W, height=H, fps=10, res_dir=res)
+    pkg = ChartPackage(zpath)
+    chart = chart_mod.Chart(pkg.read_json(pkg.meta["chart_file"]))
+    r.load_assets(pkg)
+
+    B = dev_mesh.shape["data"] * 2
+    hit_effects = []
+    frames_k, frames_p, refs = [], [], []
+    for i in range(B):
+        r.ctx._fb = jnp2.zeros((H, W, 4), r.ctx._dtype)
+        r.draw_frame(chart, i / 10.0, hit_effects)
+        k, p = r.ctx._cmds.snapshot()
+        b = C.bucket_for(k.shape[0])
+        kp = np.zeros(b, np.int32)
+        kp[: k.shape[0]] = k
+        pp = np.zeros((b, C.PARAM_W), np.float64)
+        pp[: p.shape[0]] = p
+        frames_k.append(kp)
+        frames_p.append(pp)
+        refs.append(r.ctx.uint8_buffer().copy())    # flushes the recorder
+    bmax = max(k.shape[0] for k in frames_k)
+    frames_k = [np.pad(k, (0, bmax - k.shape[0])) for k in frames_k]
+    frames_p = [np.pad(p, ((0, bmax - p.shape[0]), (0, 0)))
+                for p in frames_p]
+
+    step, band_h = sharding.sharded_canvas_step(dev_mesh, W, H)
+    out = jax.jit(step)(jnp.asarray(np.stack(frames_k)),
+                        jnp.asarray(np.stack(frames_p)),
+                        r.ctx._store.device)
+    assert out.shape == (B, H, W, 4)
+    ch = r.ctx.channels                 # milrenderer ctx may be RGB-only
+    for i in range(B):
+        np.testing.assert_array_equal(np.asarray(out[i])[..., :ch],
+                                      refs[i].reshape(H, W, ch))

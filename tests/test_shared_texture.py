@@ -1,0 +1,75 @@
+"""Shared-texture aliasing semantics (CreateTextureFromRenderContextShared,
+/root/reference/src/libNativeCPURenderer.cpp:377-384).
+
+The reference's shared texture points at the context's live f64 buffer, so
+draws issued AFTER sharing are visible the next time the texture is
+sampled.  The TPU build re-snapshots the framebuffer when a draw sampling
+the shared texture is recorded (texture._refresh_shared) — these tests pin
+the observable alias behaviour, and that the plain copy (as_texure) stays
+frozen.
+"""
+
+import numpy as np
+
+import libnativecpurenderer_tpu as R
+
+
+def make_ctx(w=32, h=24):
+    return R.RenderContext(w, h, True)
+
+
+def test_shared_sees_later_draws():
+    ctx = make_ctx()
+    ctx.fill_color(0.0, 0.0, 1.0, 1.0)           # blue
+    shared = ctx.as_texture_shared()
+    ctx.draw_rect(0, 0, 32, 24, 1.0, 0.0, 0.0, 1.0)  # then paint red
+
+    dst = make_ctx()
+    dst.draw_texture(shared, 0, 0, 32, 24)
+    fb = dst.numpy_buffer().reshape(24, 32, 4)
+    # the texture must show the red paint that happened after sharing
+    assert np.allclose(fb[12, 16, :3], [1.0, 0.0, 0.0])
+
+
+def test_copy_stays_frozen():
+    ctx = make_ctx()
+    ctx.fill_color(0.0, 0.0, 1.0, 1.0)
+    frozen = ctx.as_texure()                        # copy semantics
+    ctx.draw_rect(0, 0, 32, 24, 1.0, 0.0, 0.0, 1.0)
+
+    dst = make_ctx()
+    dst.draw_texture(frozen, 0, 0, 32, 24)
+    fb = dst.numpy_buffer().reshape(24, 32, 4)
+    assert np.allclose(fb[12, 16, :3], [0.0, 0.0, 1.0])   # still blue
+
+
+def test_shared_tracks_multiple_states():
+    """Each sampling draw observes the fb state at that record point —
+    the same sequence a reference program would see through the alias."""
+    ctx = make_ctx()
+    dst = make_ctx(64, 24)
+
+    ctx.fill_color(0.0, 1.0, 0.0, 1.0)            # green
+    shared = ctx.as_texture_shared()
+    dst.draw_texture(shared, 0, 0, 32, 24)          # left half: green
+    ctx.fill_color(1.0, 1.0, 0.0, 1.0)            # then yellow
+    dst.draw_texture(shared, 32, 0, 32, 24)         # right half: yellow
+    fb = dst.numpy_buffer().reshape(24, 64, 4)
+    assert np.allclose(fb[12, 16, :3], [0.0, 1.0, 0.0])
+    assert np.allclose(fb[12, 48, :3], [1.0, 1.0, 0.0])
+
+
+def test_shared_onto_own_context():
+    """Blitting a shared texture onto its own context samples the fb as
+    of the draw's record point (reference aliasing, minus in-flight
+    self-overlap artifacts — documented in texture._refresh_shared)."""
+    ctx = make_ctx()
+    ctx.fill_color(0.0, 0.0, 0.0, 1.0)
+    ctx.draw_rect(0, 0, 8, 8, 1.0, 1.0, 1.0, 1.0)   # white corner
+    shared = ctx.as_texture_shared()
+    # draw the context into itself, shrunk into the opposite corner
+    ctx.draw_splitted_texture(shared, 16, 12, 16, 12, 0.0, 1.0, 0.0, 1.0)
+    fb = ctx.numpy_buffer().reshape(24, 32, 4)
+    assert np.allclose(fb[2, 2, :3], [1.0, 1.0, 1.0])     # original corner
+    assert np.allclose(fb[13, 17, :3], [1.0, 1.0, 1.0])   # shrunk copy
+    assert np.allclose(fb[22, 30, :3], [0.0, 0.0, 0.0])   # black elsewhere
