@@ -10,7 +10,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.raster3d import IDX_BITS, NO_TRI, Z_LEVELS
+from ..ops.raster3d import IDX_BITS, NO_TRI, SUBPIXEL, Z_LEVELS
+
+
+def _snap(c):
+    """1/256-px subpixel snap, mirroring ops.raster3d._snap (same
+    round-half-even), so oracle coverage is bit-identical."""
+    return np.round(c * SUBPIXEL) / SUBPIXEL
 
 
 def project(verts, mvp, width, height):
@@ -19,8 +25,8 @@ def project(verts, mvp, width, height):
     w = clip[:, 3:4]
     w_ok = w[:, 0] > 1e-6
     ndc = clip[:, :3] / np.where(w_ok[:, None], w, 1.0)
-    sx = (ndc[:, 0] * 0.5 + 0.5) * width
-    sy = (0.5 - ndc[:, 1] * 0.5) * height
+    sx = _snap((ndc[:, 0] * 0.5 + 0.5) * width)
+    sy = _snap((0.5 - ndc[:, 1] * 0.5) * height)
     sz = ndc[:, 2] * 0.5 + 0.5
     return sx, sy, sz, w_ok
 
@@ -86,8 +92,8 @@ def render_gouraud_clipped(verts, faces, colors, width, height, mvp=None,
     valid = valid & w_ok.all(axis=1)
     wsafe = np.where(w_ok[..., None], clip2[..., 3:4], 1.0)
     ndc = clip2[..., :3] / wsafe
-    fsx = (ndc[..., 0] * 0.5 + 0.5) * width
-    fsy = (0.5 - ndc[..., 1] * 0.5) * height
+    fsx = _snap((ndc[..., 0] * 0.5 + 0.5) * width)
+    fsy = _snap((0.5 - ndc[..., 1] * 0.5) * height)
     fsz = ndc[..., 2] * 0.5 + 0.5
     return _raster_faces(fsx, fsy, fsz, attrs2, valid, width, height, bg)
 

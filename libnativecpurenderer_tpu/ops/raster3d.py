@@ -41,6 +41,22 @@ Z_LEVELS = (1 << (31 - IDX_BITS)) - 1   # 13 bits of depth quantisation
 NO_TRI = IDX_MASK      # sentinel triangle id (background)
 SKY_KEY = np.int32((Z_LEVELS << IDX_BITS) | NO_TRI)
 NEAR_EPS = 1e-6        # w <= NEAR_EPS is "behind the near plane"
+SUBPIXEL = 256.0       # screen coords snap to 1/256 px (hardware-style)
+
+
+def _snap(c):
+    """Snap a screen coordinate to the 1/256 subpixel grid.
+
+    With snapped coords every edge-function quantity (A, B, C and
+    e = A*x + B*y + C at integer pixels) is EXACT in f64 for coords up to
+    ~4096 px: products fit in 40 bits, sums in 42 — so coverage at
+    shared edges cannot flip with XLA fusion/FMA-contraction choices.
+    Without it, pixels lying exactly on a shared quad diagonal evaluate
+    e ~ +-1e-13 whose sign depends on how XLA fuses the upstream graph
+    (observed: a setup-gather layout change flipped 7 knife-edge pixels
+    in test_textured_raster.py).  GPUs snap for the same reason.
+    """
+    return jnp.round(c * SUBPIXEL) / SUBPIXEL
 
 
 def setup_triangles(verts, faces, mvp, width: int, height: int):
@@ -60,19 +76,22 @@ def setup_triangles(verts, faces, mvp, width: int, height: int):
         f"draw has {faces.shape[0]} faces; packed keys support < {NO_TRI}")
     v4 = jnp.concatenate([verts, jnp.ones((verts.shape[0], 1), dtype)], -1)
     clip = v4 @ mvp.T                       # (V, 4)
-    w = clip[:, 3:4]
-    w_ok = w[:, 0] > 1e-6
-    ndc = clip[:, :3] / jnp.where(w_ok[:, None], w, 1.0)
-    sx = (ndc[:, 0] * 0.5 + 0.5) * width
-    sy = (0.5 - ndc[:, 1] * 0.5) * height   # y down, canvas convention
-    sz = ndc[:, 2] * 0.5 + 0.5              # [0, 1], 0 = near
-
-    fsx = sx[faces]                          # (F, 3)
-    fsy = sy[faces]
-    fz = sz[faces]
-    valid = jnp.all(w_ok[faces], axis=1)
-    sxy = jnp.stack([fsx, fsy], axis=-1)     # (F, 3, 2)
-    inv_w = (1.0 / jnp.where(w_ok[:, None], w, 1.0))[faces][..., 0]  # (F,3)
+    # ONE per-face gather of the 16 B clip rows, then per-face projection:
+    # TPU random gathers cost ~0.2 ms per 30k fetches at this size and the
+    # per-vertex-then-gather layout needed six of them (tools/exp_prep2.py).
+    # The arithmetic after the gather is identical op-for-op; _snap makes
+    # downstream edge tests exact so the layout change cannot shift
+    # knife-edge coverage via XLA fusion differences.
+    clipf = clip[faces]                     # (F, 3, 4)
+    w = clipf[..., 3:4]                     # (F, 3, 1)
+    w_ok = w[..., 0] > 1e-6                 # (F, 3)
+    ndc = clipf[..., :3] / jnp.where(w_ok[..., None], w, 1.0)
+    fsx = _snap((ndc[..., 0] * 0.5 + 0.5) * width)
+    fsy = _snap((0.5 - ndc[..., 1] * 0.5) * height)  # y down, canvas convention
+    fz = ndc[..., 2] * 0.5 + 0.5              # [0, 1], 0 = near
+    valid = jnp.all(w_ok, axis=1)
+    sxy = jnp.stack([fsx, fsy], axis=-1)      # (F, 3, 2)
+    inv_w = (1.0 / jnp.where(w_ok[..., None], w, 1.0))[..., 0]   # (F, 3)
     return {"sxy": sxy, "z": fz, "valid": valid, "inv_w": inv_w}
 
 
@@ -161,8 +180,8 @@ def setup_triangles_clipped(verts, faces, mvp, attrs, width: int,
     valid = valid & jnp.all(w_ok, axis=1)
     wsafe = jnp.where(w_ok[..., None], w, 1.0)
     ndc = clip2[..., :3] / wsafe
-    fsx = (ndc[..., 0] * 0.5 + 0.5) * width
-    fsy = (0.5 - ndc[..., 1] * 0.5) * height
+    fsx = _snap((ndc[..., 0] * 0.5 + 0.5) * width)
+    fsy = _snap((0.5 - ndc[..., 1] * 0.5) * height)
     fz = ndc[..., 2] * 0.5 + 0.5
     sxy = jnp.stack([fsx, fsy], axis=-1)
     inv_w = (1.0 / wsafe)[..., 0]
