@@ -56,6 +56,13 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
     # ``flat`` = gatherless binning (sorted pair array straight into the
     # kernel); only the Pallas path understands it.
     ladder = [
+        # u8 configs first: fused quantise + no depth output is the video
+        # deliverable (the reference feeds u8 frames to its encoder) and
+        # the kernel's fixed cost is output-bound
+        dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
+             flat=True, kcc=16, u8=True),
+        dict(tile_w=128, tile_h=8, span_x=3, span_y=12, capacity=512,
+             flat=True, kcc=16, u8=True),
         dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
              flat=True, kcc=16),
         dict(tile_w=128, tile_h=8, span_x=3, span_y=12, capacity=512,
@@ -74,7 +81,8 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
     # NOTE: results are forced to host via a checksum fetch —
     # block_until_ready does not reliably block on the axon backend
     def checksum(arrs):
-        return float(jnp.sum(jnp.stack([jnp.sum(a) for a in arrs])))
+        return float(jnp.sum(jnp.stack(
+            [jnp.sum(a.astype(jnp.float32)) for a in arrs])))
 
     checksum(mvps)  # force the staged matrices onto the device
 
@@ -88,6 +96,7 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
                 fn = functools.partial(raster3d.render_gouraud_pallas, **kw)
             else:
                 kw.pop("flat", None)
+                kw.pop("u8", None)
                 fn = functools.partial(raster3d.render_gouraud_binned, **kw)
             # untimed full pass doubles as the overflow check for EVERY
             # frame (a config must hold over the whole sequence) and as

@@ -122,13 +122,23 @@ def _make_kernel(tile_h: int, tile_w: int, K: int, kcc: int = KCC):
     return kernel
 
 
-def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC):
+def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
+                      u8: bool = False):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
     into the next tile's run — harmless: a triangle covering a pixel of
     tile t has t inside its AABB, so it also sits in t's own run at a
-    smaller slot and wins any tie (see raster3d.bin_triangles_flat)."""
+    smaller slot and wins any tie (see raster3d.bin_triangles_flat).
+
+    ``u8=True`` fuses the video-path quantisation into the epilogue: the
+    single output is RGBA packed into one i32 per pixel (r | g<<8 | b<<16
+    | a<<24, each clip(v*255, 0, 255) truncated) with the packed
+    background (scalar slot 5*NT) filled in for sky pixels, and no keys
+    output.  Output traffic drops from 20 B/px (keys + 4xf32) to 4 B/px —
+    the kernel's zero-work floor is output-bound (~37 GB/s effective), so
+    this is the difference between ~1.1 and ~0.3 ms/frame of fixed cost
+    at 1080p (tools/exp_batch2.py)."""
     P = tile_h * tile_w
 
     def kernel(scal_ref, blk0_ref, blk1_ref, table_ref, keys_ref, rgba_ref,
@@ -196,16 +206,33 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC):
         kacc, r0, r1, r2, r3 = lax.fori_loop(
             0, nchunks, body, (sky, zero, zero, zero, zero))
 
-        keys_ref[0] = kacc
-        rgba_ref[0] = jnp.concatenate([r0, r1, r2, r3], axis=0)
+        if u8:
+            bgp = scal_ref[5 * nt]
 
+            def q(v):
+                return jnp.clip(v * 255.0, 0.0, 255.0).astype(jnp.int32)
+
+            packed = q(r0) | (q(r1) << 8) | (q(r2) << 16) | (q(r3) << 24)
+            keys_ref[0] = jnp.where(kacc != jnp.int32(SKY_KEY), packed,
+                                    bgp)
+        else:
+            keys_ref[0] = kacc
+            rgba_ref[0] = jnp.concatenate([r0, r1, r2, r3], axis=0)
+
+    if u8:
+        def kernel_u8(scal_ref, blk0_ref, blk1_ref, table_ref, packed_ref,
+                      rows_s):
+            return kernel(scal_ref, blk0_ref, blk1_ref, table_ref,
+                          packed_ref, None, rows_s)
+        return kernel_u8
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                       tile_w: int, Kb: int, interpret: bool = False,
-                      kcc: int = KCC, tiles_per_frame: int = 0):
+                      kcc: int = KCC, tiles_per_frame: int = 0,
+                      u8: bool = False):
     """Flat-bins kernel launch.  sorted_pad: (Spad,) i32 packed pairs from
     bin_triangles_flat (multi-frame: frames' arrays concatenated, with the
     scalar block indices made absolute by the caller); scalars: (5*NT,)
@@ -232,14 +259,22 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
             pl.BlockSpec((1, table.shape[1], ROW_W),
                          lambda i, s: (i // tpf, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)),
-            pl.BlockSpec((1, D, P), lambda i, s: (i, 0, 0)),
-        ],
+        out_specs=(
+            [pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0))] if u8 else
+            [pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)),
+             pl.BlockSpec((1, D, P), lambda i, s: (i, 0, 0))]),
         scratch_shapes=[
             pltpu.VMEM((kcc, ROW_W), jnp.float32),
         ],
     )
+    if u8:
+        packed = pl.pallas_call(
+            _make_kernel_flat(tile_h, tile_w, Kb, kcc, u8=True),
+            out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(scalars, blocks, blocks, table)[0]
+        return packed
     keys, rgba = pl.pallas_call(
         _make_kernel_flat(tile_h, tile_w, Kb, kcc),
         out_shape=(
@@ -273,6 +308,79 @@ def render_binned_pallas_flat(sorted_pad, starts, counts, table, bg,
                                      tile_h, tile_w, Kb, interpret, kcc)
     return _detile(keys_l.reshape(nt, -1), rgba, nty, ntx, tile_h, tile_w,
                    height, width, bg, dtype)
+
+
+def _pack_bg(bg):
+    """Background RGBA -> one packed i32 (same clip/*255/truncate as the
+    kernel epilogue)."""
+    q = jnp.clip(jnp.asarray(bg) * 255.0, 0.0, 255.0).astype(jnp.int32)
+    return q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
+
+
+def _detile_packed(packed_flat, nty, ntx, tile_h, tile_w, height, width):
+    """(NT, P) packed-u32 tiles -> (H, W, 4) u8 via one bitcast."""
+    p2 = packed_flat.reshape(nty, ntx, tile_h, tile_w)
+    p2 = jnp.moveaxis(p2, 2, 1).reshape(nty * tile_h, ntx * tile_w)
+    p2 = p2[:height, :width]
+    return lax.bitcast_convert_type(p2, jnp.uint8)   # (H, W, 4), LE: r first
+
+
+def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
+                                 width: int, height: int, tile_w: int,
+                                 tile_h: int, Kb: int,
+                                 interpret: bool = False, kcc: int = KCC):
+    """Video-path raster: fused u8 quantise in the kernel epilogue, no
+    depth output.  Returns rgba (H, W, 4) uint8 — exactly
+    clip(rgba_f32 * 255, 0, 255) truncated, with bg quantised the same
+    way for sky pixels."""
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    nt = ntx * nty
+
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    scalars = jnp.concatenate(
+        [counts.astype(jnp.int32), tids % ntx * tile_w,
+         tids // ntx * tile_h, starts // Kb, starts % Kb,
+         _pack_bg(bg)[None]])
+
+    packed = raster_tiles_flat(sorted_pad, table, scalars, nt, tile_h,
+                               tile_w, Kb, interpret, kcc, 0, True)
+    return _detile_packed(packed.reshape(nt, -1), nty, ntx, tile_h,
+                          tile_w, height, width)
+
+
+def render_binned_pallas_flat_batch_u8(sorted_pads, starts, counts,
+                                       tables, bg, width: int, height: int,
+                                       tile_w: int, tile_h: int, Kb: int,
+                                       interpret: bool = False,
+                                       kcc: int = KCC):
+    """Batched u8 raster: B frames in one launch (see
+    render_binned_pallas_flat_batch), u8-packed output (see
+    render_binned_pallas_flat_u8).  Returns (B, H, W, 4) uint8."""
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    nt = ntx * nty
+    Bn, spad = sorted_pads.shape
+    nblk = spad // Kb
+
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    frame_base = (jnp.arange(Bn, dtype=jnp.int32) * nblk)[:, None]
+    scalars = jnp.concatenate([
+        counts.reshape(-1).astype(jnp.int32),
+        jnp.tile(tids % ntx * tile_w, Bn),
+        jnp.tile(tids // ntx * tile_h, Bn),
+        (frame_base + starts // Kb).reshape(-1),
+        (starts % Kb).reshape(-1),
+        _pack_bg(bg)[None],
+    ])
+
+    packed = raster_tiles_flat(sorted_pads.reshape(-1), tables, scalars,
+                               Bn * nt, tile_h, tile_w, Kb, interpret,
+                               kcc, nt, True)
+    packed = packed.reshape(Bn, nt, -1)
+    return jax.vmap(
+        lambda p: _detile_packed(p, nty, ntx, tile_h, tile_w, height,
+                                 width))(packed)
 
 
 def render_binned_pallas_flat_batch(sorted_pads, starts, counts, tables,

@@ -579,14 +579,14 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
     return rgba, zq, overflow
 
 
-@functools.partial(jax.jit,
-                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15))
+@functools.partial(
+    jax.jit, static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16))
 def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 512, bg=None, span_x: int = 8,
                           span_y: int = 8, interpret: bool = False,
                           kcc: int = 32, flat: bool = False,
-                          near_clip: bool = False):
+                          near_clip: bool = False, u8: bool = False):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned.
@@ -594,7 +594,12 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
     ``flat=True`` skips materialising (NT, capacity) bins — the kernel
     consumes the sorted pair array directly (capacity then acts as the
     kernel's SMEM block size AND the per-tile run limit).  Saves the
-    ~1.9 ms/frame windowed gather at 1080p/10k-tri."""
+    ~1.9 ms/frame windowed gather at 1080p/10k-tri.
+
+    ``u8=True`` (requires ``flat``) is the video path: u8 quantisation
+    fused into the kernel epilogue and no depth output — returns
+    (rgba (H, W, 4) uint8, None, overflow).  Exactly
+    clip(rgba_f32 * 255, 0, 255) truncated."""
     from . import pallas_raster
     dtype = verts.dtype
     if mvp is None:
@@ -616,10 +621,16 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
             span_x, span_y)
         table = pallas_raster.build_table(A, B, C, zsc, inv_area, sign,
                                           valid, attrs)
+        if u8:
+            rgba8 = pallas_raster.render_binned_pallas_flat_u8(
+                sorted_pad, starts, counts, table, bg, width, height,
+                tile_w, tile_h, capacity, interpret, kcc)
+            return rgba8, None, overflow
         keys, rgba = pallas_raster.render_binned_pallas_flat(
             sorted_pad, starts, counts, table, bg, width, height,
             tile_w, tile_h, capacity, interpret, kcc)
     else:
+        assert not u8, "u8 output requires flat=True"
         bins, counts, overflow = bin_triangles(tri["sxy"], valid, width,
                                                height, tile_w, tile_h,
                                                capacity, span_x, span_y)
@@ -630,14 +641,14 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
     return rgba, zq, overflow
 
 
-@functools.partial(jax.jit,
-                   static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14))
+@functools.partial(
+    jax.jit, static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15))
 def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
                                 height: int, mvps=None, tile_w: int = 128,
                                 tile_h: int = 32, capacity: int = 512,
                                 bg=None, span_x: int = 8, span_y: int = 4,
                                 interpret: bool = False, flat: bool = False,
-                                kcc: int = 32):
+                                kcc: int = 32, u8: bool = False):
     """Batched Pallas render: B frames (mvps (B, 4, 4)) in one kernel
     launch.  Per-frame prep (projection, edge setup, binning, tables) is
     vmapped; tiles of all frames share one grid.  Amortises the
@@ -665,11 +676,18 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
             return sorted_pad, starts, counts, table, ovf
 
         sps, starts, counts, tables, ovfs = jax.vmap(prep)(mvps)
+        if u8:
+            rgba8 = pallas_raster.render_binned_pallas_flat_batch_u8(
+                sps, starts, counts, tables, bg, width, height, tile_w,
+                tile_h, capacity, interpret, kcc)
+            return rgba8, None, jnp.any(ovfs)
         keys, rgba = pallas_raster.render_binned_pallas_flat_batch(
             sps, starts, counts, tables, bg, width, height, tile_w,
             tile_h, capacity, interpret, kcc)
         zq = (keys >> IDX_BITS).astype(dtype) / Z_LEVELS
         return rgba, zq, jnp.any(ovfs)
+
+    assert not u8, "u8 output requires flat=True"
 
     def prep(mvp):
         tri = setup_triangles(verts, faces, mvp, width, height)

@@ -158,3 +158,39 @@ def test_batched_matches_per_frame():
                                    atol=2e-6)
         np.testing.assert_allclose(np.asarray(z_b[i]), np.asarray(z_1),
                                    atol=1e-6)
+
+
+def test_u8_matches_quantized_f32():
+    # the fused u8 epilogue == clip(f32*255, 0, 255) truncated, sky = bg
+    v, f, c, m = _scene()
+    bg = jnp.asarray([0.12, 0.34, 0.56, 1.0], jnp.float32)
+    fb, z, ovf = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96, bg=bg,
+        span_x=8, span_y=8, interpret=True, flat=True)
+    assert not bool(ovf)
+    fb8, z8, ovf8 = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96, bg=bg,
+        span_x=8, span_y=8, interpret=True, flat=True, u8=True)
+    assert z8 is None and not bool(ovf8)
+    want = np.clip(np.asarray(fb) * 255.0, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(fb8), want)
+    assert np.asarray(fb8).dtype == np.uint8
+
+
+def test_u8_batch_matches_per_frame():
+    v, f, c, m = _scene()
+    from libnativecpurenderer_tpu.models import mesh as mesh_mod
+    mvps = jnp.stack([
+        m,
+        jnp.asarray(np.asarray(m) @ mesh_mod.rotation_y(0.4), jnp.float32),
+    ])
+    fb_b, z_b, ovf = raster3d.render_gouraud_pallas_batch(
+        v, f, c, W, H, mvps, tile_w=32, tile_h=8, capacity=96,
+        span_x=8, span_y=8, interpret=True, flat=True, u8=True)
+    assert z_b is None and not bool(ovf)
+    for i in range(2):
+        fb_1, _, _ = raster3d.render_gouraud_pallas(
+            v, f, c, W, H, mvps[i], tile_w=32, tile_h=8, capacity=96,
+            span_x=8, span_y=8, interpret=True, flat=True, u8=True)
+        np.testing.assert_array_equal(np.asarray(fb_b[i]),
+                                      np.asarray(fb_1))
