@@ -47,8 +47,9 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
     mvps = [jnp.asarray(proj @ view @ mesh.rotation_y(i * 0.03),
                         jnp.float32) for i in range(frames)]
 
-    def mvp_for(i):
+    def mvp_single(i):
         return mvps[i % frames]
+    mvp_for = mvp_single
 
     use_pallas = jax.default_backend() != "cpu"  # no Mosaic on CPU
 
@@ -56,9 +57,12 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
     # ``flat`` = gatherless binning (sorted pair array straight into the
     # kernel); only the Pallas path understands it.
     ladder = [
-        # u8 configs first: fused quantise + no depth output is the video
-        # deliverable (the reference feeds u8 frames to its encoder) and
-        # the kernel's fixed cost is output-bound
+        # batched u8 first: B frames per launch amortises the ~1.1 ms
+        # per-launch fixed cost (tools/exp_full2.py: 2.43 single ->
+        # 2.15 ms/frame device at B=8) and u8 frames are the encoder
+        # deliverable
+        dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
+             flat=True, kcc=16, u8=True, batch=12),
         dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
              flat=True, kcc=16, u8=True),
         dict(tile_w=128, tile_h=8, span_x=3, span_y=12, capacity=512,
@@ -93,18 +97,39 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         kw = dict(candidate)
         try:
             if use_pallas:
-                fn = functools.partial(raster3d.render_gouraud_pallas, **kw)
+                B = kw.pop("batch", 0)
+                if B:
+                    bfn = functools.partial(
+                        raster3d.render_gouraud_pallas_batch, **kw)
+                    grouped = [jnp.stack(mvps[i:i + B])
+                               for i in range(0, frames, B)]
+
+                    def fn(v, f, c, w, h, mvp_b, _bfn=bfn):
+                        return _bfn(v, f, c, w, h, mvp_b)
+
+                    def mvp_for(i, _g=grouped, _B=B):  # noqa: F811
+                        return _g[(i // _B) % len(_g)]
+                    frames_eff = len(grouped)
+                else:
+                    fn = functools.partial(
+                        raster3d.render_gouraud_pallas, **kw)
+                    mvp_for = mvp_single
+                    frames_eff = frames
             else:
                 kw.pop("flat", None)
                 kw.pop("u8", None)
+                kw.pop("batch", None)
                 fn = functools.partial(raster3d.render_gouraud_binned, **kw)
+                mvp_for = mvp_single
+                frames_eff = frames
             # untimed full pass doubles as the overflow check for EVERY
             # frame (a config must hold over the whole sequence) and as
             # cache warm-up (the tunnel charges ~30 ms per first-touch
             # round trip; production dispatch has none of this)
             with TIMER.phase("raster_warm_compile"):
-                res = [fn(verts, faces, colors, width, height, mvp_for(i))
-                       for i in range(frames)]
+                res = [fn(verts, faces, colors, width, height,
+                          mvp_for(i * (frames // frames_eff)))
+                       for i in range(frames_eff)]
             if bool(jnp.any(jnp.stack([r[2] for r in res]))):
                 log(f"bin/span overflow with {candidate}; next config")
                 continue
@@ -130,9 +155,10 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         outs = []
         with TIMER.phase("raster_render"):
             t0 = time.perf_counter()
-            for i in range(frames):
+            step = frames // frames_eff
+            for i in range(frames_eff):
                 outs.append(render(verts, faces, colors, width, height,
-                                   mvp_for(i))[0])
+                                   mvp_for(i * step))[0])
             chk = checksum(outs)
             dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
