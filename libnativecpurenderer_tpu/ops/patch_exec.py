@@ -469,10 +469,77 @@ def _sampling_route(kind, p, P, W, H, r_choices):
     ui = u.astype(np.int64)
     vi = v.astype(np.int64)
     need = max(ui.max() - ui.min(), vi.max() - vi.min()) + 1
+    # the margin guards host-f64 vs device-f32 drift of the footprint,
+    # but the device's _clamp_uv bounds texel indices to the texture's
+    # own extent, so the true span can never exceed max(tw, th) - 1
+    cap = int(max(tw - 1.0, th - 1.0)) + 1
+    need = min(need + _R_MARGIN, max(cap, 1))
     for r in r_choices:
-        if need <= r - _R_MARGIN:
+        if need <= r:
             return (ROUTE_MXU if sep else ROUTE_REGION), r
     return ROUTE_FULL, 0
+
+
+def _routes_table(kinds, params, W, H, r_choices, sizes):
+    """Vectorised _sampling_route for ALL commands, lazily per patch size.
+
+    The per-command python version costs ~40 us x ~40 sampling commands
+    per flush (host-bound at 1080p); this computes identical f64 corner
+    math for every command in a handful of (N, 4) numpy passes.  Returns
+    a getter P -> (routes (N,) i64, rneeds (N,) i64) with entries only
+    meaningful at sampling-kind indices; each P is computed on first use
+    (a flush usually needs one)."""
+    kinds = np.asarray(kinds)
+    p = np.asarray(params, np.float64)
+    N = len(kinds)
+    fast = (kinds == C.KIND_TEX_FAST) | (
+        (kinds == C.KIND_HITEFFECT) & (p[:, 29] > 0.0))
+    sep = fast | ((p[:, 1] == 0.0) & (p[:, 2] == 0.0))
+    split = kinds == C.KIND_SPLIT_TEX
+    tw = p[:, 22:23]
+    th = p[:, 23:24]
+    out = {}
+
+    def for_size(P):
+        px0 = np.clip(p[:, 6].astype(np.int64), 0, W - P).astype(np.float64)
+        py0 = np.clip(p[:, 8].astype(np.int64), 0, H - P).astype(np.float64)
+        xs = px0[:, None] + np.array([0.0, P - 1.0, 0.0, P - 1.0])
+        ys = py0[:, None] + np.array([0.0, 0.0, P - 1.0, P - 1.0])
+        ix = np.where(fast[:, None],
+                      xs, p[:, 0:1] * xs + p[:, 2:3] * ys + p[:, 4:5])
+        iy = np.where(fast[:, None],
+                      ys, p[:, 1:2] * xs + p[:, 3:4] * ys + p[:, 5:6])
+        u = (ix - p[:, 14:15]) * p[:, 18:19]
+        v = (iy - p[:, 15:16]) * p[:, 19:20]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            us = (p[:, 24:25] + (p[:, 25:26] - p[:, 24:25]) * u / tw) * tw
+            vs = (p[:, 26:27] + (p[:, 27:28] - p[:, 26:27]) * v / th) * th
+        u = np.where(split[:, None], us, u)
+        v = np.where(split[:, None], vs, v)
+        u = np.clip(u, 0.0, np.maximum(tw - 2.0, 0.0))
+        v = np.clip(v, 0.0, np.maximum(th - 2.0, 0.0))
+        ui = u.astype(np.int64)
+        vi = v.astype(np.int64)
+        need = np.maximum(ui.max(1) - ui.min(1),
+                          vi.max(1) - vi.min(1)) + 1
+        # drift margin, capped by the texture extent (see _sampling_route)
+        cap = np.maximum((np.maximum(tw[:, 0] - 1.0, th[:, 0] - 1.0)
+                          ).astype(np.int64) + 1, 1)
+        need = np.minimum(need + _R_MARGIN, cap)
+        routes = np.full(N, ROUTE_FULL, np.int64)
+        rneeds = np.zeros(N, np.int64)
+        for r in reversed(r_choices):
+            ok = need <= r
+            routes[ok] = np.where(sep[ok], ROUTE_MXU, ROUTE_REGION)
+            rneeds[ok] = r
+        return routes, rneeds
+
+    def get(P):
+        if P not in out:
+            out[P] = for_size(P)
+        return out[P]
+
+    return get
 
 
 def plan_segments(kinds, params, W, H, atlas_shape):
@@ -498,11 +565,14 @@ def plan_segments(kinds, params, W, H, atlas_shape):
     r_floor = min(128, atlas_shape[0], atlas_shape[1])
 
     # pass 1: patch-size class per command (None -> full-frame scan)
-    Ps = []
-    for i in range(n):
-        p = params[i]
-        ext = max(p[7] - p[6], p[9] - p[8])
-        Ps.append(next((s for s in sizes if ext <= s), None))
+    pnp = np.asarray(params)
+    ext = np.maximum(pnp[:, 7] - pnp[:, 6], pnp[:, 9] - pnp[:, 8])
+    sidx = np.searchsorted(np.asarray(sizes, np.float64), ext)
+    Ps = [sizes[i] if i < len(sizes) else None for i in sidx]
+
+    any_sampling = bool(np.isin(np.asarray(kinds), _SAMPLING_KINDS_T).any())
+    routes_tab = (_routes_table(kinds, params, W, H, r_choices, sizes)
+                  if (any_sampling and r_choices and sizes) else None)
 
     # pass 2: group consecutive same-class commands; a patch group's P is
     # its max (safe: any member fits a larger window).  Routes are
@@ -529,9 +599,12 @@ def plan_segments(kinds, params, W, H, atlas_shape):
         for k_i in range(i, j):
             k = int(kinds[k_i])
             if k in _SAMPLING_KINDS:
-                route, rneed = (_sampling_route(k, params[k_i], P, W, H,
-                                                r_choices)
-                                if r_choices else (ROUTE_FULL, 0))
+                if routes_tab is None:
+                    route, rneed = ROUTE_FULL, 0
+                else:
+                    rt, rn = routes_tab(P)
+                    route = int(rt[k_i])
+                    rneed = int(rn[k_i])
             else:
                 route, rneed = None, 0
             if route == ROUTE_FULL:
