@@ -61,3 +61,18 @@ def set_flush_mode(mode: str) -> None:
 
 def flush_mode() -> str:
     return _flush_mode
+
+
+# Tile-resident Pallas kernel for long arithmetic spans inside "auto"
+# flushes (ops/canvas_kernel.py); plan_segments folds eligible runs only
+# when this is on.  Off switch for A/B tests and debugging.
+_canvas_kernel = True
+
+
+def set_canvas_kernel(enabled: bool) -> None:
+    global _canvas_kernel
+    _canvas_kernel = bool(enabled)
+
+
+def canvas_kernel_enabled() -> bool:
+    return _canvas_kernel

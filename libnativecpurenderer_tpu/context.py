@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,6 +25,7 @@ from . import atlas as atlas_mod
 from . import config
 from .core import transform as xf
 from .core.state import RenderState
+from .ops import canvas_kernel
 from .ops import commands as C
 from .ops import executor
 from .ops import patch_exec
@@ -136,6 +138,22 @@ class RenderContext:
                 pp[: hi - lo] = params[lo:hi]
                 self._fb = executor._run(
                     self._fb, jnp.asarray(kp), jnp.asarray(pp), atlas, 0, 0)
+            elif seg[0] == "kernel":
+                # long arithmetic run: tile-resident Pallas kernel
+                # (ops/canvas_kernel.py; plan_segments folds runs only
+                # when estimated cheaper than the scan/patch paths)
+                self._dispatch_group(group, kinds, params, atlas)
+                group = []
+                _, lo, hi = seg
+                b = canvas_kernel.cmd_bucket(hi - lo)
+                kp = np.zeros(b, np.int32)           # pad = NOOP
+                kp[: hi - lo] = kinds[lo:hi]
+                pp = np.zeros((b, C.PARAM_W), self._dtype)
+                pp[: hi - lo] = params[lo:hi]
+                self._fb = canvas_kernel.render_span_kernel(
+                    self._fb, jnp.asarray(kp), jnp.asarray(pp),
+                    self.width, self.height,
+                    interpret=jax.default_backend() == "cpu")
             else:
                 group.append(seg)
         self._dispatch_group(group, kinds, params, atlas)

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from . import canvas_kernel
 from . import commands as C
 from . import executor
 from . import noise
@@ -634,6 +635,57 @@ def plan_segments(kinds, params, W, H, atlas_shape):
                 out[-1] = (cls, out[-1][1], k_i + 1)
             else:
                 out.append((cls, k_i, k_i + 1))
+    return _fold_kernel_runs(out)
+
+
+# measured on v5e through the axon tunnel (tools/exp_canvas_decomp.py,
+# tools/exp_canvas_kernel.py): scan-path full-frame arith ~0.35 ms/cmd,
+# patch-loop arith ~0.045 ms/cmd; one tile-kernel dispatch (incl. fb
+# tile/detile + launch) ~2.2 ms regardless of command count
+EST_FULL_MS = 0.35
+EST_PATCH_MS = 0.045
+EST_KERNEL_MS = 2.2
+
+
+def _seg_bounds(s):
+    return (s[1], s[2]) if s[0] in ("fullarith", "fullsamp") else (s[3], s[4])
+
+
+def _fold_kernel_runs(segs):
+    """Replace maximal runs of all-arithmetic segments with a ('kernel',
+    lo, hi) segment when the tile kernel is estimated cheaper than the
+    scan/patch paths (ops/canvas_kernel.py; the kernel's cost is a fixed
+    ~2.2 ms while full-frame scan commands cost ~0.35 ms EACH, so e.g.
+    a stack of 10+ full-frame fills/gradients flips)."""
+    from .. import config
+    if not config.canvas_kernel_enabled():
+        return segs
+    out = []
+    i = 0
+    while i < len(segs):
+        j = i
+        est = 0.0
+        while j < len(segs):
+            s = segs[j]
+            if s[0] == "fullarith":
+                est += EST_FULL_MS * (s[2] - s[1])
+            elif s[0] == "patch" and all(x < C.N_KINDS for x in s[5]):
+                est += EST_PATCH_MS * (s[4] - s[3])
+            else:
+                break
+            j += 1
+        lo = _seg_bounds(segs[i])[0] if j > i else 0
+        hi = _seg_bounds(segs[j - 1])[1] if j > i else 0
+        if (j > i and est > EST_KERNEL_MS
+                and hi - lo <= canvas_kernel.CMD_BUCKETS[-1]):
+            out.append(("kernel", lo, hi))
+            i = j
+        elif j > i:
+            out.extend(segs[i:j])
+            i = j
+        else:
+            out.append(segs[i])
+            i += 1
     return out
 
 
