@@ -37,6 +37,8 @@ class VideoCap:
         self._cv2_writer = None
         self._path = None
         self._pending_audio: typing.Optional[tuple] = None
+        self._pending_dev = None   # double-buffered device frame (see
+                                   # put_renderer_context_frame)
         self._frames = 0
 
     # ------------------------------------------------------------------ #
@@ -92,15 +94,30 @@ class VideoCap:
     # ------------------------------------------------------------------ #
     def put_renderer_context_frame(self, ctx: RenderContext) -> None:
         """PutRendererContextFrame (cpp:232-275): the only point where pixel
-        data leaves the device."""
-        fb = ctx.framebuffer()
-        u8 = np.asarray(executor.quantize_u8(fb, 4))  # (H, W, 4) u8
-        self.put_frame_u8(u8)
+        data leaves the device.
+
+        Double-buffered: the device-side u8 quantise of THIS frame is
+        dispatched, then the PREVIOUS frame's (already computed) array is
+        fetched and fed to the encoder — so each device->host transfer
+        overlaps the next frame's render instead of stalling the loop
+        (the batched pipeline gets the same overlap from its frame axis).
+        ``release``/``put_frame_u8`` drain the held frame, preserving
+        order."""
+        dev = executor.quantize_u8(ctx.framebuffer(), 4)  # async on device
+        self._drain_pending()
+        self._pending_dev = dev
+
+    def _drain_pending(self) -> None:
+        dev = getattr(self, "_pending_dev", None)
+        if dev is not None:
+            self._pending_dev = None
+            self.put_frame_u8(np.asarray(dev))
 
     def put_frame_u8(self, u8: np.ndarray) -> None:
         """Feed one (H, W, 4) uint8 RGBA frame (host array).  Frames whose
         size differs from the cap are scaled by swscale, as the reference
         does (cpp:241-247)."""
+        self._drain_pending()
         if self._handle is not None:
             import ctypes
             lib = media._find_lib()
@@ -124,6 +141,7 @@ class VideoCap:
     # ------------------------------------------------------------------ #
     def release(self) -> None:
         """ReleaseVideoCap (cpp:198-230): flush encoder, write trailer."""
+        self._drain_pending()
         if self._handle is not None:
             lib = media._find_lib()
             rc = lib.EncFinish(self._handle)
