@@ -382,7 +382,8 @@ def bin_triangles(sxy, valid, width, height, tile_w: int, tile_h: int,
 
 
 def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
-                       block_k: int, span_x: int = 8, span_y: int = 8):
+                       block_k: int, span_x: int = 8, span_y: int = 8,
+                       edges=None):
     """Gatherless binning for the flat Pallas path.
 
     Same sort-based bucketing as ``bin_triangles`` but the per-tile runs are
@@ -421,6 +422,37 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
     ok = (nonempty[:, None, None]
           & (txs[:, None, :] <= x1c[:, None, None])
           & (tys[:, :, None] <= y1c[:, None, None]))
+    if edges is not None:
+        # exact edge-vs-tile cull: AABB spans keep every tile the box
+        # touches, but a triangle covers only ~half of them — and each
+        # kept pair costs a full (kcc, P) VPU walk in the kernel.  An
+        # edge e = A x + B y + C is affine, so its max over the tile's
+        # pixel rect sits at a corner selected by the coefficient signs;
+        # if sign * e_max < 0 for any edge, no pixel in the tile is
+        # covered and the pair is dropped.  Slack covers f32 rounding
+        # (the kernel evaluates e from the SAME A/B/C, so only
+        # fma-ordering ulps differ); in f64 (golden suite) the test is
+        # exact for snapped coords.
+        A, B, C, sign = edges
+        dtype = A.dtype
+        fxl = (txs * tile_w).astype(dtype)           # (F, sx)
+        fyl = (tys * tile_h).astype(dtype)           # (F, sy)
+        fxh = fxl + (tile_w - 1)
+        fyh = fyl + (tile_h - 1)
+        cover = None
+        for e in range(3):
+            Ae = (A[:, e] * sign)[:, None]           # fold sign into coeffs
+            Be = (B[:, e] * sign)[:, None]
+            Ce = (C[:, e] * sign)[:, None]
+            ex = jnp.where(Ae >= 0, Ae * fxh, Ae * fxl)      # (F, sx)
+            ey = jnp.where(Be >= 0, Be * fyh, Be * fyl)      # (F, sy)
+            emax = ey[:, :, None] + ex[:, None, :] + Ce[..., None]
+            slack = ((jnp.abs(Ae) * fxh)[:, None, :]
+                     + (jnp.abs(Be) * fyh)[:, :, None]
+                     + jnp.abs(Ce)[..., None])
+            keep = emax >= -1e-5 * slack
+            cover = keep if cover is None else (cover & keep)
+        ok = ok & cover
     tid = tys[:, :, None] * ntx + txs[:, None, :]
     tid = jnp.where(ok, tid, nt)
     assert nt < (1 << (31 - IDX_BITS)), "too many tiles for packed binning"
@@ -618,7 +650,7 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
     if flat:
         sorted_pad, starts, counts, overflow = bin_triangles_flat(
             tri["sxy"], valid, width, height, tile_w, tile_h, capacity,
-            span_x, span_y)
+            span_x, span_y, edges=(A, B, C, sign))
         table = pallas_raster.build_table(A, B, C, zsc, inv_area, sign,
                                           valid, attrs)
         if u8:
@@ -670,7 +702,7 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
             zsc = tri["z"] * ia[:, None]
             sorted_pad, starts, counts, ovf = bin_triangles_flat(
                 tri["sxy"], vl, width, height, tile_w, tile_h, capacity,
-                span_x, span_y)
+                span_x, span_y, edges=(A, B, C, sg))
             table = pallas_raster.build_table(A, B, C, zsc, ia, sg, vl,
                                               attrs)
             return sorted_pad, starts, counts, table, ovf
