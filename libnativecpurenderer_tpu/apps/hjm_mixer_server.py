@@ -74,7 +74,10 @@ def mix_request(midi_bytes: bytes, min_note: int, max_note: int,
         # reference re-encodes at 18 kHz (:44-45)
         mixed.resample(18000, mixed.channels)
         mp3_fp = os.path.join(td, "out.mp3")
-        media.encode_audio_file(mp3_fp, mixed.numpy().astype(np.float32),
+        from ..ops import audio_ops
+        media.encode_audio_file(mp3_fp,
+                                np.asarray(audio_ops.to_f32_device(
+                                    mixed._buf)),
                                 18000, bit_rate=180000)
         with open(mp3_fp, "rb") as f:
             return f.read()

@@ -132,3 +132,11 @@ def to_int16_device(buf):
     zero like the C cast); halves the host transfer for WAV export."""
     v = jnp.clip(buf, -1.0, 1.0) * 32767.0
     return v.astype(jnp.int16)
+
+
+@jax.jit
+def to_f32_device(buf):
+    """f32 downcast on device before a host fetch — the encoder paths
+    (VideoCap.put_audio, hjm_mixer_server) want f32 PCM, and fetching f64
+    over the tunnel doubles the transfer for bits the encoder discards."""
+    return buf.astype(jnp.float32)

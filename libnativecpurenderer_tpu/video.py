@@ -78,7 +78,9 @@ class VideoCap:
         if self._handle is not None:
             import ctypes
             lib = media._find_lib()
-            pcm = np.ascontiguousarray(audio.numpy(), np.float32)
+            from .ops import audio_ops
+            pcm = np.ascontiguousarray(
+                np.asarray(audio_ops.to_f32_device(audio._buf)))
             rc = lib.EncAddAudio(self._handle,
                                  pcm.ctypes.data_as(ctypes.c_void_p),
                                  audio.sample_rate, audio.channels,
