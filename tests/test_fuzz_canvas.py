@@ -232,3 +232,71 @@ def test_plan_segments_routing():
     assert sels[2] == patch_exec.sel_for(C.KIND_TEX,
                                          patch_exec.ROUTE_REGION)
     ctx._cmds.clear()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_kernel_route_vs_scan(seed):
+    """Arith-heavy streams (stacked full-frame fills force plan_segments'
+    kernel fold) through the tile kernel must be bit-exact with the scan
+    executor."""
+    from libnativecpurenderer_tpu import config
+    from libnativecpurenderer_tpu.ops import patch_exec
+
+    W2, H2 = 300, 220
+
+    def build(ctx, rng):
+        ctx.set_color(0.02, 0.03, 0.05, 1)
+        for _ in range(24):
+            op = rng.integers(0, 7)
+            if op == 0:
+                ctx.fill_color(*rng.uniform(0, 0.4, 3), rng.uniform(0, 0.3))
+            elif op == 1:
+                ctx.draw_rect(rng.uniform(-20, W2), rng.uniform(-20, H2),
+                              rng.uniform(1, 120), rng.uniform(1, 90),
+                              *rng.uniform(0, 1, 4))
+            elif op == 2:
+                ctx.draw_circle(rng.uniform(0, W2), rng.uniform(0, H2),
+                                rng.uniform(1, 60), *rng.uniform(0, 1, 4))
+            elif op == 3:
+                ctx.draw_line(rng.uniform(-10, W2), rng.uniform(-10, H2),
+                              rng.uniform(-10, W2), rng.uniform(-10, H2),
+                              rng.uniform(0, 8), *rng.uniform(0, 1, 4))
+            elif op == 4:
+                ctx.draw_vertical_grd(rng.uniform(-10, W2),
+                                      rng.uniform(-10, H2),
+                                      rng.uniform(1, W2), rng.uniform(1, H2),
+                                      *rng.uniform(0, 1, 8))
+            elif op == 5:
+                ctx.save_state()
+                ctx.rotate(rng.uniform(-1, 1))
+                ctx.translate(rng.uniform(-30, 30), rng.uniform(-30, 30))
+                ctx.draw_rect(rng.uniform(0, W2), rng.uniform(0, H2),
+                              rng.uniform(1, 80), rng.uniform(1, 60),
+                              *rng.uniform(0, 1, 4))
+                ctx.restore_state()
+            else:
+                ctx.set_color_transform(*rng.uniform(0.5, 1.2, 4))
+
+    def render(mode):
+        prev = config.flush_mode()
+        config.set_flush_mode(mode)
+        try:
+            rng = np.random.default_rng(7000 + seed)
+            ctx = R.RenderContext(W2, H2, True)
+            build(ctx, rng)
+            if mode == "auto":
+                # the stream must actually hit the kernel route
+                n = ctx._cmds.n
+                segs = patch_exec.plan_segments(
+                    np.array(ctx._cmds.kinds[:n], np.int32),
+                    ctx._cmds.params[:n], W2, H2,
+                    ctx._store.device.shape)
+                assert any(s[0] == "kernel" for s in segs), segs
+            ctx.flush()
+            return np.asarray(ctx._fb)
+        finally:
+            config.set_flush_mode(prev)
+
+    got = render("auto")
+    want = render("scan")
+    np.testing.assert_array_equal(got, want)
