@@ -22,10 +22,9 @@ W, H = 1920, 1080
 NSTAGE = 16
 
 CFGS = [
-    dict(tile_w=128, tile_h=8, span_x=2, span_y=10, kcc=16),   # current
-    dict(tile_w=256, tile_h=8, span_x=2, span_y=10, kcc=16),
-    dict(tile_w=128, tile_h=8, span_x=2, span_y=10, kcc=8),
-    dict(tile_w=256, tile_h=16, span_x=2, span_y=6, kcc=16),
+    dict(tile_w=256, tile_h=8, span_x=2, span_y=10, kcc=16, capacity=1024),
+    dict(tile_w=256, tile_h=16, span_x=2, span_y=6, kcc=16, capacity=1024),
+    dict(tile_w=128, tile_h=8, span_x=2, span_y=10, kcc=32),
 ]
 
 
@@ -41,7 +40,8 @@ def main():
     float(jnp.sum(mvps))
 
     for cfg in CFGS:
-        kw = dict(capacity=512, flat=True, u8=True, **cfg)
+        kw = dict(capacity=512, flat=True, u8=True)
+        kw.update(cfg)
 
         @functools.partial(jax.jit, static_argnums=(1,))
         def loop(mvps, n, kw=kw):
