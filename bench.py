@@ -63,10 +63,11 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         # through the tunnel, otherwise bounds wall clock; device time
         # is ~2.15 ms/frame (tools/exp_full2.py)
         dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
-             flat=True, kcc=16, u8=True, batch=12, fused=True),
+             flat=True, kcc=16, u8=True, opaque=True, batch=12,
+             fused=True),
         # batched u8: B frames per launch amortises per-launch prep
         dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
-             flat=True, kcc=16, u8=True, batch=12),
+             flat=True, kcc=16, u8=True, opaque=True, batch=12),
         dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
              flat=True, kcc=16, u8=True),
         dict(tile_w=128, tile_h=8, span_x=3, span_y=12, capacity=512,
@@ -156,7 +157,9 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
             else:
                 kw.pop("flat", None)
                 kw.pop("u8", None)
+                kw.pop("opaque", None)
                 kw.pop("batch", None)
+                kw.pop("fused", None)
                 fn = functools.partial(raster3d.render_gouraud_binned, **kw)
                 mvp_for = mvp_single
                 frames_eff = frames

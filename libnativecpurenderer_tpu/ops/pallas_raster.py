@@ -84,9 +84,9 @@ def _make_kernel(tile_h: int, tile_w: int, K: int, kcc: int = KCC):
             e0 = col(0) * X + col(1) * Y + col(2)           # (KCC, P)
             e1 = col(3) * X + col(4) * Y + col(5)
             e2 = col(6) * X + col(7) * Y + col(8)
-            sg = col(12)
-            # min-form inside test: 2 mins + 1 cmp vs 3 cmps + 2 ands
-            m = jnp.minimum(jnp.minimum(e0 * sg, e1 * sg), e2 * sg)
+            # min-form inside test on sign-folded edges (build_table):
+            # 2 mins + 1 cmp, no per-chunk sign muls
+            m = jnp.minimum(jnp.minimum(e0, e1), e2)
             zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
             cov = (m >= 0.0) & (zz >= 0.0) & (zz <= 1.0)
             # cov bounds zz to [0, 1] already; uncovered lanes' casts are
@@ -123,7 +123,7 @@ def _make_kernel(tile_h: int, tile_w: int, K: int, kcc: int = KCC):
 
 
 def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
-                      u8: bool = False):
+                      u8: bool = False, opaque: bool = False):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
@@ -135,10 +135,13 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
     single output is RGBA packed into one i32 per pixel (r | g<<8 | b<<16
     | a<<24, each clip(v*255, 0, 255) truncated) with the packed
     background (scalar slot 5*NT) filled in for sky pixels, and no keys
-    output.  Output traffic drops from 20 B/px (keys + 4xf32) to 4 B/px —
-    the kernel's zero-work floor is output-bound (~37 GB/s effective), so
-    this is the difference between ~1.1 and ~0.3 ms/frame of fixed cost
-    at 1080p (tools/exp_batch2.py)."""
+    output.  (Output-byte savings turned out NOT to move device time —
+    the kernel is VPU-compute-bound, see ROADMAP — but u8 frames are the
+    encoder deliverable, so the fused quantise stays.)
+
+    ``opaque=True`` (u8 only) drops the alpha-attribute accumulation from
+    the chunk walk (~11% of its vector ops) and emits a=255; valid when
+    every vertex alpha is 1, e.g. opaque meshes on the video path."""
     P = tile_h * tile_w
 
     def kernel(scal_ref, blk0_ref, blk1_ref, table_ref, keys_ref, rgba_ref,
@@ -158,8 +161,10 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
         Y = jnp.broadcast_to(y1, (kcc, P))
         slot0 = lax.broadcasted_iota(jnp.int32, (kcc, P), 0)
 
+        nacc = 3 if (u8 and opaque) else 4
+
         def body(c, carry):
-            kacc, r0, r1, r2, r3 = carry
+            kacc, rs = carry[0], carry[1:]
             # unrolled constant-index copies beat a count-bounded
             # fori_loop here (measured 242 vs 234 fps at 1080p/10k —
             # per-iteration loop overhead exceeds the ~40% copy savings)
@@ -179,8 +184,7 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             e0 = col(0) * X + col(1) * Y + col(2)
             e1 = col(3) * X + col(4) * Y + col(5)
             e2 = col(6) * X + col(7) * Y + col(8)
-            sg = col(12)
-            m = jnp.minimum(jnp.minimum(e0 * sg, e1 * sg), e2 * sg)
+            m = jnp.minimum(jnp.minimum(e0, e1), e2)
             zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
             cov = (m >= 0.0) & (zz >= 0.0) & (zz <= 1.0)
             zq = (zz * Z_LEVELS).astype(jnp.int32)
@@ -192,19 +196,19 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             win = (keys == cmin) & cov
             upd = cmin < kacc
             outs = []
-            for d, rd in enumerate((r0, r1, r2, r3)):
+            for d, rd in enumerate(rs):
                 cd = (e0 * col(14 + d) + e1 * col(14 + D + d)
                       + e2 * col(14 + 2 * D + d))
                 cd = jnp.where(win, cd, 0.0)
                 cdm = jnp.sum(cd, axis=0, keepdims=True)
                 outs.append(jnp.where(upd, cdm, rd))
-            return (jnp.where(upd, cmin, kacc),
-                    outs[0], outs[1], outs[2], outs[3])
+            return (jnp.where(upd, cmin, kacc), *outs)
 
         sky = jnp.full((1, P), SKY_KEY, jnp.int32)
         zero = jnp.zeros((1, P), jnp.float32)
-        kacc, r0, r1, r2, r3 = lax.fori_loop(
-            0, nchunks, body, (sky, zero, zero, zero, zero))
+        res = lax.fori_loop(0, nchunks, body,
+                            (sky,) + (zero,) * nacc)
+        kacc, rs = res[0], res[1:]
 
         if u8:
             bgp = scal_ref[5 * nt]
@@ -212,12 +216,14 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             def q(v):
                 return jnp.clip(v * 255.0, 0.0, 255.0).astype(jnp.int32)
 
-            packed = q(r0) | (q(r1) << 8) | (q(r2) << 16) | (q(r3) << 24)
+            a8 = ((jnp.full((1, P), 255, jnp.int32) << 24) if opaque
+                  else (q(rs[3]) << 24))
+            packed = q(rs[0]) | (q(rs[1]) << 8) | (q(rs[2]) << 16) | a8
             keys_ref[0] = jnp.where(kacc != jnp.int32(SKY_KEY), packed,
                                     bgp)
         else:
             keys_ref[0] = kacc
-            rgba_ref[0] = jnp.concatenate([r0, r1, r2, r3], axis=0)
+            rgba_ref[0] = jnp.concatenate(list(rs), axis=0)
 
     if u8:
         def kernel_u8(scal_ref, blk0_ref, blk1_ref, table_ref, packed_ref,
@@ -228,11 +234,13 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+
+@functools.partial(jax.jit,
+                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                       tile_w: int, Kb: int, interpret: bool = False,
                       kcc: int = KCC, tiles_per_frame: int = 0,
-                      u8: bool = False):
+                      u8: bool = False, opaque: bool = False):
     """Flat-bins kernel launch.  sorted_pad: (Spad,) i32 packed pairs from
     bin_triangles_flat (multi-frame: frames' arrays concatenated, with the
     scalar block indices made absolute by the caller); scalars: (5*NT,)
@@ -269,7 +277,8 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
     )
     if u8:
         packed = pl.pallas_call(
-            _make_kernel_flat(tile_h, tile_w, Kb, kcc, u8=True),
+            _make_kernel_flat(tile_h, tile_w, Kb, kcc, u8=True,
+                              opaque=opaque),
             out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
             grid_spec=grid_spec,
             interpret=interpret,
@@ -328,7 +337,8 @@ def _detile_packed(packed_flat, nty, ntx, tile_h, tile_w, height, width):
 def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
                                  width: int, height: int, tile_w: int,
                                  tile_h: int, Kb: int,
-                                 interpret: bool = False, kcc: int = KCC):
+                                 interpret: bool = False, kcc: int = KCC,
+                                 opaque: bool = False):
     """Video-path raster: fused u8 quantise in the kernel epilogue, no
     depth output.  Returns rgba (H, W, 4) uint8 — exactly
     clip(rgba_f32 * 255, 0, 255) truncated, with bg quantised the same
@@ -344,7 +354,7 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
          _pack_bg(bg)[None]])
 
     packed = raster_tiles_flat(sorted_pad, table, scalars, nt, tile_h,
-                               tile_w, Kb, interpret, kcc, 0, True)
+                               tile_w, Kb, interpret, kcc, 0, True, opaque)
     return _detile_packed(packed.reshape(nt, -1), nty, ntx, tile_h,
                           tile_w, height, width)
 
@@ -353,7 +363,8 @@ def render_binned_pallas_flat_batch_u8(sorted_pads, starts, counts,
                                        tables, bg, width: int, height: int,
                                        tile_w: int, tile_h: int, Kb: int,
                                        interpret: bool = False,
-                                       kcc: int = KCC):
+                                       kcc: int = KCC,
+                                       opaque: bool = False):
     """Batched u8 raster: B frames in one launch (see
     render_binned_pallas_flat_batch), u8-packed output (see
     render_binned_pallas_flat_u8).  Returns (B, H, W, 4) uint8."""
@@ -376,7 +387,7 @@ def render_binned_pallas_flat_batch_u8(sorted_pads, starts, counts,
 
     packed = raster_tiles_flat(sorted_pads.reshape(-1), tables, scalars,
                                Bn * nt, tile_h, tile_w, Kb, interpret,
-                               kcc, nt, True)
+                               kcc, nt, True, opaque)
     packed = packed.reshape(Bn, nt, -1)
     return jax.vmap(
         lambda p: _detile_packed(p, nty, ntx, tile_h, tile_w, height,
@@ -476,20 +487,26 @@ def raster_tiles(bins, table, scalars, nt: int, tile_h: int, tile_w: int,
 
 def build_table(A, B, C, zplane_scaled, inv_area, sign, valid, attrs):
     """Edge-major triangle row table for the kernel:
-    [A0 B0 C0 | A1 B1 C1 | A2 B2 C2 | zsc | sign | ia | attrs*ia], NaN
-    rows for invalid triangles plus one NaN pad row (index F) for NO_TRI
-    bin slots, padded to ROW_W floats.  inv_area is pre-folded into the
-    attribute columns (like zsc) so the kernel shades with plain
-    edge-value FMAs — no per-pixel barycentric normalisation."""
+    [A0' B0' C0' | ... | zsc' | sign | ia | attrs*ia*sg], NaN rows for
+    invalid triangles plus one NaN pad row (index F) for NO_TRI bin
+    slots, padded to ROW_W floats.  The cover sign is PRE-FOLDED into the
+    edge coefficients (e' = sg*e), so the kernel's inside test is a bare
+    min(e0,e1,e2) >= 0 — three fewer (kcc, P) vector muls per chunk —
+    and zsc/attr columns carry a compensating sg so e'-weighted sums are
+    unchanged (sg^2 = 1).  inv_area is pre-folded into the attribute
+    columns (like zsc) so shading is plain edge-value FMAs."""
     F = A.shape[0]
-    cols = [A[:, 0], B[:, 0], C[:, 0],
-            A[:, 1], B[:, 1], C[:, 1],
-            A[:, 2], B[:, 2], C[:, 2]]
+    As = A * sign[:, None]
+    Bs = B * sign[:, None]
+    Cs = C * sign[:, None]
+    cols = [As[:, 0], Bs[:, 0], Cs[:, 0],
+            As[:, 1], Bs[:, 1], Cs[:, 1],
+            As[:, 2], Bs[:, 2], Cs[:, 2]]
     table = jnp.stack(cols, axis=1)
-    attrs_sc = attrs * inv_area[:, None, None]
+    attrs_sc = attrs * (inv_area * sign)[:, None, None]
     table = jnp.concatenate(
-        [table, zplane_scaled, sign[:, None], inv_area[:, None],
-         attrs_sc.reshape(F, 3 * D)], axis=1)
+        [table, zplane_scaled * sign[:, None], sign[:, None],
+         inv_area[:, None], attrs_sc.reshape(F, 3 * D)], axis=1)
     table = jnp.where(valid[:, None], table, jnp.nan).astype(jnp.float32)
     table = jnp.concatenate(
         [table, jnp.full((1, table.shape[1]), jnp.nan, jnp.float32)],

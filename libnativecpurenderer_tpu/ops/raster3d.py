@@ -612,13 +612,15 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
 
 
 @functools.partial(
-    jax.jit, static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16))
+    jax.jit,
+    static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17))
 def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 512, bg=None, span_x: int = 8,
                           span_y: int = 8, interpret: bool = False,
                           kcc: int = 32, flat: bool = False,
-                          near_clip: bool = False, u8: bool = False):
+                          near_clip: bool = False, u8: bool = False,
+                          opaque: bool = False):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned.
@@ -656,7 +658,7 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
         if u8:
             rgba8 = pallas_raster.render_binned_pallas_flat_u8(
                 sorted_pad, starts, counts, table, bg, width, height,
-                tile_w, tile_h, capacity, interpret, kcc)
+                tile_w, tile_h, capacity, interpret, kcc, opaque)
             return rgba8, None, overflow
         keys, rgba = pallas_raster.render_binned_pallas_flat(
             sorted_pad, starts, counts, table, bg, width, height,
@@ -674,13 +676,14 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
 
 
 @functools.partial(
-    jax.jit, static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15))
+    jax.jit, static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16))
 def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
                                 height: int, mvps=None, tile_w: int = 128,
                                 tile_h: int = 32, capacity: int = 512,
                                 bg=None, span_x: int = 8, span_y: int = 4,
                                 interpret: bool = False, flat: bool = False,
-                                kcc: int = 32, u8: bool = False):
+                                kcc: int = 32, u8: bool = False,
+                                opaque: bool = False):
     """Batched Pallas render: B frames (mvps (B, 4, 4)) in one kernel
     launch.  Per-frame prep (projection, edge setup, binning, tables) is
     vmapped; tiles of all frames share one grid.  Amortises the
@@ -711,7 +714,7 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
         if u8:
             rgba8 = pallas_raster.render_binned_pallas_flat_batch_u8(
                 sps, starts, counts, tables, bg, width, height, tile_w,
-                tile_h, capacity, interpret, kcc)
+                tile_h, capacity, interpret, kcc, opaque)
             return rgba8, None, jnp.any(ovfs)
         keys, rgba = pallas_raster.render_binned_pallas_flat_batch(
             sps, starts, counts, tables, bg, width, height, tile_w,

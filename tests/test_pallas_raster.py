@@ -194,3 +194,23 @@ def test_u8_batch_matches_per_frame():
             span_x=8, span_y=8, interpret=True, flat=True, u8=True)
         np.testing.assert_array_equal(np.asarray(fb_b[i]),
                                       np.asarray(fb_1))
+
+
+def test_u8_opaque_matches_u8():
+    # opaque meshes (all vertex alpha == 1): the alpha-free walk must
+    # produce identical frames with a=255
+    v, f, c, m = _scene()   # colors carry alpha 1.0
+    fb8, _, _ = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96,
+        span_x=8, span_y=8, interpret=True, flat=True, u8=True)
+    fb8o, _, _ = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96,
+        span_x=8, span_y=8, interpret=True, flat=True, u8=True,
+        opaque=True)
+    a = np.asarray(fb8)
+    b = np.asarray(fb8o)
+    np.testing.assert_array_equal(a[..., :3], b[..., :3])
+    # interpolated alpha can truncate to 254 where barycentric weights
+    # round below 1.0; opaque's exact 255 is the more correct answer
+    assert (np.abs(a[..., 3].astype(int) - b[..., 3].astype(int))
+            <= 1).all()
