@@ -76,3 +76,18 @@ def set_canvas_kernel(enabled: bool) -> None:
 
 def canvas_kernel_enabled() -> bool:
     return _canvas_kernel
+
+
+# Unrolled flush executor (static per-command branch picks — ~5x less
+# device time than the fori/switch loop, one compile per distinct flush
+# structure; ops/patch_exec.render_flush_unrolled).
+_flush_unrolled = True
+
+
+def set_flush_unrolled(enabled: bool) -> None:
+    global _flush_unrolled
+    _flush_unrolled = bool(enabled)
+
+
+def flush_unrolled_enabled() -> bool:
+    return _flush_unrolled

@@ -158,15 +158,43 @@ class RenderContext:
                 group.append(seg)
         self._dispatch_group(group, kinds, params, atlas)
 
+    # unrolled-flush signature cache: one compile per distinct
+    # (plan, sel-sequence); bounded so pathological workloads (every
+    # frame a new structure) fall back to the dynamic-count loop
+    _UNROLL_SIG_CAP = 64
+    _unroll_sigs: set = set()
+
     def _dispatch_group(self, group, kinds, params, atlas) -> None:
-        """One packed upload + one render_flush call for a run of
-        patch/fullarith segments."""
+        """One packed upload + one flush call for a run of patch/fullarith
+        segments.  Uses the unrolled executor (static branch picks, XLA
+        overlaps per-command chains — ~5x less device time than the
+        fori/switch loop) while the signature cache has room."""
         if not group:
             return
         lo0 = group[0][1] if group[0][0] == "fullarith" else group[0][3]
         hi_last = group[-1][2] if group[-1][0] == "fullarith" \
             else group[-1][4]
         ncmds = hi_last - lo0
+
+        if config.flush_unrolled_enabled():
+            sig = []
+            for seg in group:
+                if seg[0] == "patch":
+                    _, P, R, lo, hi, sels, _wr = seg
+                    sig.append(("patch", P, R, tuple(sels)))
+                else:
+                    _, lo, hi = seg
+                    sig.append(("fullarith",
+                                tuple(int(k) for k in kinds[lo:hi])))
+            sig = tuple(sig)
+            cache = RenderContext._unroll_sigs
+            if sig in cache or len(cache) < RenderContext._UNROLL_SIG_CAP:
+                cache.add(sig)
+                rows = np.ascontiguousarray(params[lo0:hi_last],
+                                            dtype=self._dtype)
+                self._fb = patch_exec.render_flush_unrolled(
+                    self._fb, jnp.asarray(rows), atlas, sig)
+                return
         nbase = patch_exec.len_bucket(ncmds)
         packed = np.zeros((nbase + len(group), patch_exec.PACKED_W),
                           self._dtype)

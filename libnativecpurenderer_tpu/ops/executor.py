@@ -158,10 +158,17 @@ def _build_branches(X, Y, atlas_flat, atlas_w, dtype, no_sampling=False,
         m = (ix >= p[14]) & (ix <= p[16]) & (iy >= p[15]) & (iy <= p[17])
         m = m & _aabb_mask(p, X, Y)
         t = (iy - p[18]) / p[19]  # (invY - y) / height   cpp:1308
-        r = p[20] + (p[24] - p[20]) * t
-        g = p[21] + (p[25] - p[21]) * t
-        b = p[22] + (p[26] - p[22]) * t
-        a = p[23] + (p[27] - p[23]) * t
+        # bar: the diff*t product must round before the add (C stores it,
+        # cpp:1310-1313); XLA would otherwise contract to fma depending
+        # on the surrounding graph — see _blend_into
+
+        def lerp(lo, hi):
+            return lo + lax.optimization_barrier((hi - lo) * t)
+
+        r = lerp(p[20], p[24])
+        g = lerp(p[21], p[25])
+        b = lerp(p[22], p[26])
+        a = lerp(p[23], p[27])
         r, g, b, a = apply_ct(p, r, g, b, a)
         return m, pack(r, g, b, a), t_false
 
@@ -263,7 +270,15 @@ _SAMPLING_KINDS = (C.KIND_TEX, C.KIND_TEX_FAST, C.KIND_SPLIT_TEX,
 def _blend_into(fb, mask, rgba, store):
     src_rgb = rgba[..., :3]
     src_a = rgba[..., 3:4]
-    blended = fb[..., :3] * (1.0 - src_a) + src_rgb * src_a
+    # the two products MUST round separately (C computes and stores each
+    # before adding, cpp:543-546); without the barriers XLA may contract
+    # a*b+c*d into fma(a, b, c*d) — and WHICH side it contracts depends
+    # on the surrounding graph, so the scan/loop/unrolled executors would
+    # drift a ulp apart (observed via test_fuzz_segmented_vs_scan when
+    # the unrolled flush landed)
+    ta = lax.optimization_barrier(fb[..., :3] * (1.0 - src_a))
+    tb = lax.optimization_barrier(src_rgb * src_a)
+    blended = ta + tb
     new_rgb = jnp.where(store, src_rgb, blended)
     new = jnp.concatenate([new_rgb, src_a], axis=-1)
     return jnp.where(mask[..., None], new, fb)

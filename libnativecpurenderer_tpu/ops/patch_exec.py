@@ -368,6 +368,34 @@ def _patch_span(fb, sels, params, lo, n, atlas, P, R, with_region, dtype):
     return lax.fori_loop(0, n, body, fb)
 
 
+def _patch_step_static(fb, sel: int, p, atlas, P, R, dtype):
+    """One patch command with a STATIC switch index: the branch is picked
+    at trace time (no lax.switch), so XLA sees a straight slice/compute/
+    update chain.  Used by unrolled/vectorised executor variants and
+    experiments (tools/exp_samp_unroll.py)."""
+    H, W = fb.shape[0], fb.shape[1]
+    AH, AW = atlas.shape[0], atlas.shape[1]
+    px0 = jnp.clip(p[6].astype(jnp.int32), 0, W - P)
+    py0 = jnp.clip(p[8].astype(jnp.int32), 0, H - P)
+    Xp = px0.astype(dtype) + lax.broadcasted_iota(dtype, (P, P), 1)
+    Yp = py0.astype(dtype) + lax.broadcasted_iota(dtype, (P, P), 0)
+    if sel >= C.N_KINDS:
+        kind = C.KIND_TEX + (sel - C.N_KINDS) // 2
+        v0, u0 = _corner_origin(p, kind, px0, py0, P, AH, AW, R, dtype)
+        region = lax.dynamic_slice(atlas, (v0, u0, jnp.int32(0)),
+                                   (R, R, 4))
+        br = _build_region_branches(P, R, px0, py0, Xp, Yp,
+                                    dtype)[sel - C.N_KINDS]
+        mask, rgba, store = br((p, region, u0, v0))
+    else:
+        br = executor._build_branches(Xp, Yp, None, AW, dtype,
+                                      no_sampling=True)[sel]
+        mask, rgba, store = br(p)
+    old = lax.dynamic_slice(fb, (py0, px0, jnp.int32(0)), (P, P, 4))
+    new = executor._blend_into(old, mask, rgba, store)
+    return lax.dynamic_update_slice(fb, new, (py0, px0, jnp.int32(0)))
+
+
 def _origin_table(P, AH, AW, R, dtype):
     def origin_noop(p, px0, py0):
         z = jnp.int32(0)
@@ -425,6 +453,52 @@ def render_flush(fb, packed, atlas, plan: tuple, nbase: int):
                              with_region, dtype)
         else:
             fb = _full_span(fb, sels, params, lo, n, atlas, dtype)
+    return fb
+
+
+# Unrolled flush: the fori_loop + lax.switch structure above serialises
+# the per-command chains and costs ~45-50 us/command of pure structure —
+# the SAME 42-command sampling span measures 2.29 ms on the loop vs
+# 0.39 ms unrolled (tools/exp_samp_unroll.py, v5e): with static branch
+# picks XLA overlaps the independent slice/compute/update chains.  The
+# price is one compilation per distinct (plan, sel-sequence) signature,
+# so context.flush uses this path only while its signature cache is
+# small (real workloads repeat frame structures; the persistent compile
+# cache keeps warm starts cheap) and falls back to the loop above.
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def render_flush_unrolled(fb, params, atlas, sig: tuple):
+    """sig: tuple of segments; each is ('patch', P, R, (sels...)) or
+    ('fullarith', (sels...)).  params: (ncmd, PARAM_W) rows in segment
+    order, ncmd = total sels."""
+    dtype = fb.dtype
+    H, W = fb.shape[0], fb.shape[1]
+    AW = atlas.shape[1]
+    i = 0
+    full_branches = None
+    # the barrier between commands stops XLA fusing one command's math
+    # into another's — each command's rounding then matches the loop
+    # executor's isolated body bit-for-bit (the fb chain is sequential
+    # anyway, so no overlap is lost)
+    for seg in sig:
+        if seg[0] == "patch":
+            _, P, R, sels = seg
+            for sel in sels:
+                fb = _patch_step_static(fb, sel, params[i], atlas, P, R,
+                                        dtype)
+                fb = lax.optimization_barrier(fb)
+                i += 1
+        else:
+            if full_branches is None:
+                X = lax.broadcasted_iota(dtype, (H, W), 1)
+                Y = lax.broadcasted_iota(dtype, (H, W), 0)
+                full_branches = executor._build_branches(
+                    X, Y, None, AW, dtype, no_sampling=True)
+            for sel in seg[1]:
+                mask, rgba, store = full_branches[sel](params[i])
+                fb = executor._blend_into(fb, mask, rgba, store)
+                fb = lax.optimization_barrier(fb)
+                i += 1
     return fb
 
 
