@@ -713,11 +713,13 @@ def plan_segments(kinds, params, W, H, atlas_shape):
 
 
 # measured on v5e through the axon tunnel (tools/exp_canvas_decomp.py,
-# tools/exp_canvas_kernel.py): scan-path full-frame arith ~0.35 ms/cmd,
-# patch-loop arith ~0.045 ms/cmd; one tile-kernel dispatch (incl. fb
-# tile/detile + launch) ~2.2 ms regardless of command count
-EST_FULL_MS = 0.35
-EST_PATCH_MS = 0.045
+# tools/exp_samp_unroll.py): with the unrolled executor a full-frame
+# arith command costs ~0.10 ms and a patch command ~0.01 ms; one
+# tile-kernel dispatch (incl. fb tile/detile + launch) ~2.2 ms
+# regardless of command count — so the kernel route only wins for big
+# stacks of full-frame commands
+EST_FULL_MS = 0.10
+EST_PATCH_MS = 0.01
 EST_KERNEL_MS = 2.2
 
 

@@ -67,7 +67,7 @@ def test_kernel_noop_padding():
 
 def test_plan_folds_long_arith_runs():
     # a stack of full-frame fills exceeds the kernel-cost threshold
-    _, kinds, params = _record_arith(n_extra_fills=12)
+    _, kinds, params = _record_arith(n_extra_fills=30)
     segs = patch_exec.plan_segments(kinds, params, W, H, (1024, 4096, 4))
     assert any(s[0] == "kernel" for s in segs), segs
     ker = [s for s in segs if s[0] == "kernel"][0]
@@ -83,7 +83,7 @@ def test_plan_folds_long_arith_runs():
 
 
 def test_flush_with_kernel_route_matches_scan():
-    ctx, _, _ = _record_arith(n_extra_fills=12)
+    ctx, _, _ = _record_arith(n_extra_fills=30)
     segs = patch_exec.plan_segments(
         np.array(ctx._cmds.kinds[: ctx._cmds.n], np.int32),
         ctx._cmds.params[: ctx._cmds.n], W, H, ctx._store.device.shape)
@@ -93,7 +93,7 @@ def test_flush_with_kernel_route_matches_scan():
 
     config.set_flush_mode("scan")
     try:
-        ctx2, _, _ = _record_arith(n_extra_fills=12)
+        ctx2, _, _ = _record_arith(n_extra_fills=30)
         ctx2.flush()
         want = np.asarray(ctx2._fb)
     finally:

@@ -246,6 +246,10 @@ def test_fuzz_kernel_route_vs_scan(seed):
 
     def build(ctx, rng):
         ctx.set_color(0.02, 0.03, 0.05, 1)
+        # enough stacked full-frame fills that plan_segments' cost model
+        # folds the run into a kernel segment
+        for _ in range(25):
+            ctx.fill_color(*rng.uniform(0, 0.2, 3), rng.uniform(0, 0.2))
         for _ in range(24):
             op = rng.integers(0, 7)
             if op == 0:
