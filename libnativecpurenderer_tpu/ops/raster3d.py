@@ -744,6 +744,67 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
     return rgba, zq, jnp.any(ovfs)
 
 
+@functools.partial(
+    jax.jit, static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15))
+def render_textured_pallas(verts, faces, uvs, tex, width: int, height: int,
+                           mvp=None, tile_w: int = 128, tile_h: int = 8,
+                           capacity: int = 512, bg=None, span_x: int = 2,
+                           span_y: int = 10, interpret: bool = False,
+                           kcc: int = 16,
+                           perspective_correct: bool = True):
+    """Textured deferred render through the fused Pallas tile kernel.
+
+    UVs ride the kernel as the 4 interpolated attributes
+    [u*w^-1, v*w^-1, w^-1, 1] (affine: [u, v, 1, 1]); the winner's (u, v)
+    then drives one nearest texel fetch per pixel.  The XLA fused pass
+    (render_textured_binned) measures ~65 ms/frame at 1080p/10k-tri;
+    this path does the visibility+interpolation in the same ~2.5 ms as
+    the Gouraud kernel, leaving only the ~4 ms per-pixel gather
+    (tools/exp_textured.py).  Same sampling semantics as
+    render_textured_binned (clamped nearest, cpp:560-573 quirk family).
+    Returns (rgba (H, W, 4), z (H, W), overflow)."""
+    from . import pallas_raster
+    dtype = verts.dtype
+    if mvp is None:
+        mvp = jnp.eye(4, dtype=dtype)
+    if bg is None:
+        bg = jnp.zeros(4, dtype)
+    tri = setup_triangles(verts, faces, mvp, width, height)
+    A, B, C, inv_area, sign, valid = edge_coeffs(tri["sxy"], tri["z"],
+                                                 tri["valid"])
+    zsc = tri["z"] * inv_area[:, None]
+    sorted_pad, starts, counts, overflow = bin_triangles_flat(
+        tri["sxy"], valid, width, height, tile_w, tile_h, capacity,
+        span_x, span_y, edges=(A, B, C, sign))
+    fuv = uvs[faces]                                       # (F, 3, 2)
+    if perspective_correct:
+        iw = tri["inv_w"][..., None]
+        attrs = jnp.concatenate(
+            [fuv * iw, iw, jnp.ones_like(iw)], axis=-1)    # (F, 3, 4)
+    else:
+        attrs = jnp.concatenate(
+            [fuv, jnp.ones_like(fuv)], axis=-1)            # (F, 3, 4)
+    table = pallas_raster.build_table(A, B, C, zsc, inv_area, sign,
+                                      valid, attrs)
+    keys, uvq = pallas_raster.render_binned_pallas_flat(
+        sorted_pad, starts, counts, table, jnp.zeros(4, dtype), width,
+        height, tile_w, tile_h, capacity, interpret, kcc)
+    hit = keys != SKY_KEY
+    if perspective_correct:
+        denom = uvq[..., 2:3]
+        uv = uvq[..., :2] / jnp.where(denom != 0.0, denom, 1.0)
+    else:
+        uv = uvq[..., :2]
+    th_t, tw_t = tex.shape[0], tex.shape[1]
+    ui = jnp.clip((uv[..., 0] * tw_t).astype(jnp.int32), 0, tw_t - 1)
+    vi = jnp.clip((uv[..., 1] * th_t).astype(jnp.int32), 0, th_t - 1)
+    texel = jnp.take(tex.reshape(-1, 4), vi * tw_t + ui, axis=0)
+    rgba = jnp.where(hit[..., None], texel.astype(dtype),
+                     jnp.asarray(bg, dtype)[None, None, :])
+    zq = (keys >> IDX_BITS).astype(dtype) / Z_LEVELS
+    return rgba, zq, overflow
+
+
 @functools.partial(jax.jit,
                    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14))
 def render_textured_binned(verts, faces, uvs, tex, width: int, height: int,

