@@ -40,9 +40,15 @@ def _aabb_mask(p, X, Y):
 
 
 def _inv_point(p, X, Y):
-    # TransformPointFromMatrix with the inverse matrix (cpp:446-453, 754-763)
-    inv_x = p[0] * X + p[2] * Y + p[4]
-    inv_y = p[1] * X + p[3] * Y + p[5]
+    # TransformPointFromMatrix with the inverse matrix (cpp:446-453,
+    # 754-763).  Barriers keep the expression shape stable across
+    # executor structures; NOTE XLA:CPU can still fma-contract at LLVM
+    # level (measured), so membership at pixels landing within 1 ulp of
+    # a boundary is structure-dependent — same class of divergence the
+    # C++ reference has under -ffp-contract.  See ROADMAP.
+    bar = jax.lax.optimization_barrier
+    inv_x = bar(bar(p[0] * X) + bar(p[2] * Y) + p[4])
+    inv_y = bar(bar(p[1] * X) + bar(p[3] * Y) + p[5])
     return inv_x, inv_y
 
 
@@ -129,7 +135,10 @@ def _build_branches(X, Y, atlas_flat, atlas_w, dtype, no_sampling=False,
         ix, iy = _inv_point(p, X, Y)
         dx = ix - p[14]
         dy = iy - p[15]
-        m = jnp.sqrt(dx * dx + dy * dy) <= p[16]
+        # bar BOTH products: either one could contract into the add as an
+        # fma and shift the boundary by a ulp between executor structures
+        m = jnp.sqrt(lax.optimization_barrier(dx * dx)
+                     + lax.optimization_barrier(dy * dy)) <= p[16]
         m = m & _aabb_mask(p, X, Y)
         r, g, b, a = apply_ct(p, *_rgba_const(p, 18))
         return m, pack(r, g, b, a), t_false
@@ -146,7 +155,8 @@ def _build_branches(X, Y, atlas_flat, atlas_w, dtype, no_sampling=False,
             den = yj - yi
             safe_den = jnp.where(den != 0.0, den, jnp.asarray(1.0, dtype))
             crosses = (yi > iy) != (yj > iy)
-            xint = (xj - xi) * (iy - yi) / safe_den + xi
+            xint = lax.optimization_barrier(
+                (xj - xi) * (iy - yi) / safe_den) + xi
             res = res ^ (crosses & (ix < xint))
             j = i
         m = res & _aabb_mask(p, X, Y)
@@ -270,12 +280,13 @@ _SAMPLING_KINDS = (C.KIND_TEX, C.KIND_TEX_FAST, C.KIND_SPLIT_TEX,
 def _blend_into(fb, mask, rgba, store):
     src_rgb = rgba[..., :3]
     src_a = rgba[..., 3:4]
-    # the two products MUST round separately (C computes and stores each
-    # before adding, cpp:543-546); without the barriers XLA may contract
-    # a*b+c*d into fma(a, b, c*d) — and WHICH side it contracts depends
-    # on the surrounding graph, so the scan/loop/unrolled executors would
-    # drift a ulp apart (observed via test_fuzz_segmented_vs_scan when
-    # the unrolled flush landed)
+    # barriers pin HLO-level rewrites so the blend's shape is stable
+    # across executor structures (observed drift via
+    # test_fuzz_segmented_vs_scan when the unrolled flush landed).
+    # CAVEAT: XLA:CPU may still fma-contract inside a fused loop at
+    # LLVM level regardless (measured; --xla_allow_excess_precision
+    # doesn't stop it), so knife-edge-exact cross-structure equality is
+    # not guaranteed — see ROADMAP "FP contraction".
     ta = lax.optimization_barrier(fb[..., :3] * (1.0 - src_a))
     tb = lax.optimization_barrier(src_rgb * src_a)
     blended = ta + tb

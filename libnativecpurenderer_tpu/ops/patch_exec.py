@@ -153,8 +153,10 @@ def _build_region_branches(P, R, px0, py0, Xp, Yp, dtype):
     def mk_mxu(kind):
         def br(args):
             p, region, u0, v0 = args
-            ivx = p[0] * xs1 + p[4]      # separable: p[1] == p[2] == 0
-            ivy = p[3] * ys1 + p[5]
+            # bar: products round before the adds, matching the scan
+            # executor's _inv_point (see its contraction note)
+            ivx = lax.optimization_barrier(p[0] * xs1) + p[4]
+            ivy = lax.optimization_barrier(p[3] * ys1) + p[5]
             ui, vi, uc, vc, _ = _kind_uv(p, kind, xs1, ys1, ivx, ivy)
             rsel = (vi[:, None] - v0 == jR[None, :]).astype(dtype)  # (P,R)
             csel = (jR[:, None] == ui[None, :] - u0).astype(dtype)  # (R,P)
@@ -199,8 +201,9 @@ def _build_region_branches(P, R, px0, py0, Xp, Yp, dtype):
     def mk_region(kind):
         def br(args):
             p, region, u0, v0 = args
-            ivx = p[0] * Xp + p[2] * Yp + p[4]
-            ivy = p[1] * Xp + p[3] * Yp + p[5]
+            bar = lax.optimization_barrier
+            ivx = bar(p[0] * Xp) + bar(p[2] * Yp) + p[4]
+            ivy = bar(p[1] * Xp) + bar(p[3] * Yp) + p[5]
             ui, vi, uc, vc, member = _kind_uv(p, kind, Xp, Yp, ivx, ivy)
             flat = (vi - v0) * R + (ui - u0)
             texel = jnp.take(region.reshape(-1, 4).astype(dtype), flat,
