@@ -91,3 +91,19 @@ def set_flush_unrolled(enabled: bool) -> None:
 
 def flush_unrolled_enabled() -> bool:
     return _flush_unrolled
+
+
+# How many times a flush signature must repeat before the unrolled
+# executor compiles it (first sightings ride the loop executor, so
+# one-off frame structures never pay a compile).  Tests set 1 to
+# exercise the unrolled path directly.
+_flush_unroll_min_seen = 2
+
+
+def set_flush_unroll_min_seen(n: int) -> None:
+    global _flush_unroll_min_seen
+    _flush_unroll_min_seen = max(1, int(n))
+
+
+def flush_unroll_min_seen() -> int:
+    return _flush_unroll_min_seen

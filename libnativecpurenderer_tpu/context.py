@@ -159,10 +159,14 @@ class RenderContext:
         self._dispatch_group(group, kinds, params, atlas)
 
     # unrolled-flush signature cache: one compile per distinct
-    # (plan, sel-sequence); bounded so pathological workloads (every
-    # frame a new structure) fall back to the dynamic-count loop
+    # (plan, sel-sequence).  A signature must repeat (config
+    # flush_unroll_min_seen, default 2) before it compiles — one-off
+    # frame structures stay on the dynamic-count loop, so a workload
+    # with churning structures (milrenderer note sets) doesn't pay a
+    # compile per frame on cold caches — and the cache is bounded as a
+    # backstop.
     _UNROLL_SIG_CAP = 64
-    _unroll_sigs: set = set()
+    _unroll_sigs: dict = {}
 
     def _dispatch_group(self, group, kinds, params, atlas) -> None:
         """One packed upload + one flush call for a run of patch/fullarith
@@ -188,8 +192,10 @@ class RenderContext:
                                 tuple(int(k) for k in kinds[lo:hi])))
             sig = tuple(sig)
             cache = RenderContext._unroll_sigs
-            if sig in cache or len(cache) < RenderContext._UNROLL_SIG_CAP:
-                cache.add(sig)
+            seen = cache.get(sig, 0)
+            if seen or len(cache) < RenderContext._UNROLL_SIG_CAP:
+                cache[sig] = seen + 1
+            if seen + 1 >= config.flush_unroll_min_seen():
                 rows = np.ascontiguousarray(params[lo0:hi_last],
                                             dtype=self._dtype)
                 self._fb = patch_exec.render_flush_unrolled(

@@ -106,13 +106,15 @@ class CommandBuffer:
         i = self.n
         self.kinds[i] = kind
         p = self.params[i]
-        p[:] = 0.0
         inv, box, ct = common
-        p[0:6] = inv
-        p[6:10] = box
-        p[10:14] = ct
+        # one fancy assignment from a python sequence beats four slice
+        # stores (recording is on the per-frame host critical path)
+        head = (*inv, *box, *ct)
         if specific:
-            p[14 : 14 + len(specific)] = specific
+            head = head + tuple(specific)
+        n_head = len(head)
+        p[:n_head] = head
+        p[n_head:] = 0.0
         self.n = i + 1
 
     def clear(self) -> None:

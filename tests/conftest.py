@@ -133,3 +133,12 @@ def chart_package(tmp_path):
         z.write(str(bgm_fp), "audio.ogg")
         z.write(str(bg_fp), "bg.png")
     return str(zpath), str(res)
+
+
+@pytest.fixture(autouse=True)
+def unrolled_first_sight():
+    """Tests exercise the unrolled flush on first sight (production
+    requires a repeat before compiling; config.flush_unroll_min_seen)."""
+    config.set_flush_unroll_min_seen(1)
+    yield
+    config.set_flush_unroll_min_seen(2)
