@@ -165,8 +165,17 @@ class RenderContext:
     # with churning structures (milrenderer note sets) doesn't pay a
     # compile per frame on cold caches — and the cache is bounded as a
     # backstop.
-    _UNROLL_SIG_CAP = 64
+    # caps: signatures TRACKED (seen counters) and signatures COMPILED —
+    # the compile cap bounds a cold run's total compile bill (a 1080p
+    # chart render showed ~16+ distinct repeating structures; each
+    # unrolled compile costs seconds-to-minutes through the dev tunnel,
+    # a few seconds on real hosts; the persistent cache amortises
+    # across runs).  The most frequent structures reach min_seen first,
+    # so the cap keeps the highest-value compiles.
+    _UNROLL_SIG_CAP = 256
+    _UNROLL_COMPILE_CAP = 8
     _unroll_sigs: dict = {}
+    _unroll_compiled: set = set()
 
     def _dispatch_group(self, group, kinds, params, atlas) -> None:
         """One packed upload + one flush call for a run of patch/fullarith
@@ -192,10 +201,15 @@ class RenderContext:
                                 tuple(int(k) for k in kinds[lo:hi])))
             sig = tuple(sig)
             cache = RenderContext._unroll_sigs
+            compiled = RenderContext._unroll_compiled
             seen = cache.get(sig, 0)
             if seen or len(cache) < RenderContext._UNROLL_SIG_CAP:
                 cache[sig] = seen + 1
-            if seen + 1 >= config.flush_unroll_min_seen():
+            ok = sig in compiled or (
+                seen + 1 >= config.flush_unroll_min_seen()
+                and len(compiled) < RenderContext._UNROLL_COMPILE_CAP)
+            if ok:
+                compiled.add(sig)
                 rows = np.ascontiguousarray(params[lo0:hi_last],
                                             dtype=self._dtype)
                 self._fb = patch_exec.render_flush_unrolled(
