@@ -171,7 +171,7 @@ class Renderer:
     def __init__(self, *, width: int, height: int, fps: int,
                  note_scale: float = 1.0, flow_speed: float = 1.66,
                  res_dir: str = ".", silent: bool = False,
-                 batch_frames: int = 1):
+                 batch_frames: int = 1, unrolled_flush: bool = False):
         self.w = width
         self.h = height
         self.fps = fps
@@ -179,6 +179,12 @@ class Renderer:
         self.silent = silent
         self.flow_speed = flow_speed
         self.batch_frames = batch_frames
+        # chart frames churn their command structure as notes appear and
+        # expire, so the unrolled flush executor's per-signature host
+        # tracing (~5-10 s each; A/B: 148 s vs 61 s for 45 frames at
+        # 1080p) outweighs its per-frame device win here — off unless
+        # the caller knows the chart is structure-stable
+        self.unrolled_flush = unrolled_flush
         self.line_head_size = 0.0223 * note_scale
         self.line_head_border = self.line_head_size * (18 / 186)
         self.note_size = self.line_head_size
@@ -464,7 +470,18 @@ class Renderer:
         start-to-finish, SURVEY §5).  Audio is trimmed to the range.
         """
         from ..utils.profiling import PhaseTimer
+        from .. import config as _config
         timer = self.timer = PhaseTimer()
+        _prev_unrolled = _config.flush_unrolled_enabled()
+        _config.set_flush_unrolled(self.unrolled_flush)
+        try:
+            return self._run_inner(chart_path, output, progress,
+                                   start_frame, end_frame, timer)
+        finally:
+            _config.set_flush_unrolled(_prev_unrolled)
+
+    def _run_inner(self, chart_path, output, progress, start_frame,
+                   end_frame, timer):
         pkg = ChartPackage(chart_path)
 
         log.info("loading audio file")
