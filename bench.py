@@ -63,8 +63,8 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         # through the tunnel, otherwise bounds wall clock; device time
         # is ~2.15 ms/frame (tools/exp_full2.py)
         dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
-             flat=True, kcc=16, u8=True, opaque=True, batch=12,
-             fused=True),
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             batch=12, fused=True),
         # batched u8: B frames per launch amortises per-launch prep
         dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
              flat=True, kcc=16, u8=True, opaque=True, batch=12),
@@ -158,6 +158,7 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
                 kw.pop("flat", None)
                 kw.pop("u8", None)
                 kw.pop("opaque", None)
+                kw.pop("z_clip", None)
                 kw.pop("batch", None)
                 kw.pop("fused", None)
                 fn = functools.partial(raster3d.render_gouraud_binned, **kw)

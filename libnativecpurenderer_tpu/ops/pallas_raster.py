@@ -123,7 +123,8 @@ def _make_kernel(tile_h: int, tile_w: int, K: int, kcc: int = KCC):
 
 
 def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
-                      u8: bool = False, opaque: bool = False):
+                      u8: bool = False, opaque: bool = False,
+                      z_clip: bool = True):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
@@ -186,7 +187,14 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             e2 = col(6) * X + col(7) * Y + col(8)
             m = jnp.minimum(jnp.minimum(e0, e1), e2)
             zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
-            cov = (m >= 0.0) & (zz >= 0.0) & (zz <= 1.0)
+            if z_clip:
+                cov = (m >= 0.0) & (zz >= 0.0) & (zz <= 1.0)
+            else:
+                # caller verified every vertex z in [0, 1] (see
+                # render_gouraud_pallas z_clip=False): interior zz is a
+                # convex combination, and int truncation-toward-zero
+                # keeps ulp spill inside [0, Z_LEVELS]
+                cov = m >= 0.0
             zq = (zz * Z_LEVELS).astype(jnp.int32)
             ids = c * kcc + slot0
             keys = jnp.where(cov, (zq << IDX_BITS) | ids,
@@ -236,11 +244,12 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
+                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                       tile_w: int, Kb: int, interpret: bool = False,
                       kcc: int = KCC, tiles_per_frame: int = 0,
-                      u8: bool = False, opaque: bool = False):
+                      u8: bool = False, opaque: bool = False,
+                      z_clip: bool = True):
     """Flat-bins kernel launch.  sorted_pad: (Spad,) i32 packed pairs from
     bin_triangles_flat (multi-frame: frames' arrays concatenated, with the
     scalar block indices made absolute by the caller); scalars: (5*NT,)
@@ -278,14 +287,14 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
     if u8:
         packed = pl.pallas_call(
             _make_kernel_flat(tile_h, tile_w, Kb, kcc, u8=True,
-                              opaque=opaque),
+                              opaque=opaque, z_clip=z_clip),
             out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
             grid_spec=grid_spec,
             interpret=interpret,
         )(scalars, blocks, blocks, table)[0]
         return packed
     keys, rgba = pl.pallas_call(
-        _make_kernel_flat(tile_h, tile_w, Kb, kcc),
+        _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=z_clip),
         out_shape=(
             jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
             jax.ShapeDtypeStruct((nt, D, P), jnp.float32),
@@ -338,7 +347,8 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
                                  width: int, height: int, tile_w: int,
                                  tile_h: int, Kb: int,
                                  interpret: bool = False, kcc: int = KCC,
-                                 opaque: bool = False):
+                                 opaque: bool = False,
+                                 z_clip: bool = True):
     """Video-path raster: fused u8 quantise in the kernel epilogue, no
     depth output.  Returns rgba (H, W, 4) uint8 — exactly
     clip(rgba_f32 * 255, 0, 255) truncated, with bg quantised the same
@@ -354,7 +364,8 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
          _pack_bg(bg)[None]])
 
     packed = raster_tiles_flat(sorted_pad, table, scalars, nt, tile_h,
-                               tile_w, Kb, interpret, kcc, 0, True, opaque)
+                               tile_w, Kb, interpret, kcc, 0, True, opaque,
+                               z_clip)
     return _detile_packed(packed.reshape(nt, -1), nty, ntx, tile_h,
                           tile_w, height, width)
 
@@ -364,7 +375,8 @@ def render_binned_pallas_flat_batch_u8(sorted_pads, starts, counts,
                                        tile_w: int, tile_h: int, Kb: int,
                                        interpret: bool = False,
                                        kcc: int = KCC,
-                                       opaque: bool = False):
+                                       opaque: bool = False,
+                                       z_clip: bool = True):
     """Batched u8 raster: B frames in one launch (see
     render_binned_pallas_flat_batch), u8-packed output (see
     render_binned_pallas_flat_u8).  Returns (B, H, W, 4) uint8."""
@@ -387,7 +399,7 @@ def render_binned_pallas_flat_batch_u8(sorted_pads, starts, counts,
 
     packed = raster_tiles_flat(sorted_pads.reshape(-1), tables, scalars,
                                Bn * nt, tile_h, tile_w, Kb, interpret,
-                               kcc, nt, True, opaque)
+                               kcc, nt, True, opaque, z_clip)
     packed = packed.reshape(Bn, nt, -1)
     return jax.vmap(
         lambda p: _detile_packed(p, nty, ntx, tile_h, tile_w, height,

@@ -613,14 +613,14 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
 
 @functools.partial(
     jax.jit,
-    static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17))
+    static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18))
 def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 512, bg=None, span_x: int = 8,
                           span_y: int = 8, interpret: bool = False,
                           kcc: int = 32, flat: bool = False,
                           near_clip: bool = False, u8: bool = False,
-                          opaque: bool = False):
+                          opaque: bool = False, z_clip: bool = True):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned.
@@ -653,12 +653,21 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
         sorted_pad, starts, counts, overflow = bin_triangles_flat(
             tri["sxy"], valid, width, height, tile_w, tile_h, capacity,
             span_x, span_y, edges=(A, B, C, sign))
+        if not z_clip:
+            # skipping the per-pixel z-range test is sound only when
+            # every valid vertex z is in [0, 1] (interior zz is then a
+            # convex combination); verify and fold into the overflow
+            # flag so the bench ladder falls back to a z-clipped config
+            z_ok = jnp.all(jnp.where(tri["valid"][:, None],
+                                     (tri["z"] >= 0.0) & (tri["z"] <= 1.0),
+                                     True))
+            overflow = overflow | ~z_ok
         table = pallas_raster.build_table(A, B, C, zsc, inv_area, sign,
                                           valid, attrs)
         if u8:
             rgba8 = pallas_raster.render_binned_pallas_flat_u8(
                 sorted_pad, starts, counts, table, bg, width, height,
-                tile_w, tile_h, capacity, interpret, kcc, opaque)
+                tile_w, tile_h, capacity, interpret, kcc, opaque, z_clip)
             return rgba8, None, overflow
         keys, rgba = pallas_raster.render_binned_pallas_flat(
             sorted_pad, starts, counts, table, bg, width, height,
@@ -676,14 +685,15 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
 
 
 @functools.partial(
-    jax.jit, static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16))
+    jax.jit,
+    static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17))
 def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
                                 height: int, mvps=None, tile_w: int = 128,
                                 tile_h: int = 32, capacity: int = 512,
                                 bg=None, span_x: int = 8, span_y: int = 4,
                                 interpret: bool = False, flat: bool = False,
                                 kcc: int = 32, u8: bool = False,
-                                opaque: bool = False):
+                                opaque: bool = False, z_clip: bool = True):
     """Batched Pallas render: B frames (mvps (B, 4, 4)) in one kernel
     launch.  Per-frame prep (projection, edge setup, binning, tables) is
     vmapped; tiles of all frames share one grid.  Amortises the
@@ -706,6 +716,13 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
             sorted_pad, starts, counts, ovf = bin_triangles_flat(
                 tri["sxy"], vl, width, height, tile_w, tile_h, capacity,
                 span_x, span_y, edges=(A, B, C, sg))
+            if not z_clip:
+                # see render_gouraud_pallas: the skipped per-pixel
+                # z-range test is sound only for in-frustum geometry
+                z_ok = jnp.all(jnp.where(
+                    tri["valid"][:, None],
+                    (tri["z"] >= 0.0) & (tri["z"] <= 1.0), True))
+                ovf = ovf | ~z_ok
             table = pallas_raster.build_table(A, B, C, zsc, ia, sg, vl,
                                               attrs)
             return sorted_pad, starts, counts, table, ovf
@@ -714,7 +731,7 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
         if u8:
             rgba8 = pallas_raster.render_binned_pallas_flat_batch_u8(
                 sps, starts, counts, tables, bg, width, height, tile_w,
-                tile_h, capacity, interpret, kcc, opaque)
+                tile_h, capacity, interpret, kcc, opaque, z_clip)
             return rgba8, None, jnp.any(ovfs)
         keys, rgba = pallas_raster.render_binned_pallas_flat_batch(
             sps, starts, counts, tables, bg, width, height, tile_w,

@@ -214,3 +214,26 @@ def test_u8_opaque_matches_u8():
     # round below 1.0; opaque's exact 255 is the more correct answer
     assert (np.abs(a[..., 3].astype(int) - b[..., 3].astype(int))
             <= 1).all()
+
+
+def test_z_clip_skip_matches_and_guards():
+    # in-frustum scene: skipping the per-pixel z test changes nothing
+    v, f, c, m = _scene()
+    a, _, ovf_a = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96,
+        span_x=8, span_y=8, interpret=True, flat=True, u8=True)
+    b, _, ovf_b = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96,
+        span_x=8, span_y=8, interpret=True, flat=True, u8=True,
+        z_clip=False)
+    assert not bool(ovf_a) and not bool(ovf_b)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # geometry outside [0, 1] z trips the overflow guard instead of
+    # rendering wrongly
+    v_far = jnp.asarray(np.asarray(v) * np.array([1, 1, 50]), v.dtype)
+    _, _, ovf = raster3d.render_gouraud_pallas(
+        v_far, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96,
+        span_x=8, span_y=8, interpret=True, flat=True, u8=True,
+        z_clip=False)
+    assert bool(ovf)
