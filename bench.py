@@ -119,11 +119,18 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
                                 raster3d.render_gouraud_pallas_batch \
                                 .__wrapped__(verts, faces, colors, width,
                                              height, mv[g], **kw)
-                            # one-pass u8 reduce materialises the frames
-                            # without a 4x f32 convert
-                            s = jnp.sum(out, dtype=jnp.uint32)
-                            return (acc[0] + s.astype(jnp.float32),
-                                    acc[1] | ovf)
+                            # two-stage reduce: a flat uint32 sum of a
+                            # 12-frame
+                            # 1080p u8 batch wraps (~2.5e10 > 2^32), making
+                            # the checksum useless for cross-config
+                            # divergence checks (round-2 advisor).  A
+                            # per-frame u32 sum peaks at ~2.1e9 < 2^32.
+                            B_ = out.shape[0]
+                            s = jnp.sum(
+                                jnp.sum(out.reshape(B_, -1), axis=1,
+                                        dtype=jnp.uint32)
+                                .astype(jnp.float32))
+                            return (acc[0] + s, acc[1] | ovf)
                         return _lax.fori_loop(
                             0, G, step,
                             (jnp.float32(0.0), jnp.asarray(False)))
@@ -184,6 +191,10 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
             log(f"config {candidate} failed ({type(e).__name__}); next")
     if render is None:
         log("all pallas configs failed; XLA fallback")
+        # reset mvp_for/frames_eff: a failed batched/fused candidate
+        # leaves them bound to its grouped shapes (round-2 advisor)
+        mvp_for = mvp_single
+        frames_eff = frames
         fn = functools.partial(raster3d.render_gouraud_binned,
                                capacity=1024, span_x=16, span_y=16)
         outs = [fn(verts, faces, colors, width, height, mvp_for(i))[0]
