@@ -107,3 +107,22 @@ def set_flush_unroll_min_seen(n: int) -> None:
 
 def flush_unroll_min_seen() -> int:
     return _flush_unroll_min_seen
+
+
+# Cap on unrolled-flush compilations per process.  Each compile costs
+# seconds on a real host (minutes through the dev tunnel) the FIRST time;
+# the persistent XLA cache above makes warm starts cheap, so the cap
+# mainly bounds a cold run's one-time compile bill.  Signature
+# canonicalisation (run-length padding in context._dispatch_group) keeps
+# a churning chart's structures within a small signature family, so 24
+# slots cover real workloads with room to spare.
+_flush_unroll_compile_cap = 24
+
+
+def set_flush_unroll_compile_cap(n: int) -> None:
+    global _flush_unroll_compile_cap
+    _flush_unroll_compile_cap = max(0, int(n))
+
+
+def flush_unroll_compile_cap() -> int:
+    return _flush_unroll_compile_cap

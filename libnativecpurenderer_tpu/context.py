@@ -33,6 +33,13 @@ from .texture import HitEffectTexture, Texture
 
 
 class RenderContext:
+    # True on recording proxies whose command buffer is snapshotted per
+    # frame (MultiThreadedVideoRenderContextPreparer): a mid-record
+    # flush() would consume queued commands into _fb and silently drop
+    # them from the submitted frame, so shared-texture refreshes must
+    # not flush these (see _tex_specific).
+    _no_flush_record = False
+
     def __init__(self, width: int, height: int, enable_alpha: bool,
                  dtype=None):
         self.width = int(width)
@@ -165,17 +172,39 @@ class RenderContext:
     # with churning structures (milrenderer note sets) doesn't pay a
     # compile per frame on cold caches — and the cache is bounded as a
     # backstop.
-    # caps: signatures TRACKED (seen counters) and signatures COMPILED —
-    # the compile cap bounds a cold run's total compile bill (a 1080p
-    # chart render showed ~16+ distinct repeating structures; each
-    # unrolled compile costs seconds-to-minutes through the dev tunnel,
-    # a few seconds on real hosts; the persistent cache amortises
-    # across runs).  The most frequent structures reach min_seen first,
-    # so the cap keeps the highest-value compiles.
-    _UNROLL_SIG_CAP = 256
-    _UNROLL_COMPILE_CAP = 8
-    _unroll_sigs: dict = {}
+    #
+    # CANONICALISATION (round-3): within each patch segment, runs of the
+    # same sel are run-length encoded with counts padded up to a bucket
+    # (pad rows are all-zero and execute the run's own sel as an exact
+    # no-op — see _sel_pad_safe), so a chart frame with 17 notes and one
+    # with 19 hit the SAME signature (a padded patch step costs
+    # ~0.01 ms; mean padding is ~20% of a run).
+    # Signatures are scoped per (fb shape, dtype) so unrelated contexts
+    # don't contend, and the seen-counter map is LRU-evicted instead of
+    # saturating (round-2 advisor).  The compile cap bounds a cold run's
+    # one-time compile bill (config.flush_unroll_compile_cap; the
+    # persistent XLA cache makes warm starts cheap).
+    _UNROLL_SIG_CAP = 512
+    _UNROLL_RUN_BUCKETS = (1, 2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+    _unroll_sigs: "dict" = {}            # LRU: key -> seen count
     _unroll_compiled: set = set()
+
+    @staticmethod
+    def _run_bucket(n: int) -> int:
+        for b in RenderContext._UNROLL_RUN_BUCKETS:
+            if n <= b:
+                return b
+        return n
+
+    @staticmethod
+    def _sel_pad_safe(sel: int) -> bool:
+        """True if executing this sel on an all-zero param row is an
+        EXACT no-op, making the run bucketable.  All AABB-masked kinds
+        qualify (zero box -> all-false mask); SET_PIXEL stores pixel
+        (0, 0) unconditionally and APPLY_PIXEL's a=0 blend can flip a
+        -0.0 framebuffer bit, so pixel kinds stay exact-length."""
+        return sel >= C.N_KINDS or sel in (C.KIND_RECT, C.KIND_CIRCLE,
+                                           C.KIND_LINE, C.KIND_VGRD)
 
     def _dispatch_group(self, group, kinds, params, atlas) -> None:
         """One packed upload + one flush call for a run of patch/fullarith
@@ -190,28 +219,50 @@ class RenderContext:
         ncmds = hi_last - lo0
 
         if config.flush_unrolled_enabled():
+            # canonical padded signature + row-slice plan
             sig = []
+            slices = []          # (lo, hi, pad) param-row pieces
             for seg in group:
                 if seg[0] == "patch":
                     _, P, R, lo, hi, sels, _wr = seg
-                    sig.append(("patch", P, R, tuple(sels)))
+                    runs = []
+                    k = 0
+                    while k < len(sels):
+                        j = k
+                        while j < len(sels) and sels[j] == sels[k]:
+                            j += 1
+                        if self._sel_pad_safe(sels[k]):
+                            cnt = self._run_bucket(j - k)
+                        else:
+                            cnt = j - k
+                        runs.append((sels[k], cnt))
+                        slices.append((lo + k, lo + j, cnt - (j - k)))
+                        k = j
+                    sig.append(("patch", P, R, tuple(runs)))
                 else:
                     _, lo, hi = seg
                     sig.append(("fullarith",
                                 tuple(int(k) for k in kinds[lo:hi])))
+                    slices.append((lo, hi, 0))
             sig = tuple(sig)
+            key = (self.height, self.width, self._dtype.str, sig)
             cache = RenderContext._unroll_sigs
             compiled = RenderContext._unroll_compiled
-            seen = cache.get(sig, 0)
-            if seen or len(cache) < RenderContext._UNROLL_SIG_CAP:
-                cache[sig] = seen + 1
-            ok = sig in compiled or (
+            seen = cache.pop(key, 0)
+            cache[key] = seen + 1            # re-insert = move to MRU end
+            if len(cache) > RenderContext._UNROLL_SIG_CAP:
+                cache.pop(next(iter(cache)))  # evict LRU
+            ok = key in compiled or (
                 seen + 1 >= config.flush_unroll_min_seen()
-                and len(compiled) < RenderContext._UNROLL_COMPILE_CAP)
+                and len(compiled) < config.flush_unroll_compile_cap())
             if ok:
-                compiled.add(sig)
-                rows = np.ascontiguousarray(params[lo0:hi_last],
-                                            dtype=self._dtype)
+                compiled.add(key)
+                total = sum((hi - lo) + pad for lo, hi, pad in slices)
+                rows = np.zeros((total, C.PARAM_W), self._dtype)
+                at = 0
+                for lo, hi, pad in slices:
+                    rows[at:at + hi - lo] = params[lo:hi]
+                    at += (hi - lo) + pad    # pad rows stay zero (NOOP)
                 self._fb = patch_exec.render_flush_unrolled(
                     self._fb, jnp.asarray(rows), atlas, sig)
                 return
@@ -359,8 +410,21 @@ class RenderContext:
         # then re-snapshot (texture._refresh_shared flushes the owner)
         owner = tex._shared_ctx
         if owner is not None and getattr(tex, "_shared_seq", -1) != owner._seq:
-            self.flush()
-            tex._refresh_shared()
+            if self._no_flush_record and self._cmds.n > 0:
+                # recording proxy: can't flush this context (queued
+                # commands belong to the pending frame snapshot).  Give
+                # the refreshed texels a FRESH atlas region instead, so
+                # earlier recorded samples keep reading the old texels.
+                if owner._no_flush_record and owner._cmds.n > 0:
+                    raise ValueError(
+                        "shared texture sampled inside a recording proxy "
+                        "while its owner (also a recording proxy) has "
+                        "pending commands — the owner's framebuffer "
+                        "state is undefined until its batch executes")
+                tex._refresh_shared_new_region()
+            else:
+                self.flush()
+                tex._refresh_shared()
             tex._shared_seq = owner._seq
         scale_x = tex.width / width
         scale_y = tex.height / height
@@ -504,6 +568,8 @@ class MultiThreadedVideoRenderContextPreparer(RenderContext):
     """Parity shim for the reference's unfinished frame-batching proxy
     (pybind:302-367).  In the TPU build the base class already records; this
     subclass only adds the frame boundary marker used by batched apps."""
+
+    _no_flush_record = True
 
     def __init__(self, v_cap, *args, **kwargs):
         super().__init__(*args, **kwargs)

@@ -471,9 +471,13 @@ def render_flush(fb, packed, atlas, plan: tuple, nbase: int):
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
 def render_flush_unrolled(fb, params, atlas, sig: tuple):
-    """sig: tuple of segments; each is ('patch', P, R, (sels...)) or
-    ('fullarith', (sels...)).  params: (ncmd, PARAM_W) rows in segment
-    order, ncmd = total sels."""
+    """sig: tuple of segments; each is ('patch', P, R, ((sel, cnt), ...))
+    or ('fullarith', (sels...)).  params: (ncmd, PARAM_W) rows in segment
+    order, ncmd = total expanded count.  Patch runs are run-length
+    encoded with BUCKETED counts (context._dispatch_group): the rows
+    beyond a run's real length are all-zero, which is an exact no-op for
+    every bucketable sel (zero AABB -> all-false mask), so churning
+    command counts collapse onto one compiled signature."""
     dtype = fb.dtype
     H, W = fb.shape[0], fb.shape[1]
     AW = atlas.shape[1]
@@ -485,12 +489,13 @@ def render_flush_unrolled(fb, params, atlas, sig: tuple):
     # anyway, so no overlap is lost)
     for seg in sig:
         if seg[0] == "patch":
-            _, P, R, sels = seg
-            for sel in sels:
-                fb = _patch_step_static(fb, sel, params[i], atlas, P, R,
-                                        dtype)
-                fb = lax.optimization_barrier(fb)
-                i += 1
+            _, P, R, runs = seg
+            for sel, cnt in runs:
+                for _ in range(cnt):
+                    fb = _patch_step_static(fb, sel, params[i], atlas, P,
+                                            R, dtype)
+                    fb = lax.optimization_barrier(fb)
+                    i += 1
         else:
             if full_branches is None:
                 X = lax.broadcasted_iota(dtype, (H, W), 1)

@@ -118,6 +118,28 @@ class Texture:
         for key, (ox, oy) in self._alt_regions.items():
             atlas_mod.get_store(np.dtype(key)).upload(ox, oy, fb)
 
+    def _refresh_shared_new_region(self) -> None:
+        """Shared-texture refresh variant for recording proxies
+        (context._tex_specific): snapshot the owner's framebuffer into a
+        NEW atlas region instead of overwriting the current one, so
+        display-list commands recorded *before* this refresh keep
+        sampling the old texels when the batch finally executes.  The
+        superseded region is left allocated (the atlas has no free
+        list); refresh churn is bounded per batch window.
+        """
+        ctx = self._shared_ctx
+        if ctx is None:
+            return
+        ctx.flush()
+        fb = ctx._fb
+        self._ox, self._oy = self._store.alloc(self.width, self.height)
+        self._store.upload(self._ox, self._oy, fb)
+        for key in list(self._alt_regions):
+            store = atlas_mod.get_store(np.dtype(key))
+            region = store.alloc(self.width, self.height)
+            store.upload(region[0], region[1], fb)
+            self._alt_regions[key] = region
+
     def to_numpy(self) -> np.ndarray:
         """Readback of the (h, w, 4) texel data."""
         return np.asarray(sampling.read_region(

@@ -140,10 +140,9 @@ def unrolled_first_sight():
     """Tests exercise the unrolled flush on first sight and without the
     per-process compile cap (production requires a repeat before
     compiling and bounds cold-run compile cost; see context.py)."""
-    from libnativecpurenderer_tpu.context import RenderContext
-    prev_cap = RenderContext._UNROLL_COMPILE_CAP
-    RenderContext._UNROLL_COMPILE_CAP = 10 ** 9
+    prev_cap = config.flush_unroll_compile_cap()
+    config.set_flush_unroll_compile_cap(10 ** 9)
     config.set_flush_unroll_min_seen(1)
     yield
     config.set_flush_unroll_min_seen(2)
-    RenderContext._UNROLL_COMPILE_CAP = prev_cap
+    config.set_flush_unroll_compile_cap(prev_cap)

@@ -102,3 +102,42 @@ def test_two_class_patches():
     ctx2._max_sampling_extent = 1e9  # legacy full path
     want = ctx2.numpy_buffer()
     np.testing.assert_array_equal(got, want)
+
+
+def test_unroll_signature_canonicalisation():
+    """Run-length padding collapses churning command counts into one
+    unrolled-flush signature: frames drawing 13 vs 15 vs 16 rects (same
+    kinds) must share a compiled signature (bucket 16), and the padded
+    execution must match the loop executor bit-for-bit."""
+    from libnativecpurenderer_tpu import config
+    from libnativecpurenderer_tpu.context import RenderContext
+
+    W, H = 256, 200
+    outs = {}
+    sigs = []
+    for n in (13, 15, 16):
+        RenderContext._unroll_sigs.clear()
+        RenderContext._unroll_compiled.clear()
+        ctx = R.RenderContext(W, H, True)
+        ctx.set_color(0.1, 0.1, 0.1, 1.0)
+        for i in range(n):
+            ctx.draw_rect(5 + 9 * i, 10 + 5 * i, 20, 15,
+                          0.2 + 0.04 * i, 0.5, 0.3, 0.8)
+        got = ctx.numpy_buffer()
+        assert len(RenderContext._unroll_compiled) == 1
+        sigs.append(next(iter(RenderContext._unroll_compiled)))
+        # loop-executor reference (unrolled disabled)
+        config.set_flush_unrolled(False)
+        try:
+            ctx2 = R.RenderContext(W, H, True)
+            ctx2.set_color(0.1, 0.1, 0.1, 1.0)
+            for i in range(n):
+                ctx2.draw_rect(5 + 9 * i, 10 + 5 * i, 20, 15,
+                               0.2 + 0.04 * i, 0.5, 0.3, 0.8)
+            want = ctx2.numpy_buffer()
+        finally:
+            config.set_flush_unrolled(True)
+        np.testing.assert_array_equal(got, want)
+        outs[n] = got
+    # 13, 15 and 16 rects all pad to the 16-bucket -> one signature
+    assert sigs[0] == sigs[1] == sigs[2]

@@ -59,6 +59,49 @@ def test_shared_tracks_multiple_states():
     assert np.allclose(fb[12, 48, :3], [1.0, 1.0, 0.0])
 
 
+def test_shared_in_recording_proxy_keeps_queued_commands():
+    """A recording proxy (batched pipeline) must NOT flush mid-record
+    when a shared texture refreshes — earlier queued commands would be
+    consumed into ctx._fb and silently dropped from the submitted frame
+    (round-2 advisor finding).  The refresh re-snapshots into a fresh
+    atlas region instead, so each recorded sample still observes the
+    owner's fb state at its record point."""
+    import jax.numpy as jnp
+
+    from libnativecpurenderer_tpu import pipeline as pl
+    from libnativecpurenderer_tpu.ops import commands as C
+
+    owner = make_ctx()
+    owner.fill_color(0.0, 1.0, 0.0, 1.0)            # green
+    shared = owner.as_texture_shared()
+
+    rec = R.MultiThreadedVideoRenderContextPreparer(None, 64, 32, True)
+    rec.draw_rect(56, 24, 8, 8, 1.0, 0.0, 1.0, 1.0)  # queued BEFORE refresh
+    rec.draw_texture(shared, 0, 0, 32, 24)          # left: green snapshot
+    owner.fill_color(1.0, 1.0, 0.0, 1.0)            # then yellow
+    rec.draw_texture(shared, 32, 0, 32, 24)         # right: fresh region
+    kinds, params = rec._cmds.snapshot()
+
+    class _Sink:
+        frames = []
+
+        def put_frame_u8(self, fr):
+            self.frames.append(np.asarray(fr))
+
+    pipe = pl.BatchedVideoPipeline(_Sink(), 64, 32, batch=1,
+                                   dtype=rec._dtype)
+    kp = np.zeros(C.bucket_for(kinds.shape[0]), np.int32)
+    kp[: kinds.shape[0]] = kinds
+    pp = np.zeros((kp.shape[0], C.PARAM_W), rec._dtype)
+    pp[: params.shape[0]] = params
+    u8 = pl._render_one(pipe._fb0, jnp.asarray(kp), jnp.asarray(pp),
+                        pipe._store.device)
+    fb = np.asarray(u8)
+    assert tuple(fb[12, 16, :3]) == (0, 255, 0)     # pre-refresh sample
+    assert tuple(fb[12, 48, :3]) == (255, 255, 0)   # post-refresh sample
+    assert tuple(fb[28, 60, :3]) == (255, 0, 255)   # queued rect survived
+
+
 def test_shared_onto_own_context():
     """Blitting a shared texture onto its own context samples the fb as
     of the draw's record point (reference aliasing, minus in-flight
