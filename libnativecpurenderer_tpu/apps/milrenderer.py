@@ -171,7 +171,8 @@ class Renderer:
     def __init__(self, *, width: int, height: int, fps: int,
                  note_scale: float = 1.0, flow_speed: float = 1.66,
                  res_dir: str = ".", silent: bool = False,
-                 batch_frames: int = 1, unrolled_flush: bool = False):
+                 batch_frames: int = 1, unrolled_flush: bool = True,
+                 devices: int = 1):
         self.w = width
         self.h = height
         self.fps = fps
@@ -179,11 +180,16 @@ class Renderer:
         self.silent = silent
         self.flow_speed = flow_speed
         self.batch_frames = batch_frames
+        # multi-device scale-out: frames batch-sharded over 'data', each
+        # frame's rows band-sharded over 'tile' (parallel/sharding.py;
+        # SURVEY SS2.3).  devices=0 means "all available".
+        self.devices = devices
         # chart frames churn their command structure as notes appear and
-        # expire, so the unrolled flush executor's per-signature host
-        # tracing (~5-10 s each; A/B: 148 s vs 61 s for 45 frames at
-        # 1080p) outweighs its per-frame device win here — off unless
-        # the caller knows the chart is structure-stable
+        # expire; since round 3 the flush signatures are run-length
+        # bucketed (context._dispatch_group), so a chart's churn maps to
+        # a small signature family and the unrolled executor's one-time
+        # traces amortise — on by default.  Turn off for one-shot renders
+        # of tiny charts where even a few traces dominate.
         self.unrolled_flush = unrolled_flush
         self.line_head_size = 0.0223 * note_scale
         self.line_head_border = self.line_head_size * (18 / 186)
@@ -535,7 +541,32 @@ class Renderer:
             import tqdm
             frame_range = tqdm.trange(start_frame, num_frames,
                                       desc="Rendering")
-        if self.batch_frames > 1:
+        n_dev = self.devices
+        if n_dev == 0:
+            import jax
+            n_dev = len(jax.devices())
+        if n_dev > 1:
+            # multi-device path: y-band x frame-batch sharding over a
+            # ('data', 'tile') mesh; falls back cleanly when one device
+            import jax
+            from ..parallel.sharding import make_mesh
+            from ..pipeline import ShardedVideoPipeline
+            mesh = make_mesh(jax.devices()[:n_dev])
+            pipe = ShardedVideoPipeline(
+                self.cap, self.w, self.h,
+                max(self.batch_frames, mesh.shape["data"]),
+                fb0=static_fb, mesh=mesh)
+            for i in frame_range:
+                with timer.phase("record"):
+                    self.draw_frame(chart, i / self.fps, hit_effects,
+                                    include_static=False)
+                    k, p = self.ctx._cmds.snapshot()
+                with timer.phase("dispatch"):
+                    pipe.submit(k, p)
+                self.ctx._cmds.clear()
+            with timer.phase("dispatch"):
+                pipe.finish()
+        elif self.batch_frames > 1:
             # record-only frames, executed vmapped in device batches (the
             # path the reference's mode=1 preparer never finished)
             from ..pipeline import BatchedVideoPipeline
@@ -580,6 +611,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-sl", "--silent", action="store_true")
     p.add_argument("-bf", "--batch-frames", type=int, default=1,
                    help="frames per device dispatch (TPU batching)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="devices to shard over (0 = all available; >1 "
+                        "renders frame batches on a (data, tile) mesh)")
     p.add_argument("--start-frame", type=int, default=0,
                    help="resume from this frame")
     p.add_argument("--end-frame", type=int, default=None,
@@ -599,7 +633,7 @@ def main(argv=None) -> None:
     r = Renderer(width=args.width, height=args.height, fps=args.fps,
                  note_scale=args.note_scale, flow_speed=args.flow_speed,
                  res_dir=args.res, silent=args.silent,
-                 batch_frames=args.batch_frames)
+                 batch_frames=args.batch_frames, devices=args.devices)
     try:
         r.run(args.input, args.output, start_frame=args.start_frame,
               end_frame=args.end_frame)

@@ -150,14 +150,18 @@ def sharded_audio_mixdown(mesh: Mesh, target_len: int, channels: int,
     return step
 
 
-def sharded_canvas_step(mesh: Mesh, width: int, height: int):
+def sharded_canvas_step(mesh: Mesh, width: int, height: int,
+                        with_fb0: bool = False):
     """Sharded 2D display-list rendering: the command list is replicated,
     each device renders its y-band of each frame in its frame shard (the
     reference's per-pixel loops become per-band executor dispatches;
     SURVEY §2.3's framebuffer y-tile split).
 
-    Returns a shard_map'd fn (kinds (B, N), params (B, N, PW), atlas) ->
-    u8 frames (B, H, W, 4) assembled by the output sharding.
+    Returns a shard_map'd fn (kinds (B, N), params (B, N, PW), atlas[,
+    fb0 (H, W, 4)]) -> u8 frames (B, H, W, 4) assembled by the output
+    sharding.  ``with_fb0`` adds a shared initial framebuffer argument,
+    sharded into y-bands over 'tile' (milrenderer's pre-composited
+    static layers); without it every frame starts from zeros.
     """
     from ..ops import executor
 
@@ -166,10 +170,13 @@ def sharded_canvas_step(mesh: Mesh, width: int, height: int):
     band_h = height // tile_n
 
     axes = ("data", "tile")
+    in_specs = [P("data"), P("data"), P(None, None, None)]
+    if with_fb0:
+        in_specs.append(P("tile", None, None))
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("data"), P("data"), P(None, None, None)),
+        in_specs=tuple(in_specs),
         out_specs=P("data", "tile"),
         # VMA checking stays ON: the executor's switch branches mix
         # invariant constants, band-varying Y terms and shard-varying
@@ -177,12 +184,18 @@ def sharded_canvas_step(mesh: Mesh, width: int, height: int):
         # to a uniform varying type (executor._build_branches vma_taint)
         check_vma=True,
     )
-    def step(kinds_local, params_local, atlas):
+    def step(kinds_local, params_local, atlas, *maybe_fb0):
         t_idx = jax.lax.axis_index("tile")
         y0 = (t_idx * band_h).astype(params_local.dtype)
-        fb0 = jax.lax.pcast(
-            jnp.zeros((band_h, width, 4), params_local.dtype),
-            axes, to="varying")
+        if maybe_fb0:
+            # sharded over 'tile' already (each device holds its band);
+            # make it data-varying too so the executor's taint alignment
+            # sees one uniform varying type
+            fb0 = jax.lax.pcast(maybe_fb0[0], "data", to="varying")
+        else:
+            fb0 = jax.lax.pcast(
+                jnp.zeros((band_h, width, 4), params_local.dtype),
+                axes, to="varying")
 
         def one(kinds, params):
             fb = executor.render_command_list(fb0, kinds, params, atlas,

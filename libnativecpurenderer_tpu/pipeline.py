@@ -128,3 +128,49 @@ class BatchedVideoPipeline:
     def finish(self) -> None:
         self.flush()
         self._drain()
+
+
+class ShardedVideoPipeline(BatchedVideoPipeline):
+    """Frame batches rendered on a multi-device ('data', 'tile') mesh:
+    each device renders the y-band of the frames in its data shard via
+    ``parallel.sharding.sharded_canvas_step``, and the output sharding
+    reassembles full u8 frames for the encoder (SURVEY §2.3's TPU-native
+    mapping; milrenderer's ``--devices N``).
+
+    The frame batch must divide by the mesh's 'data' extent (the
+    constructor rounds ``batch`` up).  Rendering uses the scan executor
+    (band rendering; the single-device patch executor's windows don't
+    split across bands), so per-frame device time is higher than the
+    single-device segmented path — the win is the device count.  Keep
+    the per-device frame batch modest (<= 8): the sharded step unrolls
+    its local batch at trace time (parallel/sharding.py).
+    """
+
+    def __init__(self, cap, width: int, height: int, batch: int = 16,
+                 dtype=None, fb0=None, mesh=None):
+        from .parallel import sharding as sh
+        super().__init__(cap, width, height, batch, dtype, fb0)
+        self._mesh = mesh if mesh is not None else sh.make_mesh()
+        data_n = self._mesh.shape["data"]
+        if self.batch % data_n:
+            self.batch = ((self.batch + data_n - 1) // data_n) * data_n
+        step, self._band_h = sh.sharded_canvas_step(
+            self._mesh, width, height, with_fb0=True)
+        self._step = jax.jit(step)
+
+    def flush(self) -> None:
+        if not self._pending:
+            return
+        n_frames = len(self._pending)
+        max_n = max(k.shape[0] for k, _ in self._pending)
+        bucket = C.bucket_for(max_n)
+        kinds = np.zeros((self.batch, bucket), np.int32)
+        params = np.zeros((self.batch, bucket, C.PARAM_W), self._dtype)
+        for i, (k, p) in enumerate(self._pending):
+            kinds[i, : k.shape[0]] = k
+            params[i, : p.shape[0]] = p
+        self._pending.clear()
+        u8 = self._step(jnp.asarray(kinds), jnp.asarray(params),
+                        self._store.device, self._fb0)
+        self._drain()
+        self._inflight = (u8, n_frames)

@@ -181,3 +181,52 @@ def test_sharded_milrenderer_frames_match_single_device(devices,
     for i in range(B):
         np.testing.assert_array_equal(np.asarray(out[i])[..., :ch],
                                       refs[i].reshape(H, W, ch))
+
+
+def test_sharded_pipeline_app_path_matches_single_device(devices,
+                                                         chart_package):
+    """The full milrenderer app path with ``--devices 8`` (record ->
+    ShardedVideoPipeline -> sharded_canvas_step -> encoder sink) must
+    emit the same frame stream as the single-device sequential path
+    (VERDICT r2 item 5: multi-device wired into a production entry
+    point).  Uses a sink cap so the comparison is on raw u8 frames."""
+    from libnativecpurenderer_tpu.apps.milrenderer import Renderer
+
+    zpath, res = chart_package
+    W, H = 96, 56                       # divisible by the tile axis
+
+    class SinkCap:
+        def __init__(self):
+            self.frames = []
+
+        def initialize(self, *a, **k):
+            pass
+
+        def put_frame_u8(self, u8):
+            self.frames.append(np.asarray(u8).copy())
+
+        def put_renderer_context_frame(self, ctx):
+            ch = ctx.channels
+            self.frames.append(
+                ctx.uint8_buffer().reshape(ctx.height, ctx.width, ch))
+
+        def release(self):
+            pass
+
+    streams = {}
+    for n_dev in (1, 8):
+        # hit-effect texture groups draw random seeds (reference
+        # pybind:34-49 does too) — pin them so the two runs record
+        # identical command streams
+        import random
+        random.seed(1234)
+        r = Renderer(width=W, height=H, fps=10, res_dir=res, silent=True,
+                     devices=n_dev, unrolled_flush=False)
+        r.cap = SinkCap()
+        r.run(zpath, "/dev/null", end_frame=6)
+        streams[n_dev] = r.cap.frames
+
+    assert len(streams[1]) == len(streams[8]) == 6
+    for a, b in zip(streams[1], streams[8]):
+        ch = min(a.shape[-1], b.shape[-1])
+        np.testing.assert_array_equal(a[..., :ch], b[..., :ch])
