@@ -51,6 +51,8 @@ def collect_notes(mid: midi.MidiFile):
     result = []
     for track in mid.tracks:
         for msg in track:
+            if msg["type"] not in ("note_on", "note_off"):
+                continue
             key = (msg["channel"], msg["note"])
             if msg["type"] == "note_on":
                 if key in pending:

@@ -175,4 +175,10 @@ class MidiFile:
             elif kind == 0x80 or (kind == 0x90 and d1 == 0):
                 events.append({"type": "note_off", "channel": channel,
                                "note": d0, "velocity": d1, "tick": tick})
+            elif kind == 0xC0:
+                # instrument selection — drives the GM-ish base synth
+                # (apps/hjm_mixer_server.synth_base)
+                events.append({"type": "program_change",
+                               "channel": channel, "program": d0,
+                               "tick": tick})
         return {"events": events, "tempos": tempos}

@@ -204,3 +204,63 @@ def test_hjm_server_request(tmp_path, mini_bank):
             assert pcm.shape[0] > 1000
     finally:
         server.shutdown()
+
+
+def test_synth_base_gm_spectral_content():
+    """The server's timidity stand-in must produce real instrument-like
+    audio per note (VERDICT r2 item 8): correct fundamental, harmonic
+    content, family-appropriate envelope (piano decays, organ sustains),
+    and a broadband percussion channel."""
+    from libnativecpurenderer_tpu.apps.hjm_mixer_server import synth_base
+
+    data = make_midi([
+        (0, 0xC0, [0]),              # ch0: piano (family 0, decaying)
+        (0, 0xC1, [19]),             # ch1: organ (family 2, sustained)
+        (0, 0x90, [69, 100]),        # A4 = 440 Hz
+        (0, 0x91, [57, 96]),         # A3 = 220 Hz
+        (480, 0x80, [69, 0]),        # off at 0.5 s
+        (480, 0x81, [57, 0]),        # off at 1.0 s
+        (0, 0x99, [38, 110]),        # ch10 snare at 1.0 s
+        (48, 0x89, [38, 0]),
+    ])
+    clip = synth_base(data)
+    pcm = clip.numpy()[:, 0]
+    rate = clip.sample_rate
+
+    def spectrum(t0, t1):
+        seg = pcm[int(t0 * rate):int(t1 * rate)]
+        sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        freqs = np.fft.rfftfreq(len(seg), 1 / rate)
+        return freqs, sp
+
+    def peak_near(freqs, sp, f, tol=8.0):
+        band = sp[(freqs > f - tol) & (freqs < f + tol)]
+        return float(band.max()) if band.size else 0.0
+
+    # piano note: fundamental at 440 dominates, 2nd harmonic present
+    freqs, sp = spectrum(0.05, 0.45)
+    p440 = peak_near(freqs, sp, 440.0)
+    p880 = peak_near(freqs, sp, 880.0)
+    assert p440 > 10.0 * np.median(sp)
+    assert p880 > 0.1 * p440
+    # organ note: fundamental at 220 + harmonics
+    p220 = peak_near(freqs, sp, 220.0)
+    p660 = peak_near(freqs, sp, 660.0)
+    assert p220 > 10.0 * np.median(sp)
+    assert p660 > 0.1 * p220
+
+    def rms(t0, t1):
+        seg = pcm[int(t0 * rate):int(t1 * rate)]
+        return float(np.sqrt(np.mean(seg ** 2)))
+
+    # envelopes: organ holds its level late into the note; the piano
+    # component has decayed there (compare 440-band energy early vs late)
+    f2, sp2 = spectrum(0.75, 0.95)           # piano off-ish, organ on
+    assert peak_near(f2, sp2, 220.0) > 0.4 * p220
+    assert peak_near(f2, sp2, 440.0) < 0.6 * p440
+    # percussion: broadband noise burst, no sharp tonal peak
+    f3, sp3 = spectrum(1.0, 1.1)
+    assert rms(1.0, 1.05) > 4.0 * rms(1.15, 1.2)
+    # (window still contains the organ's 220 Hz release tail, so allow
+    # some peakiness — a pure tone would be ~1000x the median)
+    assert sp3.max() < 100.0 * np.median(sp3[f3 > 100])

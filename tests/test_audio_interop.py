@@ -72,11 +72,13 @@ def _make_midi(events, division=480, tempo=500000):
 
 
 def test_synth_base_golden():
-    """The in-engine base synth is a decaying-sine voice per note,
-    batch-overlaid — pin it against an independent NumPy rendering."""
+    """The in-engine base synth renders GM-ish additive voices (per-family
+    harmonics + ADSR, velocity/duration bucketing) batch-overlaid — pin it
+    against an independent NumPy rendering of the documented voice model
+    (apps/hjm_mixer_server._GM_FAMILIES / _render_tone)."""
     from libnativecpurenderer_tpu.apps.hjm_mixer_server import synth_base
 
-    # two notes: A4 (69) at 0.0 s, C4 (60) at 0.5 s (480 ticks @120 bpm)
+    # two piano notes: A4 (69) vel 100 at 0.0 s, C4 (60) vel 90 at 0.5 s
     data = _make_midi([
         (0, 0x90, [69, 100]),
         (480, 0x80, [69, 0]),
@@ -87,20 +89,37 @@ def test_synth_base_golden():
     rate = 44100
     assert clip.sample_rate == rate and clip.channels == 2
 
-    # independent oracle with the same documented voice model
+    # independent oracle: piano family voice (program 0), with the synth's
+    # velocity buckets (16 steps, centre vel = b*8+4) and geometric
+    # duration buckets (0.05 * 1.25**ceil(log1.25(dur/0.05)))
+    harm = (1.0, .45, .28, .14, .07, .03)
+    atk, dec, rel = .004, 1.9, .15
     max_time = 1.0 + 1.0
     n = int(rate * max_time)
     expected = np.zeros((n, 2))
-    for note, sec in ((69, 0.0), (60, 0.5)):
+    for note, sec, vel in ((69, 0.0, 100), (60, 0.5, 90)):
+        vb = min(vel // 8, 15) * 8 + 4
+        dur = 0.05 * 1.25 ** int(np.ceil(np.log(0.5 / 0.05)
+                                         / np.log(1.25)))
+        amp = 0.16 * (vb / 127.0) ** 1.5
         freq = 440.0 * 2 ** ((note - 69) / 12)
-        t = np.arange(int(rate * 0.4)) / rate
-        wave = np.sin(2 * np.pi * freq * t) * np.exp(-t * 6.0) * 0.18
-        s = int(round(sec * rate))
-        expected[s:s + wave.size] += wave[:, None]
+        ln = int(rate * (dur + rel))
+        t = np.arange(ln) / rate
+        wave = np.zeros(ln)
+        for k, h in enumerate(harm):
+            wave += h * np.sin(2 * np.pi * freq * (k + 1) * t)
+        wave /= sum(harm)
+        env = np.ones(ln)
+        na = max(int(rate * atk), 1)
+        env[:na] = np.linspace(0.0, 1.0, na, endpoint=False)
+        env[na:] = np.exp(-(t[na:] - t[na]) * (3.0 / dec))
+        nr = int(rate * dur)
+        env[nr:] *= np.exp(-(t[nr:] - t[nr]) * (4.0 / rel))
+        wave = wave * env * amp
+        s_ = int(round(sec * rate))
+        expected[s_:s_ + ln] += wave[:, None]
 
     got = clip.numpy()
     assert got.shape[0] == n
-    # start offsets quantise via the overlay path; allow one-frame slop by
-    # checking energy + exact match at the bulk of samples
     np.testing.assert_allclose(got, expected, atol=1e-6)
-    assert np.abs(got).max() > 0.1
+    assert np.abs(got).max() > 0.05
