@@ -61,6 +61,15 @@ class GoldenTexture:
 class GoldenContext:
     """Per-pixel float64 mirror of the native RenderContext."""
 
+    @staticmethod
+    def _inv_pt(inv, i, j):
+        """Inverse-map a pixel center and snap to the 1/256 subpixel
+        grid — the executors snap identically (ops/executor._snap), so
+        membership tests agree bit-for-bit across executor structures
+        despite LLVM-level fma contraction (ROADMAP 'FP contraction')."""
+        ix, iy = xf.transform_point(inv, float(i), float(j))
+        return (round(ix * 256.0) / 256.0, round(iy * 256.0) / 256.0)
+
     def __init__(self, width: int, height: int, enable_alpha: bool):
         self.width = width
         self.height = height
@@ -156,7 +165,7 @@ class GoldenContext:
         left, right, top, bottom = self._aabb(x, y, width, height)
         for i in range(left, right):
             for j in range(top, bottom):
-                ix, iy = xf.transform_point(inv, float(i), float(j))
+                ix, iy = self._inv_pt(inv, i, j)
                 if ix < x or ix > x + width or iy < y or iy > y + height:
                     continue
                 self.apply_pixel(i, j, r, g, b, a)
@@ -169,7 +178,7 @@ class GoldenContext:
                                               2 * radius, 2 * radius)
         for i in range(left, right):
             for j in range(top, bottom):
-                ix, iy = xf.transform_point(inv, float(i), float(j))
+                ix, iy = self._inv_pt(inv, i, j)
                 if math.sqrt((ix - x) ** 2 + (iy - y) ** 2) > radius:
                     continue
                 self.apply_pixel(i, j, r, g, b, a)
@@ -208,7 +217,7 @@ class GoldenContext:
         # full-framebuffer scan (cpp:908-909)
         for i in range(self.width):
             for j in range(self.height):
-                ix, iy = xf.transform_point(inv, float(i), float(j))
+                ix, iy = self._inv_pt(inv, i, j)
                 if not self._point_in_polygon(ix, iy, pts):
                     continue
                 self.apply_pixel(i, j, r, g, b, a)
@@ -221,7 +230,7 @@ class GoldenContext:
         left, right, top, bottom = self._aabb(x, y, width, height)
         for i in range(left, right):
             for j in range(top, bottom):
-                ix, iy = xf.transform_point(inv, float(i), float(j))
+                ix, iy = self._inv_pt(inv, i, j)
                 if ix < x or ix > x + width or iy < y or iy > y + height:
                     continue
                 p = (iy - y) / height
@@ -253,7 +262,7 @@ class GoldenContext:
         left, right, top, bottom = self._aabb(x, y, width, height)
         for i in range(left, right):
             for j in range(top, bottom):
-                ix, iy = xf.transform_point(inv, float(i), float(j))
+                ix, iy = self._inv_pt(inv, i, j)
                 if ix < x or ix > x + width or iy < y or iy > y + height:
                     continue
                 u = (ix - x) * scale_x
@@ -271,7 +280,7 @@ class GoldenContext:
         left, right, top, bottom = self._aabb(x, y, width, height)
         for i in range(left, right):
             for j in range(top, bottom):
-                ix, iy = xf.transform_point(inv, float(i), float(j))
+                ix, iy = self._inv_pt(inv, i, j)
                 if ix < x or ix > x + width or iy < y or iy > y + height:
                     continue
                 u = (ix - x) * scale_x

@@ -39,17 +39,32 @@ def _aabb_mask(p, X, Y):
     return (X >= p[6]) & (X < p[7]) & (Y >= p[8]) & (Y < p[9])
 
 
+def _snap(v):
+    """Snap an inverse-mapped coordinate to the 1/256 subpixel grid.
+
+    Same device as ops/raster3d._snap: XLA:CPU fma-contracts mul+add
+    chains at LLVM level regardless of HLO barriers, so two executor
+    STRUCTURES (scan loop / unrolled flush / batched vmap) can disagree
+    by 1 ulp on a membership quantity.  Snapping the canonical
+    inverse-mapped point makes every downstream membership test and
+    texel index a function of grid values — a 1-ulp pre-snap difference
+    only survives if the exact value sits within an ulp of a half-cell
+    boundary (vs of ANY representable float before), so
+    integer-coordinate adversarial scenes (rotated rect corner on a
+    pixel center) are deterministic across executors.  The NumPy oracle
+    (golden/cpu_reference.py) snaps identically."""
+    return jnp.round(v * 256.0) * (1.0 / 256.0)
+
+
 def _inv_point(p, X, Y):
     # TransformPointFromMatrix with the inverse matrix (cpp:446-453,
     # 754-763).  Barriers keep the expression shape stable across
-    # executor structures; NOTE XLA:CPU can still fma-contract at LLVM
-    # level (measured), so membership at pixels landing within 1 ulp of
-    # a boundary is structure-dependent — same class of divergence the
-    # C++ reference has under -ffp-contract.  See ROADMAP.
+    # executor structures; the 1/256 snap (see _snap) makes membership
+    # agree across structures even where LLVM fma-contraction differs.
     bar = jax.lax.optimization_barrier
     inv_x = bar(bar(p[0] * X) + bar(p[2] * Y) + p[4])
     inv_y = bar(bar(p[1] * X) + bar(p[3] * Y) + p[5])
-    return inv_x, inv_y
+    return _snap(inv_x), _snap(inv_y)
 
 
 def _rgba_const(p, lo):

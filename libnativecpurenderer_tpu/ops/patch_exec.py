@@ -153,10 +153,12 @@ def _build_region_branches(P, R, px0, py0, Xp, Yp, dtype):
     def mk_mxu(kind):
         def br(args):
             p, region, u0, v0 = args
-            # bar: products round before the adds, matching the scan
-            # executor's _inv_point (see its contraction note)
-            ivx = lax.optimization_barrier(p[0] * xs1) + p[4]
-            ivy = lax.optimization_barrier(p[3] * ys1) + p[5]
+            # bar + 1/256 snap, matching the scan executor's _inv_point
+            # (see its contraction note)
+            ivx = executor._snap(lax.optimization_barrier(p[0] * xs1)
+                                 + p[4])
+            ivy = executor._snap(lax.optimization_barrier(p[3] * ys1)
+                                 + p[5])
             ui, vi, uc, vc, _ = _kind_uv(p, kind, xs1, ys1, ivx, ivy)
             rsel = (vi[:, None] - v0 == jR[None, :]).astype(dtype)  # (P,R)
             csel = (jR[:, None] == ui[None, :] - u0).astype(dtype)  # (R,P)
@@ -202,8 +204,8 @@ def _build_region_branches(P, R, px0, py0, Xp, Yp, dtype):
         def br(args):
             p, region, u0, v0 = args
             bar = lax.optimization_barrier
-            ivx = bar(p[0] * Xp) + bar(p[2] * Yp) + p[4]
-            ivy = bar(p[1] * Xp) + bar(p[3] * Yp) + p[5]
+            ivx = executor._snap(bar(p[0] * Xp) + bar(p[2] * Yp) + p[4])
+            ivy = executor._snap(bar(p[1] * Xp) + bar(p[3] * Yp) + p[5])
             ui, vi, uc, vc, member = _kind_uv(p, kind, Xp, Yp, ivx, ivy)
             flat = (vi - v0) * R + (ui - u0)
             texel = jnp.take(region.reshape(-1, 4).astype(dtype), flat,

@@ -304,3 +304,71 @@ def test_fuzz_kernel_route_vs_scan(seed):
     got = render("auto")
     want = render("scan")
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("ang_deg", [90, 180, 270, 45, 30])
+def test_adversarial_knife_edge_across_executors(ang_deg):
+    """Integer-coordinate adversarial scenes (rotated rect corners and
+    edges landing exactly on pixel centers, circles with lattice boundary
+    points, 45-degree lines through lattice points) must render
+    bit-identically across the scan, segmented-patch and unrolled-flush
+    executors AND match the f64 oracle: the 1/256 snap of inverse-mapped
+    coordinates (ops/executor._snap) makes membership canonical even
+    where LLVM fma-contraction differs per compiled structure (VERDICT
+    r2 item 6)."""
+    from libnativecpurenderer_tpu import config
+
+    W2, H2 = 160, 140
+    ang = math.radians(ang_deg)
+
+    def scene(c):
+        c.set_color(0.03, 0.04, 0.05, 1.0)
+        # rotated rect, integer geometry: for 90/180/270 the inverse
+        # mapping is exact and boundaries sit ON pixel centers; for
+        # 45/30 the sqrt(2)/cos products land within ulps of the
+        # width/height bounds at the far corner pixels
+        c.save_state()
+        c.translate(40, 30)
+        c.rotate(ang)
+        if ang_deg in (45, 30):
+            c.draw_rect(0.0, 0.0, 7 * math.sqrt(2), 5 * math.sqrt(2),
+                        0.9, 0.4, 0.2, 0.8)
+        else:
+            c.draw_rect(-10.0, -6.0, 20.0, 12.0, 0.9, 0.4, 0.2, 0.8)
+        c.restore_state()
+        # circle with exact lattice boundary points (3-4-5): pixels at
+        # distance exactly r must be included by <= semantics
+        c.draw_circle(90.0, 40.0, 5.0, 0.2, 0.8, 0.3, 0.9)
+        c.draw_circle(90.0, 40.0, 25.0, 0.1, 0.2, 0.7, 0.35)
+        # 45-degree line through lattice points, integer width
+        c.draw_line(10.0, 70.0, 80.0, 140.0, 4.0, 0.8, 0.8, 0.1, 0.7)
+        # vgrd with integer bounds under the rotation
+        c.save_state()
+        c.translate(110, 90)
+        c.rotate(ang)
+        c.draw_vertical_grd(-16.0, -12.0, 32.0, 24.0,
+                            1, 0, 0, 1, 0, 0, 1, 1)
+        c.restore_state()
+
+    outs = {}
+    for name, mode, unrolled in (("scan", "scan", False),
+                                 ("segmented", "auto", False),
+                                 ("unrolled", "auto", True)):
+        prev = config.flush_mode()
+        config.set_flush_mode(mode)
+        config.set_flush_unrolled(unrolled)
+        try:
+            ctx = R.RenderContext(W2, H2, True)
+            scene(ctx)
+            outs[name] = ctx.numpy_buffer()
+        finally:
+            config.set_flush_mode(prev)
+            config.set_flush_unrolled(True)
+
+    g = gold.GoldenContext(W2, H2, True)
+    scene(g)
+    want = g.float_buffer()
+
+    np.testing.assert_array_equal(outs["scan"], outs["segmented"])
+    np.testing.assert_array_equal(outs["scan"], outs["unrolled"])
+    np.testing.assert_allclose(outs["scan"], want, atol=1e-9)
