@@ -473,8 +473,12 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
             Ae = (A[:, e] * sign)[:, None]           # fold sign into coeffs
             Be = (B[:, e] * sign)[:, None]
             Ce = (C[:, e] * sign)[:, None]
-            ex = jnp.where(Ae >= 0, Ae * fxh, Ae * fxl)      # (F, sx)
-            ey = jnp.where(Be >= 0, Be * fyh, Be * fyl)      # (F, sy)
+            # max over the two corner products == the sign select (tile
+            # coords are >= 0 and fxl <= fxh), with exactly the same
+            # value in any float width — and it fuses as one maximum
+            # instead of compare+select_n (profiled win)
+            ex = jnp.maximum(Ae * fxh, Ae * fxl)             # (F, sx)
+            ey = jnp.maximum(Be * fyh, Be * fyl)             # (F, sy)
             emax = ey[:, :, None] + ex[:, None, :] + Ce[..., None]
             slack = ((jnp.abs(Ae) * fxh)[:, None, :]
                      + (jnp.abs(Be) * fyh)[:, :, None]
