@@ -235,6 +235,181 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
     return fps
 
 
+def bench_canvas(frames: int = 45):
+    """Canvas display-list executor: ms/frame at 1080p for a ~60-command
+    milrenderer-like frame mix (full-frame dim + gradient, lines, split
+    blits, plain blits, rects).  Round-over-round comparable counterpart
+    of tools/bench_canvas.py (VERDICT r2 item 4)."""
+    import math
+
+    import libnativecpurenderer_tpu as R
+
+    W, H = 1920, 1080
+    ctx = R.RenderContext(W, H, True)
+    rng = np.random.default_rng(0)
+    texs = [R.Texture._from_array(rng.random((128, 128, 4)), True)
+            for _ in range(4)]
+
+    def draw(t):
+        ctx.fill_color(0.05, 0.05, 0.08, 0.25)
+        ctx.draw_vertical_grd(0, H - 200, W, 200,
+                              0, 0, 0, 0, 0, 0, 0, 0.8)
+        r2 = np.random.default_rng(42)
+        for i in range(8):
+            x = float(r2.uniform(100, W - 100) + 30 * math.sin(t + i))
+            y = float(r2.uniform(100, H - 100))
+            ctx.draw_line(x, y, x + 90, y + 40, 6.0, 0.9, 0.9, 1.0, 0.8)
+        for i in range(30):
+            x = float(r2.uniform(0, W - 140) + 40 * math.sin(t * 2 + i))
+            y = float(r2.uniform(0, H - 140))
+            ctx.draw_splitted_texture(texs[i % 4], x, y, 100.0, 50.0,
+                                      0.1, 0.9, 0.0, 1.0)
+        for i in range(12):
+            ctx.draw_texture(texs[i % 4], float(r2.uniform(0, W - 120)),
+                             float(r2.uniform(0, H - 120)), 80.0, 80.0)
+        for i in range(8):
+            ctx.draw_rect(float(r2.uniform(0, W - 60)),
+                          float(r2.uniform(0, H - 60)),
+                          40.0, 24.0, 0.2, 0.8, 0.4, 0.7)
+
+    draw(0.0)
+    ctx.flush()
+    float(np.asarray(ctx._fb[0, 0, 0]))          # warm + sync
+    best = None
+    for _ in range(3):
+        with TIMER.phase("canvas_render"):
+            t0 = time.perf_counter()
+            for i in range(frames):
+                draw(i * 0.016)
+                ctx.flush()
+            float(np.asarray(ctx._fb[0, 0, 0]))  # checksum sync
+            dt = (time.perf_counter() - t0) / frames
+        best = dt if best is None else min(best, dt)
+    log(f"canvas: {frames} frames -> {best * 1e3:.2f} ms/frame "
+        f"({1 / best:.1f} fps)")
+    return best * 1e3
+
+
+def bench_textured(frames: int = 24):
+    """Textured 10k-tri mesh at 1080p through the Pallas kernel + texel
+    gather (ms/frame).  BASELINE config-2-style workload."""
+    import jax
+    import jax.numpy as jnp
+    from libnativecpurenderer_tpu.models import mesh
+    from libnativecpurenderer_tpu.ops import raster3d
+
+    width, height = 1920, 1080
+    verts_np, faces_np, _ = mesh.mesh_10k()
+    verts = jnp.asarray(verts_np, jnp.float32)
+    faces = jnp.asarray(faces_np, jnp.int32)
+    # planar-projected uvs + checkerboard-ish texture
+    uvs_np = (verts_np[:, :2] - verts_np[:, :2].min(0)) / np.ptp(
+        verts_np[:, :2], 0)
+    uvs = jnp.asarray(uvs_np, jnp.float32)
+    rng = np.random.default_rng(1)
+    tex = jnp.asarray(rng.random((256, 256, 4)), jnp.float32)
+    proj = mesh.perspective(1.0, width / height, 0.1, 10.0)
+    view = mesh.look_at([0.0, 0.6, 3.2], [0, 0, 0], [0, 1, 0])
+    mvps = [jnp.asarray(proj @ view @ mesh.rotation_y(i * 0.03),
+                        jnp.float32) for i in range(frames)]
+
+    fn = functools.partial(raster3d.render_textured_pallas, tile_w=128,
+                           tile_h=8, capacity=512, span_x=2, span_y=10,
+                           kcc=16)
+
+    def run_all():
+        outs = [fn(verts, faces, uvs, tex, width, height, m)[0]
+                for m in mvps]
+        return float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))
+
+    run_all()                                    # warm
+    best = None
+    for _ in range(3):
+        with TIMER.phase("textured_render"):
+            t0 = time.perf_counter()
+            run_all()
+            dt = (time.perf_counter() - t0) / frames
+        best = dt if best is None else min(best, dt)
+    log(f"textured: {frames} frames -> {best * 1e3:.2f} ms/frame "
+        f"({1 / best:.1f} fps)")
+    return best * 1e3
+
+
+def bench_e2e(frames: int = 45):
+    """End-to-end production frame path fps: record a milrenderer-like
+    command mix, dispatch through BatchedVideoPipeline (device render +
+    fused u8 quantise), sync via a device-side checksum.  Excludes the
+    device->host frame fetch and the MP4 encode — both ride the dev
+    tunnel here (~21 MB/s) and are PCIe-rate on real hosts (ROADMAP
+    'Environment notes')."""
+    import math
+
+    import jax.numpy as jnp
+    import libnativecpurenderer_tpu as R
+    from libnativecpurenderer_tpu import pipeline as pl_mod
+    from libnativecpurenderer_tpu.ops import commands as C
+
+    W, H = 1920, 1080
+    rec = R.MultiThreadedVideoRenderContextPreparer(None, W, H, True)
+    rng = np.random.default_rng(0)
+    texs = [R.Texture._from_array(rng.random((128, 128, 4)), True)
+            for _ in range(4)]
+
+    def draw(t):
+        rec.fill_color(0.05, 0.05, 0.08, 0.25)
+        r2 = np.random.default_rng(42)
+        for i in range(24):
+            x = float(r2.uniform(0, W - 140) + 40 * math.sin(t * 2 + i))
+            y = float(r2.uniform(0, H - 140))
+            rec.draw_splitted_texture(texs[i % 4], x, y, 100.0, 50.0,
+                                      0.1, 0.9, 0.0, 1.0)
+        for i in range(8):
+            rec.draw_rect(float(r2.uniform(0, W - 60)),
+                          float(r2.uniform(0, H - 60)),
+                          40.0, 24.0, 0.2, 0.8, 0.4, 0.7)
+
+    fb0 = jnp.zeros((H, W, 4), rec._dtype)
+    batch = 15
+
+    def run_all():
+        chks = []
+
+        class _Sink:
+            def put_frame_u8(self, fr):
+                pass
+
+        pipe = pl_mod.BatchedVideoPipeline(_Sink(), W, H, batch,
+                                           dtype=rec._dtype, fb0=fb0)
+        orig_drain = pipe._drain
+
+        def drain():
+            if pipe._inflight is not None:
+                u8, _ = pipe._inflight
+                chks.append(jnp.sum(u8[0, 0, :64, 0]))
+                pipe._inflight = None
+        pipe._drain = drain
+        for i in range(frames):
+            draw(i * 0.016)
+            k, p = rec._cmds.snapshot()
+            pipe.submit(k, p)
+            rec._cmds.clear()
+        pipe.finish()
+        del orig_drain
+        return float(jnp.sum(jnp.stack(chks)))
+
+    run_all()                                    # warm
+    best = None
+    for _ in range(3):
+        with TIMER.phase("e2e_render"):
+            t0 = time.perf_counter()
+            run_all()
+            dt = (time.perf_counter() - t0) / frames
+        best = dt if best is None else min(best, dt)
+    log(f"e2e: {frames} frames -> {best * 1e3:.2f} ms/frame "
+        f"({1 / best:.1f} fps)")
+    return 1.0 / best
+
+
 def bench_audio():
     """876 overlays onto the demo-scale clip (~112 s, 44.1 kHz stereo) —
     reports realtime factor.  Aux metric (stderr only)."""
@@ -271,16 +446,23 @@ def bench_audio():
 
 def main():
     fps = bench_raster()
-    try:
-        bench_audio()
-    except Exception as e:  # aux bench must not break the primary metric
-        log(f"audio bench failed: {e}")
+    aux = {}
+    # aux benches must never break the primary metric
+    for key, fn, nd in [("audio_overlay_xrt", bench_audio, 0),
+                        ("canvas_1080p_60cmd_ms", bench_canvas, 2),
+                        ("textured_1080p_10ktri_ms", bench_textured, 2),
+                        ("e2e_1080p_record_to_u8_fps", bench_e2e, 1)]:
+        try:
+            aux[key] = round(fn(), nd)
+        except Exception as e:
+            log(f"{key} bench failed: {type(e).__name__}: {e}")
     phases = TIMER.report()
     print(json.dumps({
         "metric": "raster_1080p_10ktri_fps",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 1000.0, 4),
+        **aux,
         "phases_s": {k: round(v, 3) for k, v in phases.items()},
     }))
 

@@ -444,54 +444,89 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
     span_overflow = jnp.any(
         nonempty & ((x1c - x0c >= span_x) | (y1c - y0c >= span_y)))
 
-    dx = jnp.arange(span_x, dtype=jnp.int32)
-    dy = jnp.arange(span_y, dtype=jnp.int32)
-    txs = x0c[:, None] + dx[None, :]
-    tys = y0c[:, None] + dy[None, :]
-    ok = (nonempty[:, None, None]
-          & (txs[:, None, :] <= x1c[:, None, None])
-          & (tys[:, :, None] <= y1c[:, None, None]))
-    if edges is not None:
-        # exact edge-vs-tile cull: AABB spans keep every tile the box
-        # touches, but a triangle covers only ~half of them — and each
-        # kept pair costs a full (kcc, P) VPU walk in the kernel.  An
-        # edge e = A x + B y + C is affine, so its max over the tile's
-        # pixel rect sits at a corner selected by the coefficient signs;
-        # if sign * e_max < 0 for any edge, no pixel in the tile is
-        # covered and the pair is dropped.  Slack covers f32 rounding
-        # (the kernel evaluates e from the SAME A/B/C, so only
-        # fma-ordering ulps differ); in f64 (golden suite) the test is
-        # exact for snapped coords.
-        A, B, C, sign = edges
-        dtype = A.dtype
-        fxl = (txs * tile_w).astype(dtype)           # (F, sx)
-        fyl = (tys * tile_h).astype(dtype)           # (F, sy)
-        fxh = fxl + (tile_w - 1)
-        fyh = fyl + (tile_h - 1)
-        cover = None
-        for e in range(3):
-            Ae = (A[:, e] * sign)[:, None]           # fold sign into coeffs
-            Be = (B[:, e] * sign)[:, None]
-            Ce = (C[:, e] * sign)[:, None]
-            # max over the two corner products == the sign select (tile
-            # coords are >= 0 and fxl <= fxh), with exactly the same
-            # value in any float width — and it fuses as one maximum
-            # instead of compare+select_n (profiled win)
-            ex = jnp.maximum(Ae * fxh, Ae * fxl)             # (F, sx)
-            ey = jnp.maximum(Be * fyh, Be * fyl)             # (F, sy)
-            emax = ey[:, :, None] + ex[:, None, :] + Ce[..., None]
-            slack = ((jnp.abs(Ae) * fxh)[:, None, :]
-                     + (jnp.abs(Be) * fyh)[:, :, None]
-                     + jnp.abs(Ce)[..., None])
-            keep = emax >= -1e-5 * slack
-            cover = keep if cover is None else (cover & keep)
-        ok = ok & cover
-    tid = tys[:, :, None] * ntx + txs[:, None, :]
-    tid = jnp.where(ok, tid, nt)
     assert nt < (1 << (31 - IDX_BITS)), "too many tiles for packed binning"
-    tri = jnp.arange(F, dtype=jnp.int32)[:, None, None]
-    packed = (tid << IDX_BITS) | tri
-    packed_sorted = lax.sort(packed.reshape(-1))
+
+    def emit(y0c_, x0c_, x1c_, y1c_, ne_, tri_ids, dy0: int, sy_n: int,
+             edges_):
+        """Packed (tile << IDX_BITS | tri) slots for tile rows
+        y0c_+dy0 .. y0c_+dy0+sy_n-1 of the given triangle subset;
+        invalid slots carry the tile=nt sentinel (sorted to the end)."""
+        dx = jnp.arange(span_x, dtype=jnp.int32)
+        dyv = dy0 + jnp.arange(sy_n, dtype=jnp.int32)
+        txs = x0c_[:, None] + dx[None, :]
+        tys = y0c_[:, None] + dyv[None, :]
+        ok = (ne_[:, None, None]
+              & (txs[:, None, :] <= x1c_[:, None, None])
+              & (tys[:, :, None] <= y1c_[:, None, None]))
+        if edges_ is not None:
+            # exact edge-vs-tile cull: AABB spans keep every tile the
+            # box touches, but a triangle covers only ~half of them —
+            # and each kept pair costs a full (kcc, P) VPU walk in the
+            # kernel.  An edge e = A x + B y + C is affine, so its max
+            # over the tile's pixel rect sits at a corner selected by
+            # the coefficient signs; if sign * e_max < 0 for any edge,
+            # no pixel in the tile is covered and the pair is dropped.
+            # Slack covers f32 rounding (the kernel evaluates e from
+            # the SAME A/B/C, so only fma-ordering ulps differ); in f64
+            # (golden suite) the test is exact for snapped coords.
+            A, B, C, sign = edges_
+            dtype = A.dtype
+            fxl = (txs * tile_w).astype(dtype)       # (n, sx)
+            fyl = (tys * tile_h).astype(dtype)       # (n, sy)
+            fxh = fxl + (tile_w - 1)
+            fyh = fyl + (tile_h - 1)
+            cover = None
+            for e in range(3):
+                Ae = (A[:, e] * sign)[:, None]       # fold sign in
+                Be = (B[:, e] * sign)[:, None]
+                Ce = (C[:, e] * sign)[:, None]
+                # max over the two corner products == the sign select
+                # (tile coords are >= 0 and fxl <= fxh), with exactly
+                # the same value in any float width — and it fuses as
+                # one maximum instead of compare+select_n
+                ex = jnp.maximum(Ae * fxh, Ae * fxl)         # (n, sx)
+                ey = jnp.maximum(Be * fyh, Be * fyl)         # (n, sy)
+                emax = ey[:, :, None] + ex[:, None, :] + Ce[..., None]
+                slack = ((jnp.abs(Ae) * fxh)[:, None, :]
+                         + (jnp.abs(Be) * fyh)[:, :, None]
+                         + jnp.abs(Ce)[..., None])
+                keep = emax >= -1e-5 * slack
+                cover = keep if cover is None else (cover & keep)
+            ok = ok & cover
+        tid = tys[:, :, None] * ntx + txs[:, None, :]
+        tid = jnp.where(ok, tid, nt)
+        tri = tri_ids[:, None, None]
+        return ((tid << IDX_BITS) | tri).reshape(-1)
+
+    # Tall-triangle split: most triangles span <= SY_A tile rows, so
+    # emitting span_y rows for all of them wastes ~half the sort input
+    # (the sort is a top prep cost — see ROADMAP round-3 profile).
+    # Emit SY_A rows for everyone + the remaining rows for only the
+    # top-K tallest (lax.top_k); the sorted VALID prefix is identical,
+    # so starts/counts/kernel output are bit-exact.  Overflows (more
+    # than K talls) fall back via the overflow flag as usual.
+    tall_split = F >= 4096 and span_y > 4
+    all_tris = jnp.arange(F, dtype=jnp.int32)
+    if tall_split:
+        SY_A = 4
+        TK = min(2048, F)
+        spans = jnp.where(nonempty, y1c - y0c + 1, 0)
+        tall_span, tall_idx = lax.top_k(spans, TK)
+        span_overflow = span_overflow | (tall_span[-1] > SY_A)
+
+        def g(a):
+            return jnp.take(a, tall_idx, axis=0)
+
+        edges_t = (tuple(g(e) for e in edges)
+                   if edges is not None else None)
+        packed_flat = jnp.concatenate([
+            emit(y0c, x0c, x1c, y1c, nonempty, all_tris, 0, SY_A, edges),
+            emit(g(y0c), g(x0c), g(x1c), g(y1c), g(nonempty), tall_idx,
+                 SY_A, span_y - SY_A, edges_t)])
+    else:
+        packed_flat = emit(y0c, x0c, x1c, y1c, nonempty, all_tris, 0,
+                           span_y, edges)
+    packed_sorted = lax.sort(packed_flat)
     S = packed_sorted.shape[0]
     tid_sorted = packed_sorted >> IDX_BITS
 

@@ -154,6 +154,11 @@ class ShardedVideoPipeline(BatchedVideoPipeline):
         data_n = self._mesh.shape["data"]
         if self.batch % data_n:
             self.batch = ((self.batch + data_n - 1) // data_n) * data_n
+        # the sharded step unrolls its per-device frame batch at trace
+        # time (parallel/sharding.py keeps a Python loop so varying mesh
+        # axes stay visible); cap it so trace/compile time stays bounded
+        if self.batch // data_n > 8:
+            self.batch = data_n * 8
         step, self._band_h = sh.sharded_canvas_step(
             self._mesh, width, height, with_fb0=True)
         self._step = jax.jit(step)
