@@ -57,8 +57,17 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
     # ``flat`` = gatherless binning (sorted pair array straight into the
     # kernel); only the Pallas path understands it.
     ladder = [
-        # fused-sequence first: ALL frames in ONE jitted program (a
-        # fori_loop over B-frame batched launches, frames checksummed
+        # dynrows first (round 3): pair-ordered pre-gathered rows, no
+        # in-kernel row gathers, g frames per program
+        # (ops/pallas_raster.py "dynrows"); fused whole-sequence program
+        dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             batch=12, fused=True, dynrows=2),
+        dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             batch=12, fused=True, dynrows=1),
+        # fused-sequence flat kernel: ALL frames in ONE jitted program
+        # (a fori_loop over B-frame batched launches, frames checksummed
         # on device) — host dispatch cost, ~12 ms per batch program
         # through the tunnel, otherwise bounds wall clock; device time
         # is ~2.15 ms/frame (tools/exp_full2.py)

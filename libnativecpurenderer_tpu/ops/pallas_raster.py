@@ -406,6 +406,206 @@ def render_binned_pallas_flat_batch_u8(sorted_pads, starts, counts,
                                  width))(packed)
 
 
+# -------------------------------------------------------------------- #
+# dynrows (round 3): pair-ordered pre-gathered rows.
+#
+# The flat kernel's per-chunk row gather (one scalar SMEM id read + one
+# 1-row VMEM copy per pair) measured ~5.6 us per 1k rows and dominated
+# every finer-tile/grouped redesign (ROADMAP round-3 findings).  Here
+# prep pre-gathers table rows into SORTED PAIR ORDER
+# (rows = take(table, sorted_pad[:cap] & IDX_MASK)) and the kernel walks
+# each tile's run with ONE contiguous dynamic (kcc, ROW_W) sublane slice
+# per chunk from a frame-resident VMEM block.  The packed-id SMEM blocks
+# disappear entirely: slot ids are iota, and tie-break order (ascending
+# triangle id within the run) is unchanged, so output is bit-exact vs
+# the flat kernel (verified in tools/exp_r3_dynprod.py and
+# tests/test_pallas_raster.py).
+#
+# ``g`` frames of the batch share one program per tile (sublane groups
+# of kcc; one tile geometry, per-frame min-reduce via a free
+# (g, kcc, P) sublane-split reshape).  EMPIRICAL COMPILE LIMIT: a
+# single Pallas operand > 24 MiB fails the TPU compile (bisected in
+# exp_r3_dynprod.py), so callers slice the rows batch into
+# <= DYNROWS_BATCH_ROWS-row operands.
+# -------------------------------------------------------------------- #
+
+DYNROWS_BATCH_ROWS = (24 * 1024 * 1024) // (ROW_W * 4)  # rows / operand
+
+
+def _make_kernel_dynrows(tile_h: int, tile_w: int, g: int, kcc: int,
+                         z_clip: bool = False):
+    GK = g * kcc
+    P = tile_h * tile_w
+
+    def kernel(scal_ref, *refs):
+        rows_refs = refs[:g]
+        keys_ref = refs[g]
+        i = pl.program_id(0)
+        npg = pl.num_programs(0)
+
+        counts = [scal_ref[q * npg + i] for q in range(g)]
+        ox = scal_ref[g * npg + i]
+        oy = scal_ref[(g + 1) * npg + i]
+        woffs = [scal_ref[(g + 2 + q) * npg + i] for q in range(g)]
+        cmax = counts[0]
+        for q in range(1, g):
+            cmax = jnp.maximum(cmax, counts[q])
+        nchunks = (cmax + kcc - 1) // kcc
+
+        p_idx = lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        x1 = (ox + p_idx % tile_w).astype(jnp.float32)
+        y1 = (oy + p_idx // tile_w).astype(jnp.float32)
+        X = jnp.broadcast_to(x1, (GK, P))
+        Y = jnp.broadcast_to(y1, (GK, P))
+        slot0 = lax.broadcasted_iota(jnp.int32, (GK, P), 0) % kcc
+
+        def body(c, carry):
+            kacc, rs = carry[0], carry[1:]
+            if g == 1:
+                rows = rows_refs[0][0, pl.ds(woffs[0] + c * kcc, kcc), :]
+            else:
+                rows = jnp.concatenate(
+                    [rows_refs[q][0, pl.ds(woffs[q] + c * kcc, kcc), :]
+                     for q in range(g)], axis=0)
+
+            def col(j):
+                return rows[:, j:j + 1]
+
+            e0 = col(0) * X + col(1) * Y + col(2)
+            e1 = col(3) * X + col(4) * Y + col(5)
+            e2 = col(6) * X + col(7) * Y + col(8)
+            m = jnp.minimum(jnp.minimum(e0, e1), e2)
+            zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
+            if z_clip:
+                cov = (m >= 0.0) & (zz >= 0.0) & (zz <= 1.0)
+            else:
+                cov = m >= 0.0
+            zq = (zz * Z_LEVELS).astype(jnp.int32)
+            ids = c * kcc + slot0
+            keys = jnp.where(cov, (zq << IDX_BITS) | ids,
+                             jnp.int32(SKY_KEY))
+
+            if g == 1:
+                cmin = jnp.min(keys, axis=0, keepdims=True)
+                win = (keys == cmin) & cov
+                upd = cmin < kacc
+                outs = []
+                for d, rd in enumerate(rs):
+                    cd = (e0 * col(14 + d) + e1 * col(14 + D + d)
+                          + e2 * col(14 + 2 * D + d))
+                    cdm = jnp.sum(jnp.where(win, cd, 0.0), axis=0,
+                                  keepdims=True)
+                    outs.append(jnp.where(upd, cdm, rd))
+                return (jnp.where(upd, cmin, kacc), *outs)
+            kg = keys.reshape(g, kcc, P)
+            cmin_g = jnp.min(kg, axis=1)                    # (g, P)
+            win = (kg == cmin_g[:, None, :]) & cov.reshape(g, kcc, P)
+            upd = cmin_g < kacc
+            outs = []
+            for d, rd in enumerate(rs):
+                cd = (e0 * col(14 + d) + e1 * col(14 + D + d)
+                      + e2 * col(14 + 2 * D + d))
+                cdm = jnp.sum(jnp.where(win, cd.reshape(g, kcc, P), 0.0),
+                              axis=1)
+                outs.append(jnp.where(upd, cdm, rd))
+            return (jnp.where(upd, cmin_g, kacc), *outs)
+
+        sky = jnp.full((g, P), SKY_KEY, jnp.int32)
+        zero = jnp.zeros((g, P), jnp.float32)
+        res = lax.fori_loop(0, nchunks, body, (sky,) + (zero,) * 3)
+        kacc, rs = res[0], res[1:]
+        bgp = scal_ref[(2 * g + 2) * npg]
+
+        def q8(v):
+            return jnp.clip(v * 255.0, 0.0, 255.0).astype(jnp.int32)
+
+        packed = (q8(rs[0]) | (q8(rs[1]) << 8) | (q8(rs[2]) << 16)
+                  | (jnp.full((g, P), 255, jnp.int32) << 24))
+        keys_ref[0] = jnp.where(kacc != jnp.int32(SKY_KEY), packed, bgp)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def raster_tiles_dynrows(rows, scalars, nt: int, tile_h: int, tile_w: int,
+                         g: int = 1, kcc: int = 16,
+                         interpret: bool = False):
+    """Dynrows launch for ONE operand group.  rows: (Bn, CAP, ROW_W)
+    f32 pair-ordered (Bn * CAP * ROW_W * 4 <= 24 MiB, Bn % g == 0);
+    scalars: [counts_q.. | ox | oy | woff_q.. | packed_bg] with
+    npg = (Bn/g) * nt entries per part.  Returns (npg, g, P) packed-u8
+    i32 tiles (frame q of pair p at [p, q])."""
+    Bn = rows.shape[0]
+    npg = (Bn // g) * nt
+    P = tile_h * tile_w
+
+    in_specs = []
+    for q in range(g):
+        in_specs.append(pl.BlockSpec(
+            (1, rows.shape[1], ROW_W),
+            (lambda i, s, _q=q, _nt=nt: (i // _nt * g + _q, 0, 0))))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(npg,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, g, P), lambda i, s: (i, 0, 0))],
+    )
+    return pl.pallas_call(
+        _make_kernel_dynrows(tile_h, tile_w, g, kcc),
+        out_shape=[jax.ShapeDtypeStruct((npg, g, P), jnp.int32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, *([rows] * g))[0]
+
+
+def render_binned_dynrows_batch_u8(rows, starts, counts, bg, width: int,
+                                   height: int, tile_w: int, tile_h: int,
+                                   g: int = 1, kcc: int = 16,
+                                   interpret: bool = False):
+    """Batched u8 video-path raster on pair-ordered rows.
+
+    rows: (B, CAP, ROW_W) f32 from take(table, sorted_pad[:CAP] &
+    IDX_MASK); starts/counts: (B, NT).  Slices the batch into operand
+    groups of <= DYNROWS_BATCH_ROWS rows (24 MiB Pallas compile limit),
+    g frames per program within each group.  Returns (B, H, W, 4) u8,
+    bit-exact vs render_binned_pallas_flat_batch_u8(opaque=True,
+    z_clip=False)."""
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    nt = ntx * nty
+    P = tile_h * tile_w
+    Bn, cap = rows.shape[0], rows.shape[1]
+    assert g * cap <= DYNROWS_BATCH_ROWS, (g, cap)
+    grp = min((DYNROWS_BATCH_ROWS // cap) // g * g, Bn)
+    assert grp and Bn % grp == 0, (Bn, grp)
+
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    ox = jnp.tile(tids % ntx * tile_w, grp // g)
+    oy = jnp.tile(tids // ntx * tile_h, grp // g)
+    bgp = _pack_bg(bg)[None]
+
+    outs = []
+    for s0 in range(0, Bn, grp):
+        rsl = lax.slice_in_dim(rows, s0, s0 + grp, axis=0)
+        cs, offs = [], []
+        for q in range(g):
+            fsel = s0 + jnp.arange(grp // g) * g + q
+            cs.append(counts[fsel].reshape(-1))
+            offs.append(starts[fsel].reshape(-1))
+        scal = jnp.concatenate(
+            [jnp.asarray(x, jnp.int32)
+             for x in (cs + [ox, oy] + offs + [bgp])])
+        out = raster_tiles_dynrows(rsl, scal, nt, tile_h, tile_w, g,
+                                   kcc, interpret)
+        # (npg, g, P) -> (grp, nt, P) in frame order
+        out = out.reshape(grp // g, nt, g, P)
+        outs.append(jnp.moveaxis(out, 2, 1).reshape(grp, nt, P))
+    packed = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    return jax.vmap(
+        lambda p: _detile_packed(p, nty, ntx, tile_h, tile_w, height,
+                                 width))(packed)
+
+
 def render_binned_pallas_flat_batch(sorted_pads, starts, counts, tables,
                                     bg, width: int, height: int,
                                     tile_w: int, tile_h: int, Kb: int,

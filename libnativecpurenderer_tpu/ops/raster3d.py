@@ -754,19 +754,29 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
 
 @functools.partial(
     jax.jit,
-    static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17))
+    static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+                    19))
 def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
                                 height: int, mvps=None, tile_w: int = 128,
                                 tile_h: int = 32, capacity: int = 512,
                                 bg=None, span_x: int = 8, span_y: int = 4,
                                 interpret: bool = False, flat: bool = False,
                                 kcc: int = 32, u8: bool = False,
-                                opaque: bool = False, z_clip: bool = True):
+                                opaque: bool = False, z_clip: bool = True,
+                                dynrows: int = 0, rows_cap: int = 0):
     """Batched Pallas render: B frames (mvps (B, 4, 4)) in one kernel
     launch.  Per-frame prep (projection, edge setup, binning, tables) is
     vmapped; tiles of all frames share one grid.  Amortises the
     per-dispatch overheads that cap single-frame throughput.  ``flat``
     uses the gatherless binning (see render_gouraud_pallas).
+
+    ``dynrows=g`` (requires flat+u8+opaque) switches to the pair-ordered
+    pre-gathered-rows kernel with g frames per program
+    (pallas_raster.render_binned_dynrows_batch_u8): prep additionally
+    gathers table rows into sorted pair order (``rows_cap`` rows per
+    frame, default capacity-guarded 49152), and real pair counts beyond
+    rows_cap - capacity raise the overflow flag so callers fall back.
+    Bit-exact vs the flat kernel.
     Returns (rgba (B, H, W, 4), z (B, H, W), overflow)."""
     from . import pallas_raster
     dtype = verts.dtype
@@ -793,9 +803,24 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
                 ovf = ovf | ~z_ok
             table = pallas_raster.build_table(A, B, C, zsc, ia, sg, vl,
                                               attrs)
+            if dynrows:
+                cap = rows_cap or 49152
+                rows = jnp.take(table, sorted_pad[:cap] & IDX_MASK,
+                                axis=0)
+                # real pairs end at the last tile's run end; the kernel
+                # may walk up to `capacity` rows past a run start
+                ovf = ovf | (starts[-1] + counts[-1] > cap - capacity)
+                return rows, starts, counts, table, ovf
             return sorted_pad, starts, counts, table, ovf
 
         sps, starts, counts, tables, ovfs = jax.vmap(prep)(mvps)
+        if dynrows:
+            assert u8 and opaque and not z_clip, \
+                "dynrows kernel is the opaque u8 video path"
+            rgba8 = pallas_raster.render_binned_dynrows_batch_u8(
+                sps, starts, counts, bg, width, height, tile_w, tile_h,
+                dynrows, kcc, interpret)
+            return rgba8, None, jnp.any(ovfs)
         if u8:
             rgba8 = pallas_raster.render_binned_pallas_flat_batch_u8(
                 sps, starts, counts, tables, bg, width, height, tile_w,

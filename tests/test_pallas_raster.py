@@ -237,3 +237,39 @@ def test_z_clip_skip_matches_and_guards():
         span_x=8, span_y=8, interpret=True, flat=True, u8=True,
         z_clip=False)
     assert bool(ovf)
+
+
+@pytest.mark.parametrize("g", [1, 2])
+def test_dynrows_matches_flat_u8(g):
+    """The dynrows kernel (pair-ordered pre-gathered rows, g frames per
+    program, no packed-id blocks) must be bit-exact vs the flat u8
+    kernel: same pair runs, same slot-id tie-break."""
+    v, f, c, m = _scene()
+    from libnativecpurenderer_tpu.models import mesh as mesh_mod
+    mvps = jnp.stack([
+        m,
+        jnp.asarray(np.asarray(m) @ mesh_mod.rotation_y(0.4), jnp.float32),
+        jnp.asarray(np.asarray(m) @ mesh_mod.rotation_y(0.9), jnp.float32),
+        jnp.asarray(np.asarray(m) @ mesh_mod.rotation_x(0.7), jnp.float32),
+    ])
+    kw = dict(tile_w=32, tile_h=8, capacity=96, span_x=8, span_y=8,
+              interpret=True, flat=True, u8=True, opaque=True,
+              z_clip=False)
+    ref, _, ovf0 = raster3d.render_gouraud_pallas_batch(
+        v, f, c, W, H, mvps, **kw)
+    got, z, ovf = raster3d.render_gouraud_pallas_batch(
+        v, f, c, W, H, mvps, dynrows=g, rows_cap=2048, kcc=8, **kw)
+    assert z is None and not bool(ovf) and not bool(ovf0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_dynrows_overflow_flag():
+    """Real pair counts beyond rows_cap - capacity must raise the
+    overflow flag (callers fall back to the flat kernel)."""
+    v, f, c, m = _scene()
+    mvps = jnp.stack([m, m])
+    _, _, ovf = raster3d.render_gouraud_pallas_batch(
+        v, f, c, W, H, mvps, tile_w=32, tile_h=8, capacity=96,
+        span_x=8, span_y=8, interpret=True, flat=True, u8=True,
+        opaque=True, z_clip=False, dynrows=1, rows_cap=256, kcc=8)
+    assert bool(ovf)
