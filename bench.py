@@ -56,16 +56,14 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
     # config ladder: fastest measured first, safer fallbacks after.
     # ``flat`` = gatherless binning (sorted pair array straight into the
     # kernel); only the Pallas path understands it.
+    # dynrows (pair-ordered pre-gathered rows) is NOT in the ladder: the
+    # E2E path measured 3.66 ms/frame vs 2.24 fused-flat — the prep-side
+    # 6 MB/frame jnp.take (TPU gathers ~7-9 GB/s) eats the 0.26 ms
+    # kernel-side win, and its 33 MB per-call output is stack-allocated
+    # in scoped VMEM (needs the compiler_options
+    # xla_tpu_scoped_vmem_limit_kib override to compile at all).
+    # tools/exp_r3_dynsingle.py; ROADMAP round-3 findings.
     ladder = [
-        # dynrows first (round 3): pair-ordered pre-gathered rows, no
-        # in-kernel row gathers, g frames per program
-        # (ops/pallas_raster.py "dynrows"); fused whole-sequence program
-        dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
-             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
-             batch=12, fused=True, dynrows=2),
-        dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
-             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
-             batch=12, fused=True, dynrows=1),
         # fused-sequence flat kernel: ALL frames in ONE jitted program
         # (a fori_loop over B-frame batched launches, frames checksummed
         # on device) — host dispatch cost, ~12 ms per batch program

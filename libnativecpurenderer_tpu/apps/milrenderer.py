@@ -595,6 +595,11 @@ class Renderer:
         with timer.phase("encode_release"):
             self.cap.release()
         timer.report(log)
+        hits, misses = (RenderContext._unroll_hits,
+                        RenderContext._unroll_misses)
+        if hits + misses:
+            log.info("unrolled flush: %d/%d dispatch groups (%.0f%%)",
+                     hits, hits + misses, 100.0 * hits / (hits + misses))
 
 
 def build_parser() -> argparse.ArgumentParser:

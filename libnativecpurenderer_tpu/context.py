@@ -188,6 +188,11 @@ class RenderContext:
     _UNROLL_RUN_BUCKETS = (1, 2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
     _unroll_sigs: "dict" = {}            # LRU: key -> seen count
     _unroll_compiled: set = set()
+    # dispatch-group counters (process-wide): how often the unrolled
+    # executor actually fired vs fell back to the loop executor —
+    # milrenderer reports the ratio (VERDICT r2 item 3 acceptance)
+    _unroll_hits = 0
+    _unroll_misses = 0
 
     @staticmethod
     def _run_bucket(n: int) -> int:
@@ -256,6 +261,7 @@ class RenderContext:
                 seen + 1 >= config.flush_unroll_min_seen()
                 and len(compiled) < config.flush_unroll_compile_cap())
             if ok:
+                RenderContext._unroll_hits += 1
                 compiled.add(key)
                 total = sum((hi - lo) + pad for lo, hi, pad in slices)
                 rows = np.zeros((total, C.PARAM_W), self._dtype)
@@ -266,6 +272,7 @@ class RenderContext:
                 self._fb = patch_exec.render_flush_unrolled(
                     self._fb, jnp.asarray(rows), atlas, sig)
                 return
+        RenderContext._unroll_misses += 1
         nbase = patch_exec.len_bucket(ncmds)
         packed = np.zeros((nbase + len(group), patch_exec.PACKED_W),
                           self._dtype)

@@ -24,8 +24,10 @@ Run: nohup python tools/exp_r3_dynprod.py > /tmp/exp_r3_dynprod.log 2>&1 &
 """
 
 import functools
+import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -239,11 +241,12 @@ def main():
             return None
 
     first128 = True
-    for tag, tw, sx, sy, cap, g, kcc, bsz in [
+    for tag, tw, sx, sy, cap, g, kcc, bsz in ([] if
+            os.environ.get("E2E_ONLY") else [
             ("D128_g1_kcc16", 128, 2, 10, 49152, 1, 16, 4),
             ("D128_g2_kcc16", 128, 2, 10, 49152, 2, 16, 4),
             ("D64_g2_kcc8", 64, 3, 8, 28672, 2, 8, 6),
-            ("D64_g4_kcc8", 64, 3, 8, 28672, 4, 8, 4)]:
+            ("D64_g4_kcc8", 64, 3, 8, 28672, 4, 8, 4)]):
         prep = prep_for(tw, sx, sy, cap)
         preps = [prep(m) for m in mvps]
         if any(bool(p[3]) for p in preps):
@@ -315,7 +318,7 @@ def main():
                                                    vl, attrs)
                     rows = jnp.take(tb, sp[:cap] & IDX_MASK, axis=0)
                     return rows, st, ct, ovf
-                rows, st, ct, ovf = jax.vmap(one)(mv)      # B=12 prep
+                rows, st, ct, ovf = jax.vmap(one)(mv[gi])  # B=12 prep
                 s = jnp.float32(0.0)
                 for sl in range(BATCH // bsz):
                     rsl = lax.slice_in_dim(rows, sl * bsz,
@@ -353,6 +356,7 @@ def main():
         except Exception as e:
             print(f"{tag}: FAILED {type(e).__name__}: {e}"[:600],
                   flush=True)
+            traceback.print_exc()
 
     fused_total("E2E_D128_g1", 128, 2, 10, 49152, 1, 16)
     fused_total("E2E_D128_g2", 128, 2, 10, 49152, 2, 16)
