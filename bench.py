@@ -297,9 +297,18 @@ def bench_canvas(frames: int = 45):
     return best * 1e3
 
 
-def bench_textured(frames: int = 24):
-    """Textured 10k-tri mesh at 1080p through the Pallas kernel + texel
-    gather (ms/frame).  BASELINE config-2-style workload."""
+def bench_textured(frames: int = 24, batch: int = 12):
+    """Textured 10k-tri mesh at 1080p (ms/frame).  BASELINE
+    config-2-style workload: a u8 RGBA texture (the reference's textures
+    are u8 PNG-decoded, h:94-103).
+
+    Primary path: batched kernel-resolved texels
+    (raster3d.render_textured_pallas_batch).  Measured on the XLA-gather
+    formulation (tools/exp_tex_idx.py): ANY per-pixel XLA gather is
+    per-row bound (~4-19 ms/frame at 1080p), so the batched path only
+    beats the per-frame f32 path once the in-kernel footprint resolve
+    (tex_resolve) is active; if it measures slower than the f32 path
+    at warm-up, the f32 path is benched instead."""
     import jax
     import jax.numpy as jnp
     from libnativecpurenderer_tpu.models import mesh
@@ -314,7 +323,8 @@ def bench_textured(frames: int = 24):
         verts_np[:, :2], 0)
     uvs = jnp.asarray(uvs_np, jnp.float32)
     rng = np.random.default_rng(1)
-    tex = jnp.asarray(rng.random((256, 256, 4)), jnp.float32)
+    tex_u8 = jnp.asarray(rng.integers(0, 256, (256, 256, 4)), jnp.uint8)
+    tex = tex_u8.astype(jnp.float32) / 255.0
     proj = mesh.perspective(1.0, width / height, 0.1, 10.0)
     view = mesh.look_at([0.0, 0.6, 3.2], [0, 0, 0], [0, 1, 0])
     mvps = [jnp.asarray(proj @ view @ mesh.rotation_y(i * 0.03),
@@ -324,12 +334,49 @@ def bench_textured(frames: int = 24):
                            tile_h=8, capacity=512, span_x=2, span_y=10,
                            kcc=16)
 
-    def run_all():
+    def run_f32():
         outs = [fn(verts, faces, uvs, tex, width, height, m)[0]
                 for m in mvps]
         return float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))
 
-    run_all()                                    # warm
+    run_all = None
+    try:
+        # defaults: (64, 16) tiles + 16 footprint windows + compacted
+        # fallback — measured 5.24 ms/frame vs 8.9 for the f32 path in
+        # this harness (tools/exp_tex_resolve.py)
+        bfn = functools.partial(raster3d.render_textured_pallas_batch,
+                                capacity=512, kcc=16)
+        grouped = [jnp.stack(mvps[i:i + batch])
+                   for i in range(0, frames, batch)]
+
+        def run_batch():
+            outs = [bfn(verts, faces, uvs, tex_u8, width, height, m)[0]
+                    for m in grouped]
+            return float(jnp.sum(jnp.stack(
+                [jnp.sum(o.astype(jnp.float32)) for o in outs])))
+
+        run_batch()                              # warm + compile check
+        t0 = time.perf_counter()
+        run_batch()
+        dt_b = time.perf_counter() - t0
+        run_f32()                                # warm
+        t0 = time.perf_counter()
+        run_f32()
+        dt_f = time.perf_counter() - t0
+        if dt_b <= dt_f:
+            run_all = run_batch
+            log(f"textured: batched kernel-resolved path "
+                f"({dt_b / frames * 1e3:.2f} vs f32 "
+                f"{dt_f / frames * 1e3:.2f} ms/frame)")
+        else:
+            run_all = run_f32
+            log(f"textured: f32 path wins ({dt_f / frames * 1e3:.2f} vs "
+                f"batched {dt_b / frames * 1e3:.2f} ms/frame)")
+    except Exception as e:
+        log(f"textured batched path failed ({type(e).__name__}); "
+            "per-frame f32 fallback")
+        run_all = run_f32
+        run_all()                                # warm
     best = None
     for _ in range(3):
         with TIMER.phase("textured_render"):

@@ -124,7 +124,8 @@ def _make_kernel(tile_h: int, tile_w: int, K: int, kcc: int = KCC):
 
 def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                       u8: bool = False, opaque: bool = False,
-                      z_clip: bool = True):
+                      z_clip: bool = True, tex_dims=None,
+                      tex_resolve: bool = False, tex_nw: int = 8):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
@@ -142,11 +143,41 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
 
     ``opaque=True`` (u8 only) drops the alpha-attribute accumulation from
     the chunk walk (~11% of its vector ops) and emits a=255; valid when
-    every vertex alpha is 1, e.g. opaque meshes on the video path."""
+    every vertex alpha is 1, e.g. opaque meshes on the video path.
+
+    ``tex_dims=(th, tw)`` is the textured video path: the walk carries
+    THREE attributes [u*w^-1, v*w^-1, w^-1] (affine: [u, v, 1]) and the
+    epilogue resolves the winner's texel INDEX directly —
+    idx = clip(int(v*th)) * tw + clip(int(u*tw)), sky = -1 — as the
+    single i32 output plane.  The caller does ONE packed-u32 texel
+    gather per pixel instead of four f32 channel gathers (the ~4 ms
+    per-frame gather was the textured path's dominant cost, ROADMAP).
+    Same clamped-nearest semantics as render_textured_pallas's XLA
+    epilogue (reference DrawTexture family, cpp:560-573).
+
+    ``tex_resolve=True`` (with tex_dims) fetches the texels IN-KERNEL
+    instead of emitting indices: the packed-i32 texture rides along as a
+    VMEM-resident input laid out (th*bpr, 128) (bpr = ceil(tw/128) lane
+    blocks per texture row), and the epilogue resolves each pixel through
+    a per-tile FOOTPRINT of ``tex_nw`` 128-texel windows: window w sits
+    at texture row v0 + w//BW, lane-block ub0 + w%BW, where (v0, ub0) is
+    the min corner of the tile's hit-pixel UV bbox and BW (blocks per
+    row, so NW//BW rows) adapts per tile to the bbox aspect — all scalar
+    arithmetic on vector-min/max reductions.  Per-pixel fetches are
+    Mosaic ``tpu.dynamic_gather`` ops along lanes (constraint: operand
+    lane dim must be exactly 128 — tools/exp_dyngather.py), with the
+    (1, P)<->(P/128, 128) moves done by aligned lane slices + sublane
+    concat one way and masked sublane sum-reduces back (a straight
+    slice+lane-concat of sublane rows fails layout: exp_dyngather2).
+    Pixels whose UV falls outside the tile's footprint (footprint
+    overflow: high UV-frequency tiles) are left for the caller: output 2
+    carries their padded-layout texel index (>= 0) so an XLA gather can
+    finish JUST those, -2 = resolved here, -1 = sky.  Output 1 is the
+    packed rgba plane with bg filled for sky and 0 for unresolved."""
     P = tile_h * tile_w
 
     def kernel(scal_ref, blk0_ref, blk1_ref, table_ref, keys_ref, rgba_ref,
-               rows_s):
+               rows_s, tex_ref=None):
         i = pl.program_id(0)
         nt = pl.num_programs(0)
         count = scal_ref[i]
@@ -162,7 +193,7 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
         Y = jnp.broadcast_to(y1, (kcc, P))
         slot0 = lax.broadcasted_iota(jnp.int32, (kcc, P), 0)
 
-        nacc = 3 if (u8 and opaque) else 4
+        nacc = 3 if (tex_dims or (u8 and opaque)) else 4
 
         def body(c, carry):
             kacc, rs = carry[0], carry[1:]
@@ -218,7 +249,77 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                             (sky,) + (zero,) * nacc)
         kacc, rs = res[0], res[1:]
 
-        if u8:
+        if tex_dims:
+            th_t, tw_t = tex_dims
+            # same op structure as the XLA epilogue in
+            # render_textured_pallas: guarded divide, *dim, truncate,
+            # clamp (clamped-nearest; negative casts clamp to 0)
+            denom = rs[2]
+            safe = jnp.where(denom != 0.0, denom, 1.0)
+            ui = jnp.clip((rs[0] / safe * tw_t).astype(jnp.int32),
+                          0, tw_t - 1)
+            vi = jnp.clip((rs[1] / safe * th_t).astype(jnp.int32),
+                          0, th_t - 1)
+            if not tex_resolve:
+                keys_ref[0] = jnp.where(kacc != jnp.int32(SKY_KEY),
+                                        vi * tw_t + ui, jnp.int32(-1))
+                return
+            bpr = (tw_t + 127) // 128
+            n_sub = P // 128
+            NW = tex_nw
+            hit1 = kacc != jnp.int32(SKY_KEY)
+            big = jnp.int32(1 << 20)
+            ub1 = ui // 128
+            v0 = jnp.minimum(jnp.min(jnp.where(hit1, vi, big)),
+                             th_t - 1)
+            ub0 = jnp.minimum(jnp.min(jnp.where(hit1, ub1, big)),
+                              bpr - 1)
+            bw = jnp.clip(jnp.max(jnp.where(hit1, ub1, -1)) - ub0 + 1,
+                          1, NW)
+            fh = NW // bw
+
+            def to_sub(v):
+                return jnp.concatenate(
+                    [v[:, k * 128:(k + 1) * 128] for k in range(n_sub)],
+                    axis=0)
+
+            vi_s = to_sub(vi)
+            ui_s = to_sub(ui)
+            # i1 vectors can't ride the slice+concat (invalid vreg
+            # cast); move the mask as i32
+            hit_s = to_sub(hit1.astype(jnp.int32)) != 0
+            dv = vi_s - v0
+            du = ui_s // 128 - ub0
+            blk = dv * bw + du
+            lane = ui_s % 128
+            resolved = (hit_s & (dv >= 0) & (dv < fh)
+                        & (du >= 0) & (du < bw))
+            acc = jnp.zeros((n_sub, 128), jnp.int32)
+            for w in range(NW):
+                off = jnp.clip((v0 + w // bw) * bpr + ub0 + w % bw,
+                               0, th_t * bpr - 1)
+                row = tex_ref[pl.ds(off, 1), :]          # (1, 128)
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(row, (n_sub, 128)), lane, axis=1)
+                acc = jnp.where(blk == w, g, acc)
+
+            i0 = lax.broadcasted_iota(jnp.int32, (n_sub, 128), 0)
+
+            def from_sub(v):
+                rows_1 = [jnp.sum(jnp.where(i0 == k, v, 0), axis=0,
+                                  keepdims=True) for k in range(n_sub)]
+                return jnp.concatenate(rows_1, axis=1)
+
+            acc1 = from_sub(acc)
+            res1 = from_sub(resolved.astype(jnp.int32)) != 0
+            bgp = scal_ref[5 * nt]
+            keys_ref[0] = jnp.where(
+                hit1, jnp.where(res1, acc1, 0), bgp)
+            rgba_ref[0] = jnp.where(
+                hit1, jnp.where(res1, jnp.int32(-2),
+                                vi * (bpr * 128) + ui),
+                jnp.int32(-1))
+        elif u8:
             bgp = scal_ref[5 * nt]
 
             def q(v):
@@ -233,7 +334,13 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             keys_ref[0] = kacc
             rgba_ref[0] = jnp.concatenate(list(rs), axis=0)
 
-    if u8:
+    if tex_resolve:
+        def kernel_tex(scal_ref, blk0_ref, blk1_ref, table_ref, tex_ref,
+                       packed_ref, fbidx_ref, rows_s):
+            return kernel(scal_ref, blk0_ref, blk1_ref, table_ref,
+                          packed_ref, fbidx_ref, rows_s, tex_ref=tex_ref)
+        return kernel_tex
+    if u8 or tex_dims:
         def kernel_u8(scal_ref, blk0_ref, blk1_ref, table_ref, packed_ref,
                       rows_s):
             return kernel(scal_ref, blk0_ref, blk1_ref, table_ref,
@@ -244,12 +351,12 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                       tile_w: int, Kb: int, interpret: bool = False,
                       kcc: int = KCC, tiles_per_frame: int = 0,
                       u8: bool = False, opaque: bool = False,
-                      z_clip: bool = True):
+                      z_clip: bool = True, tex_dims=None):
     """Flat-bins kernel launch.  sorted_pad: (Spad,) i32 packed pairs from
     bin_triangles_flat (multi-frame: frames' arrays concatenated, with the
     scalar block indices made absolute by the caller); scalars: (5*NT,)
@@ -277,17 +384,19 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                          lambda i, s: (i // tpf, 0, 0)),
         ],
         out_specs=(
-            [pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0))] if u8 else
+            [pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0))]
+            if (u8 or tex_dims) else
             [pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)),
              pl.BlockSpec((1, D, P), lambda i, s: (i, 0, 0))]),
         scratch_shapes=[
             pltpu.VMEM((kcc, ROW_W), jnp.float32),
         ],
     )
-    if u8:
+    if u8 or tex_dims:
         packed = pl.pallas_call(
-            _make_kernel_flat(tile_h, tile_w, Kb, kcc, u8=True,
-                              opaque=opaque, z_clip=z_clip),
+            _make_kernel_flat(tile_h, tile_w, Kb, kcc, u8=u8,
+                              opaque=opaque, z_clip=z_clip,
+                              tex_dims=tex_dims),
             out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
             grid_spec=grid_spec,
             interpret=interpret,
@@ -303,6 +412,58 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
         interpret=interpret,
     )(scalars, blocks, blocks, table)
     return keys, rgba
+
+
+@functools.partial(jax.jit,
+                   static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
+                     tile_h: int, tile_w: int, Kb: int,
+                     interpret: bool = False, kcc: int = KCC,
+                     tiles_per_frame: int = 0, tex_dims=None,
+                     tex_nw: int = 8):
+    """tex_resolve kernel launch (see _make_kernel_flat): tex_l is the
+    packed-i32 texture in (th*bpr, 128) window layout, VMEM-resident
+    across all programs.  scalars: (5*NT+1,) with the packed background
+    in the last slot (read as scal_ref[5*nt], same as the u8 path).
+    Returns (packed (NT, 1, P) i32, fbidx (NT, 1, P) i32)."""
+    P = tile_h * tile_w
+    if P % 128 or P < 256:
+        raise ValueError("tex_resolve needs P % 128 == 0 and P >= 256 "
+                         "(Mosaic dynamic_gather lane constraint)")
+    nblocks = sorted_pad.shape[0] // Kb
+    blocks = sorted_pad.reshape(nblocks, 1, Kb)
+    if table.ndim == 2:
+        table = table[None]
+    tpf = tiles_per_frame or nt
+    tr, tc = tex_l.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Kb), lambda i, s: (s[3 * nt + i], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Kb), lambda i, s: (s[3 * nt + i] + 1, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, table.shape[1], ROW_W),
+                         lambda i, s: (i // tpf, 0, 0)),
+            pl.BlockSpec((tr, tc), lambda i, s: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)),
+                   pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((kcc, ROW_W), jnp.float32),
+        ],
+    )
+    packed, fbidx = pl.pallas_call(
+        _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=True,
+                          tex_dims=tuple(tex_dims), tex_resolve=True,
+                          tex_nw=tex_nw),
+        out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
+                   jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, blocks, blocks, table, tex_l)
+    return packed, fbidx
 
 
 def render_binned_pallas_flat(sorted_pad, starts, counts, table, bg,
@@ -335,11 +496,17 @@ def _pack_bg(bg):
     return q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
 
 
+def _detile_plane(plane_flat, nty, ntx, tile_h, tile_w, height, width):
+    """(NT, P) per-tile scalar planes -> (H, W)."""
+    p2 = plane_flat.reshape(nty, ntx, tile_h, tile_w)
+    p2 = jnp.moveaxis(p2, 2, 1).reshape(nty * tile_h, ntx * tile_w)
+    return p2[:height, :width]
+
+
 def _detile_packed(packed_flat, nty, ntx, tile_h, tile_w, height, width):
     """(NT, P) packed-u32 tiles -> (H, W, 4) u8 via one bitcast."""
-    p2 = packed_flat.reshape(nty, ntx, tile_h, tile_w)
-    p2 = jnp.moveaxis(p2, 2, 1).reshape(nty * tile_h, ntx * tile_w)
-    p2 = p2[:height, :width]
+    p2 = _detile_plane(packed_flat, nty, ntx, tile_h, tile_w, height,
+                       width)
     return lax.bitcast_convert_type(p2, jnp.uint8)   # (H, W, 4), LE: r first
 
 
@@ -404,6 +571,86 @@ def render_binned_pallas_flat_batch_u8(sorted_pads, starts, counts,
     return jax.vmap(
         lambda p: _detile_packed(p, nty, ntx, tile_h, tile_w, height,
                                  width))(packed)
+
+
+def render_binned_tex_idx_batch(sorted_pads, starts, counts, tables,
+                                width: int, height: int, tile_w: int,
+                                tile_h: int, Kb: int, tex_dims,
+                                interpret: bool = False, kcc: int = KCC):
+    """Batched textured-index raster: B frames in one launch, the kernel
+    resolving each pixel to its clamped-nearest texel index (see
+    _make_kernel_flat tex_dims; -1 = sky).  Returns (B, H, W) i32 —
+    callers follow with ONE packed-u32 texel gather per pixel."""
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    nt = ntx * nty
+    Bn, spad = sorted_pads.shape
+    nblk = spad // Kb
+
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    frame_base = (jnp.arange(Bn, dtype=jnp.int32) * nblk)[:, None]
+    scalars = jnp.concatenate([
+        counts.reshape(-1).astype(jnp.int32),
+        jnp.tile(tids % ntx * tile_w, Bn),
+        jnp.tile(tids // ntx * tile_h, Bn),
+        (frame_base + starts // Kb).reshape(-1),
+        (starts % Kb).reshape(-1),
+    ])
+
+    idx = raster_tiles_flat(sorted_pads.reshape(-1), tables, scalars,
+                            Bn * nt, tile_h, tile_w, Kb, interpret, kcc,
+                            nt, False, False, True, tuple(tex_dims))
+    idx = idx.reshape(Bn, nt, -1)
+    return jax.vmap(
+        lambda p: _detile_plane(p, nty, ntx, tile_h, tile_w, height,
+                                width))(idx)
+
+
+def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
+                                    tex_l, bg, width: int, height: int,
+                                    tile_w: int, tile_h: int, Kb: int,
+                                    tex_dims, interpret: bool = False,
+                                    kcc: int = KCC, tex_nw: int = 8,
+                                    detile: bool = True):
+    """Batched in-kernel-texel raster: B frames in one launch through the
+    tex_resolve kernel (texels fetched from the VMEM-resident packed
+    texture via per-tile footprint windows).  Returns
+    (packed (B, H, W) i32 rgba with bg for sky / 0 for unresolved,
+     fbidx (B, H, W) i32: >=0 padded-layout texel index for pixels the
+     footprint missed, -2 resolved, -1 sky).  ``detile=False`` returns
+    the raw per-tile planes (B, NT, P) instead — callers that patch
+    unresolved tiles (tile-compacted fallback gather) merge in tile
+    space first and detile after."""
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    nt = ntx * nty
+    Bn, spad = sorted_pads.shape
+    nblk = spad // Kb
+
+    tids = jnp.arange(nt, dtype=jnp.int32)
+    frame_base = (jnp.arange(Bn, dtype=jnp.int32) * nblk)[:, None]
+    scalars = jnp.concatenate([
+        counts.reshape(-1).astype(jnp.int32),
+        jnp.tile(tids % ntx * tile_w, Bn),
+        jnp.tile(tids // ntx * tile_h, Bn),
+        (frame_base + starts // Kb).reshape(-1),
+        (starts % Kb).reshape(-1),
+        _pack_bg(bg)[None],
+    ])
+
+    packed, fbidx = raster_tiles_tex(
+        sorted_pads.reshape(-1), tables, scalars, tex_l, Bn * nt,
+        tile_h, tile_w, Kb, interpret, kcc, nt, tuple(tex_dims), tex_nw)
+
+    if not detile:
+        return packed.reshape(Bn, nt, -1), fbidx.reshape(Bn, nt, -1)
+
+    def det(p):
+        return _detile_plane(p.reshape(nt, -1), nty, ntx, tile_h,
+                             tile_w, height, width)
+
+    return jax.vmap(det)(packed.reshape(Bn, nt, -1)), \
+        jax.vmap(det)(fbidx.reshape(Bn, nt, -1))
 
 
 # -------------------------------------------------------------------- #

@@ -915,6 +915,136 @@ def render_textured_pallas(verts, faces, uvs, tex, width: int, height: int,
     return rgba, zq, overflow
 
 
+def pack_texture_u8(tex_u8):
+    """(th, tw, 4) uint8 texture -> (th*tw,) i32 packed texels (LE: r in
+    the low byte), the gather-side counterpart of the kernel's texel
+    index plane."""
+    assert tex_u8.dtype == jnp.uint8 and tex_u8.shape[-1] == 4
+    return lax.bitcast_convert_type(tex_u8, jnp.int32).reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17))
+def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
+                                 height: int, mvps=None,
+                                 tile_w: int = 64, tile_h: int = 16,
+                                 capacity: int = 512, bg=None,
+                                 span_x: int = 3, span_y: int = 6,
+                                 interpret: bool = False, kcc: int = 16,
+                                 perspective_correct: bool = True,
+                                 tex_nw: int = 16,
+                                 fb_tile_cap: int = 1024):
+    """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
+    launch.  The tile kernel fetches texels IN-KERNEL from the
+    VMEM-resident packed texture through per-tile UV-footprint windows
+    (pallas_raster tex_resolve mode) — every XLA per-pixel gather
+    formulation measured per-row bound at ~4-19 ms/frame at 1080p
+    (tools/exp_tex_idx.py), so the fetch had to move into the kernel.
+    Pixels the footprint misses (high UV-frequency tiles) fall back to
+    one XLA gather pass guarded by lax.cond on whether any exist.  Sky
+    pixels take the u8-quantised bg.  Sampling semantics: clamped
+    nearest (reference DrawTexture inverse-UV family, cpp:754-777).
+
+    Default tiles are (64, 16) with ``tex_nw=16`` windows, unlike the
+    color path's (128, 8): the footprint windows are texture-row
+    aligned, so a wide pixel tile whose screen-x maps to texture-v
+    (any rotated mesh) needs the footprint to span many texture rows —
+    measured 20.6% unresolved on the rotating bench mesh with (128, 8)
+    tiles + 8 windows vs 6.4% at (64, 16) + 16 (tools/exp_tex_resolve
+    .py, exp_fp_hist.py).  The remaining misses cluster in a few
+    steep-UV-gradient tiles, so the fallback gathers ONLY those tiles
+    (``fb_tile_cap`` static compaction via nonzero(size=...), ~2 ns/row
+    -> ~0.2 ms/frame) unless they exceed the cap (whole-plane gather).
+    Returns (rgba (B, H, W, 4) uint8, overflow)."""
+    from . import pallas_raster
+    if bg is None:
+        bg = jnp.zeros(4, jnp.float32)
+    th_t, tw_t = int(tex_u8.shape[0]), int(tex_u8.shape[1])
+    fuv_all = uvs[faces]                                   # (F, 3, 2)
+
+    def prep(mvp):
+        tri = setup_triangles(verts, faces, mvp, width, height)
+        A, B, C, ia, sg, vl = edge_coeffs(tri["sxy"], tri["z"],
+                                          tri["valid"])
+        zsc = tri["z"] * ia[:, None]
+        sorted_pad, starts, counts, ovf = bin_triangles_flat(
+            tri["sxy"], vl, width, height, tile_w, tile_h, capacity,
+            span_x, span_y, edges=(A, B, C, sg))
+        if perspective_correct:
+            iw = tri["inv_w"][..., None]
+            attrs = jnp.concatenate(
+                [fuv_all * iw, iw, jnp.ones_like(iw)], axis=-1)
+        else:
+            attrs = jnp.concatenate(
+                [fuv_all, jnp.ones_like(fuv_all)], axis=-1)
+        table = pallas_raster.build_table(A, B, C, zsc, ia, sg, vl,
+                                          attrs)
+        return sorted_pad, starts, counts, table, ovf
+
+    sps, starts, counts, tables, ovfs = jax.vmap(prep)(mvps)
+    bpr = (tw_t + 127) // 128
+    packed_tex = pack_texture_u8(tex_u8).reshape(th_t, tw_t)
+    tex_pad = jnp.pad(packed_tex, ((0, 0), (0, bpr * 128 - tw_t)))
+    tex_l = tex_pad.reshape(th_t * bpr, 128)
+    pk, fb = pallas_raster.render_binned_tex_resolve_batch(
+        sps, starts, counts, tables, tex_l, bg, width, height, tile_w,
+        tile_h, capacity, (th_t, tw_t), interpret, kcc, tex_nw,
+        detile=False)                          # (B, NT, P) each
+    Bn, nt, P = pk.shape
+    pk2 = pk.reshape(Bn * nt, P)
+    fb2 = fb.reshape(Bn * nt, P)
+
+    # fallback texel table: f32 4-wide rows gather >4x faster than flat
+    # i32 element gathers on this backend (tools/exp_tex_idx.py); only
+    # column 0 carries data (the packed texel, bitcast)
+    tex_rows = jnp.zeros((th_t * bpr * 128, 4), jnp.float32)
+    tex_rows = tex_rows.at[:, 0].set(
+        lax.bitcast_convert_type(tex_l.reshape(-1), jnp.float32))
+
+    def gather_rows(idx_plane):
+        g = jnp.take(tex_rows, jnp.maximum(idx_plane, 0).reshape(-1),
+                     axis=0)[:, 0]
+        return lax.bitcast_convert_type(g.reshape(idx_plane.shape),
+                                        jnp.int32)
+
+    # tile-compacted fallback: the footprint misses cluster in a few
+    # high-UV-frequency tiles (~13% on the rotating bench mesh,
+    # tools/exp_fp_hist.py), so gather ONLY those tiles' pixels —
+    # nonzero(size=CAP) keeps shapes static; if more than CAP tiles
+    # miss, a lax.cond falls back to the whole-plane gather
+    tile_bad = jnp.any(fb2 >= 0, axis=1)               # (B*NT,)
+    n_bad = jnp.sum(tile_bad)
+    cap = min(fb_tile_cap, Bn * nt)
+    tids = jnp.nonzero(tile_bad, size=cap, fill_value=0)[0]
+
+    def compacted(_):
+        sel_fb = jnp.take(fb2, tids, axis=0)           # (cap, P)
+        gi = gather_rows(sel_fb)
+        merged = jnp.where(sel_fb >= 0, gi,
+                           jnp.take(pk2, tids, axis=0))
+        # duplicate fill ids all write tile `tids[k]`'s own merged row,
+        # so .at[].set collisions are value-identical
+        return pk2.at[tids].set(merged)
+
+    def full(_):
+        return jnp.where(fb2 >= 0, gather_rows(fb2), pk2)
+
+    final = lax.cond(
+        n_bad == 0, lambda _: pk2,
+        lambda _: lax.cond(n_bad <= cap, compacted, full, None), None)
+
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+
+    def det(p):
+        return pallas_raster._detile_plane(p, nty, ntx, tile_h, tile_w,
+                                           height, width)
+
+    final = jax.vmap(det)(final.reshape(Bn, nt, P))
+    rgba = lax.bitcast_convert_type(final, jnp.uint8)  # (B, H, W, 4)
+    return rgba, jnp.any(ovfs)
+
+
 @functools.partial(jax.jit,
                    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14))
 def render_textured_binned(verts, faces, uvs, tex, width: int, height: int,

@@ -162,6 +162,12 @@ def sharded_canvas_step(mesh: Mesh, width: int, height: int,
     sharding.  ``with_fb0`` adds a shared initial framebuffer argument,
     sharded into y-bands over 'tile' (milrenderer's pre-composited
     static layers); without it every frame starts from zeros.
+
+    The per-device frame batch is unrolled at trace time (see the note
+    at the stack below), so trace/compile time grows linearly with
+    ``B / mesh.shape['data']`` — keep it small (apps use <= 8; above
+    ``MAX_LOCAL_BATCH`` this raises rather than silently compiling for
+    minutes).  Revisit once vmap propagates varying-mesh-axes types.
     """
     from ..ops import executor
 

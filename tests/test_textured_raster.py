@@ -121,3 +121,91 @@ def test_textured_pallas_matches_binned():
         np.testing.assert_array_equal(np.asarray(z_a), np.asarray(z_b))
         same = (a == b).all(-1)
         assert same.mean() > 0.995, same.mean()
+
+
+def test_tex_idx_batch_matches_single():
+    # the batched u8-texture path (kernel-resolved texel indices + ONE
+    # packed-u32 gather; raster3d.render_textured_pallas_batch) matches
+    # the per-channel f32 path on a u8-valued texture: identical hit
+    # masks, same texel on >=99.5% of pixels (fp-boundary texel flips
+    # only), and batch frames with identical mvps are bit-identical
+    rng = np.random.default_rng(3)
+    verts, faces, uvs = mesh.quad_batch(12, seed=3)
+    tex_u8 = rng.integers(0, 256, (32, 32, 4), np.uint8)
+    mvp = np.eye(4, dtype=np.float32)
+    for persp in (False, True):
+        fb_a, _, ovf_a = raster3d.render_textured_pallas(
+            jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float32),
+            jnp.asarray(tex_u8, jnp.float32),          # integer-valued
+            W, H, tile_w=32, tile_h=8, capacity=64, span_x=8, span_y=8,
+            interpret=True, perspective_correct=persp)
+        fb_b, ovf_b = raster3d.render_textured_pallas_batch(
+            jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8),
+            W, H, jnp.asarray(np.stack([mvp, mvp])),
+            tile_w=32, tile_h=8, capacity=64, span_x=8, span_y=8,
+            interpret=True, perspective_correct=persp)
+        assert not bool(ovf_a) and not bool(ovf_b)
+        a = np.asarray(fb_a)                           # integer-valued f32
+        b = np.asarray(fb_b)                           # (2, H, W, 4) u8
+        np.testing.assert_array_equal(b[0], b[1])
+        hit_a = a[..., 3] > 0
+        hit_b = b[0][..., 3] > 0
+        np.testing.assert_array_equal(hit_a, hit_b)
+        same = (a.astype(np.int32) == b[0].astype(np.int32)).all(-1)
+        assert same.mean() > 0.995, same.mean()
+
+
+def test_tex_resolve_footprint_fallback():
+    # a quad whose v-UV sweeps the whole 256-row texture within a few
+    # screen tiles overflows the per-tile footprint (fh rows max), so
+    # the kernel marks those pixels (fbidx >= 0) and the lax.cond XLA
+    # gather finishes them — output must still match the f32 path
+    rng = np.random.default_rng(5)
+    verts = np.array([[-0.9, -0.9, 0.5], [0.9, -0.9, 0.5],
+                      [-0.9, 0.9, 0.5], [0.9, 0.9, 0.5]], np.float32)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    uvs = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    tex_u8 = rng.integers(0, 256, (256, 32, 4), np.uint8)
+    mvp = np.eye(4, dtype=np.float32)
+    fb_a, _, _ = raster3d.render_textured_pallas(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(uvs),
+        jnp.asarray(tex_u8, jnp.float32), W, H,
+        tile_w=32, tile_h=8, capacity=16, span_x=8, span_y=8,
+        interpret=True, perspective_correct=True)
+    fb_b, _ = raster3d.render_textured_pallas_batch(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(uvs),
+        jnp.asarray(tex_u8), W, H, jnp.asarray(mvp[None]),
+        tile_w=32, tile_h=8, capacity=16, span_x=8, span_y=8,
+        interpret=True, perspective_correct=True)
+    a = np.asarray(fb_a)
+    b = np.asarray(fb_b)[0]
+    hit = a[..., 3] > 0
+    # every hit pixel v-extent per 8px tile is 256*(8/38)≈54 rows > fh,
+    # so this scene exercises the fallback for most tiles
+    same = (a.astype(np.int32) == b.astype(np.int32)).all(-1)
+    assert same[hit].mean() > 0.995, same[hit].mean()
+    np.testing.assert_array_equal(hit, b[..., 3] > 0)
+
+
+def test_tex_resolve_full_gather_escape():
+    # fb_tile_cap=1 forces the whole-plane-gather escape (more bad
+    # tiles than the compaction cap) — output must be identical to the
+    # default compacted path
+    rng = np.random.default_rng(7)
+    verts = np.array([[-0.9, -0.9, 0.5], [0.9, -0.9, 0.5],
+                      [-0.9, 0.9, 0.5], [0.9, 0.9, 0.5]], np.float32)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    uvs = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    tex_u8 = rng.integers(0, 256, (256, 32, 4), np.uint8)
+    mvp = np.eye(4, dtype=np.float32)
+    outs = []
+    for cap in (1, 1024):
+        fb, _ = raster3d.render_textured_pallas_batch(
+            jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(uvs),
+            jnp.asarray(tex_u8), W, H, jnp.asarray(mvp[None]),
+            tile_w=32, tile_h=8, capacity=16, span_x=8, span_y=8,
+            interpret=True, perspective_correct=True, fb_tile_cap=cap)
+        outs.append(np.asarray(fb)[0])
+    np.testing.assert_array_equal(outs[0], outs[1])
