@@ -67,8 +67,15 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         # fused-sequence flat kernel: ALL frames in ONE jitted program
         # (a fori_loop over B-frame batched launches, frames checksummed
         # on device) — host dispatch cost, ~12 ms per batch program
-        # through the tunnel, otherwise bounds wall clock; device time
-        # is ~2.15 ms/frame (tools/exp_full2.py)
+        # through the tunnel, otherwise bounds wall clock.
+        # (32, 32) tiles: triangles are ~14 px so (128, 8) tiles waste
+        # ~10x of each pair's (kcc, P) walk on never-covered lanes;
+        # square tiles measured 2.19 -> 1.74 ms/frame device
+        # (tools/exp_r3_tileshape*.py), and the 2D split emission keeps
+        # the wider span budget's sort input flat
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=4, capacity=512,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             batch=12, fused=True),
         dict(tile_w=128, tile_h=8, span_x=2, span_y=10, capacity=512,
              flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
              batch=12, fused=True),

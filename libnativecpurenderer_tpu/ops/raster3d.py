@@ -412,7 +412,7 @@ def _searchsorted_blocked(vals, n_queries: int, block: int = 128):
 
 def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
                        block_k: int, span_x: int = 8, span_y: int = 8,
-                       edges=None):
+                       edges=None, wide_split: bool = False):
     """Gatherless binning for the flat Pallas path.
 
     Same sort-based bucketing as ``bin_triangles`` but the per-tile runs are
@@ -447,11 +447,13 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
     assert nt < (1 << (31 - IDX_BITS)), "too many tiles for packed binning"
 
     def emit(y0c_, x0c_, x1c_, y1c_, ne_, tri_ids, dy0: int, sy_n: int,
-             edges_):
-        """Packed (tile << IDX_BITS | tri) slots for tile rows
-        y0c_+dy0 .. y0c_+dy0+sy_n-1 of the given triangle subset;
-        invalid slots carry the tile=nt sentinel (sorted to the end)."""
-        dx = jnp.arange(span_x, dtype=jnp.int32)
+             edges_, dx0: int = 0, sx_n: int | None = None):
+        """Packed (tile << IDX_BITS | tri) slots for the tile sub-grid
+        rows y0c_+dy0 .. +dy0+sy_n-1 x cols x0c_+dx0 .. +dx0+sx_n-1 of
+        the given triangle subset; invalid slots carry the tile=nt
+        sentinel (sorted to the end)."""
+        dx = dx0 + jnp.arange(span_x if sx_n is None else sx_n,
+                              dtype=jnp.int32)
         dyv = dy0 + jnp.arange(sy_n, dtype=jnp.int32)
         txs = x0c_[:, None] + dx[None, :]
         tys = y0c_[:, None] + dyv[None, :]
@@ -505,24 +507,62 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
     # top-K tallest (lax.top_k); the sorted VALID prefix is identical,
     # so starts/counts/kernel output are bit-exact.  Overflows (more
     # than K talls) fall back via the overflow flag as usual.
-    tall_split = F >= 4096 and span_y > 4
+    SY_A = 4 if tile_h <= 8 else 2
+    SX_A = 2
+    tall_split = F >= 4096 and span_y > SY_A
+    # wide_split defaults OFF: measured NEGATIVE on the bench mesh at
+    # (32,32)/(5,4) — 1.90 vs 1.74 ms/frame (tools/exp_r3_split2d.py);
+    # the second lax.top_k (K=4096) costs more than the 200k->84k sort
+    # saving.  Kept behind the flag for denser span budgets.
+    wide_split = wide_split and F >= 4096 and span_x > SX_A
     all_tris = jnp.arange(F, dtype=jnp.int32)
-    if tall_split:
-        SY_A = 4
-        TK = min(2048, F)
-        spans = jnp.where(nonempty, y1c - y0c + 1, 0)
-        tall_span, tall_idx = lax.top_k(spans, TK)
-        span_overflow = span_overflow | (tall_span[-1] > SY_A)
 
+    def subset(idx):
         def g(a):
-            return jnp.take(a, tall_idx, axis=0)
+            return jnp.take(a, idx, axis=0)
+        ed = (tuple(g(e) for e in edges) if edges is not None else None)
+        return (g(y0c), g(x0c), g(x1c), g(y1c), g(nonempty), idx, ed)
 
-        edges_t = (tuple(g(e) for e in edges)
-                   if edges is not None else None)
-        packed_flat = jnp.concatenate([
-            emit(y0c, x0c, x1c, y1c, nonempty, all_tris, 0, SY_A, edges),
-            emit(g(y0c), g(x0c), g(x1c), g(y1c), g(nonempty), tall_idx,
-                 SY_A, span_y - SY_A, edges_t)])
+    if tall_split or wide_split:
+        # 2D split emission: a base (SY_A rows x SX_A cols) box for ALL
+        # triangles plus extra rows only for the top-K tallest, extra
+        # cols only for the top-K widest, and the (extra rows x extra
+        # cols) corner only for the tallest (a tall-and-wide triangle
+        # is in both top-K sets, so the corner from one set suffices —
+        # emitting it from both would DUPLICATE pairs and double-count
+        # winner attributes in the kernel's chunk walk).  The sorted
+        # VALID prefix is identical to full emission, so starts/counts/
+        # kernel output stay bit-exact; more than K talls/wides than
+        # fit raises the overflow flag as usual.
+        # separate top-K budgets: the bench mesh measures ~270
+        # triangles >= 3 tile-rows but ~2100 >= 3 tile-cols at 32 px
+        # tiles (wide-x AABBs from the camera aspect), so the wide set
+        # needs the bigger K
+        TK = min(2048, F)
+        TKW = min(4096, F)
+        pieces = [emit(y0c, x0c, x1c, y1c, nonempty, all_tris, 0,
+                       min(SY_A, span_y), edges, 0, min(SX_A, span_x))]
+        if tall_split:
+            spans = jnp.where(nonempty, y1c - y0c + 1, 0)
+            tall_span, tall_idx = lax.top_k(spans, TK)
+            span_overflow = span_overflow | (tall_span[-1] > SY_A)
+            ty0, tx0, tx1, ty1, tne, tid_, ted = subset(tall_idx)
+            pieces.append(emit(ty0, tx0, tx1, ty1, tne, tid_, SY_A,
+                               span_y - SY_A, ted, 0,
+                               min(SX_A, span_x)))
+            if wide_split:
+                pieces.append(emit(ty0, tx0, tx1, ty1, tne, tid_, SY_A,
+                                   span_y - SY_A, ted, SX_A,
+                                   span_x - SX_A))
+        if wide_split:
+            wides = jnp.where(nonempty, x1c - x0c + 1, 0)
+            wide_span, wide_idx = lax.top_k(wides, TKW)
+            span_overflow = span_overflow | (wide_span[-1] > SX_A)
+            wy0, wx0, wx1, wy1, wne, wid_, wed = subset(wide_idx)
+            pieces.append(emit(wy0, wx0, wx1, wy1, wne, wid_, 0,
+                               min(SY_A, span_y), wed, SX_A,
+                               span_x - SX_A))
+        packed_flat = jnp.concatenate(pieces)
     else:
         packed_flat = emit(y0c, x0c, x1c, y1c, nonempty, all_tris, 0,
                            span_y, edges)

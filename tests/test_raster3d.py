@@ -127,3 +127,56 @@ def test_blended_respects_opaque_depth():
     depth0 = jnp.zeros((H, W), jnp.float64)
     fb = raster3d.render_blended(v, f, u, t, W, H, opaque_depth=depth0)
     assert np.asarray(fb).max() == 0.0
+
+
+def test_split_emission_pair_set_exact():
+    # the 2D split emission (base box + tall/wide/corner top-K pieces,
+    # raster3d.bin_triangles_flat) must yield EXACTLY the full-emission
+    # valid pair set — same sorted prefix, same starts/counts — for a
+    # mesh big enough to trigger the F >= 4096 splits
+    rng = np.random.default_rng(11)
+    n = 4200
+    # mixed sizes incl. wide and tall triangles around many tiles
+    cx = rng.uniform(-0.95, 0.95, n)
+    cy = rng.uniform(-0.95, 0.95, n)
+    w_ = rng.uniform(0.002, 0.25, n)        # up to ~160 px wide at 64px fb
+    h_ = rng.uniform(0.002, 0.25, n)
+    verts = np.zeros((n * 3, 3), np.float32)
+    verts[0::3] = np.stack([cx - w_, cy - h_, np.full(n, 0.5)], 1)
+    verts[1::3] = np.stack([cx + w_, cy - h_, np.full(n, 0.5)], 1)
+    verts[2::3] = np.stack([cx, cy + h_, np.full(n, 0.5)], 1)
+    faces = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    tri = raster3d.setup_triangles(jnp.asarray(verts),
+                                   jnp.asarray(faces),
+                                   jnp.eye(4, dtype=jnp.float32), W, H)
+    sxy, valid = tri["sxy"], tri["valid"]
+
+    def pairs(span_x, span_y, force_full):
+        import libnativecpurenderer_tpu.ops.raster3d as r3
+        sp, st, ct, ovf = r3.bin_triangles_flat(
+            sxy, valid, W, H, 8, 8, 4096, span_x, span_y,
+            wide_split=not force_full)
+        return np.asarray(sp), np.asarray(st), np.asarray(ct), bool(ovf)
+
+    # 8x8 px tiles at 64x48: spans up to ~20 tiles -> splits active
+    sp_a, st_a, ct_a, ovf_a = pairs(24, 24, False)
+    assert not ovf_a
+    # reference pair set computed directly in numpy
+    sx = np.asarray(sxy)
+    vl = np.asarray(valid)
+    ntx, nty = (W + 7) // 8, (H + 7) // 8
+    want = []
+    for i in range(n):
+        if not vl[i]:
+            continue
+        x0 = max(int(np.floor(sx[i, :, 0].min() / 8)), 0)
+        x1 = min(int(np.floor(sx[i, :, 0].max() / 8)), ntx - 1)
+        y0 = max(int(np.floor(sx[i, :, 1].min() / 8)), 0)
+        y1 = min(int(np.floor(sx[i, :, 1].max() / 8)), nty - 1)
+        for ty in range(y0, y1 + 1):
+            for tx in range(x0, x1 + 1):
+                want.append(((ty * ntx + tx) << raster3d.IDX_BITS) | i)
+    want = np.sort(np.array(want, np.int64))
+    nt = ntx * nty
+    got = sp_a[sp_a >> raster3d.IDX_BITS < nt]
+    np.testing.assert_array_equal(np.sort(got.astype(np.int64)), want)

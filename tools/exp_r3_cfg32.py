@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Tile-SHAPE ladder for the fused u8 flat raster.
+"""Tile-SHAPE ladder round 2: production flags (opaque u8, z_clip off).
 
 The chunk walk is at VPU speed-of-light for its op count (ROADMAP), so
 the remaining lever is fewer pair-pixels.  The bench mesh's triangles
@@ -30,16 +30,14 @@ W, H = 1920, 1080
 NSTAGE = 16
 
 CFGS = [
-    # calibration: current production config
-    dict(tile_w=128, tile_h=8, span_x=2, span_y=10, kcc=16),
-    # spans below bumped after the tex_resolve sweep measured OVERFLOW
-    # at (64,16)/(2,6) and (32,32)/(3,3): near-camera triangles exceed
-    # 128 px wide and the split emission only splits TALL ones
-    dict(tile_w=64, tile_h=16, span_x=3, span_y=6, kcc=16),
-    dict(tile_w=64, tile_h=16, span_x=3, span_y=6, kcc=8),
-    dict(tile_w=32, tile_h=32, span_x=5, span_y=4, kcc=16),
-    dict(tile_w=32, tile_h=32, span_x=5, span_y=4, kcc=8),
-    dict(tile_w=64, tile_h=8, span_x=3, span_y=10, kcc=8),
+    dict(tile_w=32, tile_h=32, span_x=5, span_y=3, kcc=16, opaque=True,
+         z_clip=False),
+    dict(tile_w=32, tile_h=32, span_x=5, span_y=4, kcc=16, opaque=True,
+         z_clip=False, capacity=256),
+    dict(tile_w=32, tile_h=32, span_x=5, span_y=3, kcc=16, opaque=True,
+         z_clip=False, capacity=256),
+    dict(tile_w=32, tile_h=32, span_x=5, span_y=4, kcc=24, opaque=True,
+         z_clip=False),
 ]
 
 
