@@ -73,6 +73,20 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         # square tiles measured 2.19 -> 1.74 ms/frame device
         # (tools/exp_r3_tileshape*.py), and the 2D split emission keeps
         # the wider span budget's sort input flat
+        # span_y=3 (bench-mesh y-spans >= 4 measure zero over the whole
+        # 60-frame rotation) shaves further: 1.74 -> 1.62 ms/frame
+        # device (tools/exp_r3_cfg32.py).  capacity=256 overflows (max
+        # per-tile count 299 over 60 frames); 384 holds.
+        # fused_loop: the SINGLE-frame render in a device-side fori
+        # beats the 12-frame vmap-prep batch per frame (1.62 vs ~2.0 —
+        # vmap'd prep pays layout/copy overhead the single-frame prep
+        # fuses away).
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             fused_loop=True),
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=384,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             fused_loop=True),
         dict(tile_w=32, tile_h=32, span_x=5, span_y=4, capacity=512,
              flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
              batch=12, fused=True),
@@ -118,7 +132,34 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
             if use_pallas:
                 B = kw.pop("batch", 0)
                 fused = kw.pop("fused", False)
-                if fused:
+                fused_loop = kw.pop("fused_loop", False)
+                if fused_loop:
+                    import jax as _jax
+                    from jax import lax as _lax
+                    stacked = jnp.stack(mvps)          # (frames, 4, 4)
+
+                    @_jax.jit
+                    def seq(mv, kw=dict(kw)):
+                        def step(i, acc):
+                            out, _, ovf = \
+                                raster3d.render_gouraud_pallas \
+                                .__wrapped__(verts, faces, colors,
+                                             width, height, mv[i], **kw)
+                            s = jnp.sum(out, dtype=jnp.uint32) \
+                                .astype(jnp.float32)
+                            return (acc[0] + s, acc[1] | ovf)
+                        return _lax.fori_loop(
+                            0, frames, step,
+                            (jnp.float32(0.0), jnp.asarray(False)))
+
+                    def fn(v, f, c, w, h, mvp_b, _seq=seq):
+                        s, ovf = _seq(mvp_b)
+                        return s, None, ovf
+
+                    def mvp_for(i):                    # noqa: F811
+                        return stacked
+                    frames_eff = 1
+                elif fused:
                     import jax as _jax
                     from jax import lax as _lax
                     G = frames // B
@@ -217,7 +258,8 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         render = fn
         cfg = "xla-fallback"
 
-    fused_cfg = isinstance(cfg, dict) and cfg.get("fused")
+    fused_cfg = isinstance(cfg, dict) and (cfg.get("fused")
+                                           or cfg.get("fused_loop"))
     best = None
     for _rep in range(3):
         outs = []
@@ -225,9 +267,9 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
             t0 = time.perf_counter()
             if fused_cfg:
                 # queue several whole-sequence programs, sync ONCE: the
-                # ~50 ms per-sync tunnel cost amortises over reps
+                # ~30 ms per-sync tunnel cost amortises over reps
                 # (pipeline dispatches, sync once — CLAUDE.md)
-                reps = 3
+                reps = 15
                 for _ in range(reps):
                     outs.append(render(verts, faces, colors, width,
                                        height, mvp_for(0))[0])

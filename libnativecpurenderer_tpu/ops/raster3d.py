@@ -507,7 +507,11 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
     # top-K tallest (lax.top_k); the sorted VALID prefix is identical,
     # so starts/counts/kernel output are bit-exact.  Overflows (more
     # than K talls) fall back via the overflow flag as usual.
-    SY_A = 4 if tile_h <= 8 else 2
+    # SY_A stays 4 for every tile height: lowering it to 2 for tall
+    # tiles silently ENABLES the top-k tall split at (32,32)/(5,4),
+    # and each lax.top_k measures ~0.1 ms/frame — more than the sort
+    # saving at that span budget (same lesson as wide_split below)
+    SY_A = 4
     SX_A = 2
     tall_split = F >= 4096 and span_y > SY_A
     # wide_split defaults OFF: measured NEGATIVE on the bench mesh at
