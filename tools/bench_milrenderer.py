@@ -28,7 +28,17 @@ sys.path.insert(0, ".")
 def build_chart_package(tmp, n_lines=4, notes_per_line=60, dur=30.0):
     from PIL import Image
 
-    from tests.conftest import _write_wav
+    # NOT tests.conftest._write_wav: importing conftest forces the CPU
+    # backend (JAX_PLATFORMS=cpu at import time), silently turning this
+    # device benchmark into a CPU run
+    def _write_wav(path, pcm, rate=44100):
+        import wave
+        with wave.open(path, "wb") as w:
+            w.setnchannels(pcm.shape[1])
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(
+                (np.clip(pcm, -1, 1) * 32767).astype("<i2").tobytes())
 
     res = tmp / "res"
     res.mkdir()
@@ -156,20 +166,39 @@ def main():
                      res_dir=res, silent=True,
                      unrolled_flush=not args.no_unrolled)
         r.cap = SinkCap()
+        # WARM pass: the unrolled-flush signature compiles (up to the
+        # config cap, minutes each through the remote TPU compiler) all
+        # land here; the timed pass below measures steady state
+        half = args.frames // 2
         t0 = time.perf_counter()
-        r.run(zpath, "/dev/null", progress=False,
+        r.run(zpath, "/dev/null", progress=False, end_frame=half)
+        if r.cap.last is not None:
+            np.asarray(r.cap.last)[:1, :1]
+        warm_dt = time.perf_counter() - t0
+        h0, m0 = (RenderContext._unroll_hits,
+                  RenderContext._unroll_misses)
+        c0 = len(RenderContext._unroll_compiled)
+        print(f"WARM frames={r.cap.n} wall={warm_dt:.1f}s "
+              f"unrolled {h0}/{h0 + m0} compiled_sigs={c0}", flush=True)
+
+        n0 = r.cap.n
+        t0 = time.perf_counter()
+        r.run(zpath, "/dev/null", progress=False, start_frame=half,
               end_frame=args.frames)
-        # force the last frame's device work + fetch one pixel
         if r.cap.last is not None:
             np.asarray(r.cap.last)[:1, :1]
         dt = time.perf_counter() - t0
-        hits, misses = (RenderContext._unroll_hits,
-                        RenderContext._unroll_misses)
-        print(f"RESULT frames={r.cap.n} wall={dt:.1f}s "
-              f"-> {dt / max(r.cap.n, 1) * 1e3:.1f} ms/frame "
+        nf = r.cap.n - n0
+        hits = RenderContext._unroll_hits - h0
+        misses = RenderContext._unroll_misses - m0
+        print(f"RESULT frames={nf} wall={dt:.1f}s "
+              f"-> {dt / max(nf, 1) * 1e3:.1f} ms/frame "
               f"unrolled {hits}/{hits + misses} groups "
               f"({100.0 * hits / max(hits + misses, 1):.0f}%)",
               flush=True)
+        c1 = len(RenderContext._unroll_compiled)
+        rep = {k: round(v, 2) for k, v in r.timer.report().items()}
+        print(f"PHASES new_compiles={c1 - c0} {rep}", flush=True)
 
 
 if __name__ == "__main__":
