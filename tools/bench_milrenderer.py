@@ -168,10 +168,14 @@ def main():
         r.cap = SinkCap()
         # WARM pass: the unrolled-flush signature compiles (up to the
         # config cap, minutes each through the remote TPU compiler) all
-        # land here; the timed pass below measures steady state
+        # land here; the timed pass below measures steady state.  Warm
+        # covers the SAME frame range as the timed pass — a churning
+        # chart's later frames have their own signatures, so warming a
+        # different range leaves the timed half compile-bound.
         half = args.frames // 2
         t0 = time.perf_counter()
-        r.run(zpath, "/dev/null", progress=False, end_frame=half)
+        r.run(zpath, "/dev/null", progress=False, start_frame=half,
+              end_frame=args.frames)
         if r.cap.last is not None:
             np.asarray(r.cap.last)[:1, :1]
         warm_dt = time.perf_counter() - t0
