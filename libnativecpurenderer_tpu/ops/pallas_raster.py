@@ -125,7 +125,8 @@ def _make_kernel(tile_h: int, tile_w: int, K: int, kcc: int = KCC):
 def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                       u8: bool = False, opaque: bool = False,
                       z_clip: bool = True, tex_dims=None,
-                      tex_resolve: bool = False, tex_nw: int = 8):
+                      tex_resolve: bool = False, tex_nw: int = 8,
+                      resident_out: bool = False):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
@@ -328,8 +329,16 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             a8 = ((jnp.full((1, P), 255, jnp.int32) << 24) if opaque
                   else (q(rs[3]) << 24))
             packed = q(rs[0]) | (q(rs[1]) << 8) | (q(rs[2]) << 16) | a8
-            keys_ref[0] = jnp.where(kacc != jnp.int32(SKY_KEY), packed,
-                                    bgp)
+            out = jnp.where(kacc != jnp.int32(SKY_KEY), packed, bgp)
+            if resident_out:
+                # whole-frame out block (index map pinned to 0): the
+                # block stays VMEM-resident across every grid step and
+                # writes back ONCE, so the per-program out-block swap
+                # machinery disappears; each program stores its own
+                # tile row at a dynamic leading index
+                keys_ref[pl.ds(i, 1), 0] = out
+            else:
+                keys_ref[0] = out
         else:
             keys_ref[0] = kacc
             rgba_ref[0] = jnp.concatenate(list(rs), axis=0)
@@ -351,12 +360,13 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                       tile_w: int, Kb: int, interpret: bool = False,
                       kcc: int = KCC, tiles_per_frame: int = 0,
                       u8: bool = False, opaque: bool = False,
-                      z_clip: bool = True, tex_dims=None):
+                      z_clip: bool = True, tex_dims=None,
+                      resident_out: bool = False):
     """Flat-bins kernel launch.  sorted_pad: (Spad,) i32 packed pairs from
     bin_triangles_flat (multi-frame: frames' arrays concatenated, with the
     scalar block indices made absolute by the caller); scalars: (5*NT,)
@@ -384,7 +394,9 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                          lambda i, s: (i // tpf, 0, 0)),
         ],
         out_specs=(
-            [pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0))]
+            [(pl.BlockSpec((nt, 1, P), lambda i, s: (0, 0, 0))
+              if resident_out else
+              pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)))]
             if (u8 or tex_dims) else
             [pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)),
              pl.BlockSpec((1, D, P), lambda i, s: (i, 0, 0))]),
@@ -396,7 +408,8 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
         packed = pl.pallas_call(
             _make_kernel_flat(tile_h, tile_w, Kb, kcc, u8=u8,
                               opaque=opaque, z_clip=z_clip,
-                              tex_dims=tex_dims),
+                              tex_dims=tex_dims,
+                              resident_out=resident_out),
             out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
             grid_spec=grid_spec,
             interpret=interpret,
@@ -515,7 +528,8 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
                                  tile_h: int, Kb: int,
                                  interpret: bool = False, kcc: int = KCC,
                                  opaque: bool = False,
-                                 z_clip: bool = True):
+                                 z_clip: bool = True,
+                                 resident_out: bool = False):
     """Video-path raster: fused u8 quantise in the kernel epilogue, no
     depth output.  Returns rgba (H, W, 4) uint8 — exactly
     clip(rgba_f32 * 255, 0, 255) truncated, with bg quantised the same
@@ -532,7 +546,7 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
 
     packed = raster_tiles_flat(sorted_pad, table, scalars, nt, tile_h,
                                tile_w, Kb, interpret, kcc, 0, True, opaque,
-                               z_clip)
+                               z_clip, None, resident_out)
     return _detile_packed(packed.reshape(nt, -1), nty, ntx, tile_h,
                           tile_w, height, width)
 

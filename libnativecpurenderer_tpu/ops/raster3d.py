@@ -725,14 +725,17 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
 
 @functools.partial(
     jax.jit,
-    static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18))
+    static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+                    19, 20))
 def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 512, bg=None, span_x: int = 8,
                           span_y: int = 8, interpret: bool = False,
                           kcc: int = 32, flat: bool = False,
                           near_clip: bool = False, u8: bool = False,
-                          opaque: bool = False, z_clip: bool = True):
+                          opaque: bool = False, z_clip: bool = True,
+                          wide_split: bool = False,
+                          resident_out: bool = False):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned.
@@ -764,7 +767,8 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
     if flat:
         sorted_pad, starts, counts, overflow = bin_triangles_flat(
             tri["sxy"], valid, width, height, tile_w, tile_h, capacity,
-            span_x, span_y, edges=(A, B, C, sign))
+            span_x, span_y, edges=(A, B, C, sign),
+            wide_split=wide_split)
         if not z_clip:
             # skipping the per-pixel z-range test is sound only when
             # every valid vertex z is in [0, 1] (interior zz is then a
@@ -779,7 +783,8 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
         if u8:
             rgba8 = pallas_raster.render_binned_pallas_flat_u8(
                 sorted_pad, starts, counts, table, bg, width, height,
-                tile_w, tile_h, capacity, interpret, kcc, opaque, z_clip)
+                tile_w, tile_h, capacity, interpret, kcc, opaque, z_clip,
+                resident_out)
             return rgba8, None, overflow
         keys, rgba = pallas_raster.render_binned_pallas_flat(
             sorted_pad, starts, counts, table, bg, width, height,

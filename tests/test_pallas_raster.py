@@ -177,6 +177,29 @@ def test_u8_matches_quantized_f32():
     assert np.asarray(fb8).dtype == np.uint8
 
 
+def test_u8_resident_out_matches():
+    # whole-frame VMEM-resident out block (index map pinned to 0,
+    # dynamic per-program row stores) == the per-tile out-block path,
+    # at both the production tile shape and small (16, 16) tiles
+    # (the split-emission flags are inert below 4096 faces; the splits'
+    # bit-exactness is asserted by the sorted-prefix design, see
+    # bin_triangles_flat)
+    v, f, c, m = _scene()
+    bg = jnp.asarray([0.12, 0.34, 0.56, 1.0], jnp.float32)
+    for tw, th, sx, sy, ws, cap in ((32, 8, 8, 8, False, 96),
+                                    (16, 16, 6, 6, True, 256)):
+        base, _, ovf = raster3d.render_gouraud_pallas(
+            v, f, c, W, H, m, tile_w=tw, tile_h=th, capacity=cap, bg=bg,
+            span_x=sx, span_y=sy, interpret=True, flat=True, u8=True,
+            wide_split=ws)
+        res, _, ovf_r = raster3d.render_gouraud_pallas(
+            v, f, c, W, H, m, tile_w=tw, tile_h=th, capacity=cap, bg=bg,
+            span_x=sx, span_y=sy, interpret=True, flat=True, u8=True,
+            wide_split=ws, resident_out=True)
+        assert not bool(ovf) and not bool(ovf_r)
+        np.testing.assert_array_equal(np.asarray(res), np.asarray(base))
+
+
 def test_u8_batch_matches_per_frame():
     v, f, c, m = _scene()
     from libnativecpurenderer_tpu.models import mesh as mesh_mod
