@@ -27,39 +27,31 @@ def draw(ctx, i):
 
 
 def test_batched_equals_sequential():
+    # The pipeline routes frames through the SAME segmented flush
+    # executor as ctx.flush(), and the 1/256 subpixel snap makes
+    # membership canonical across executor structures anyway (see
+    # test_adversarial_knife_edge_across_executors), so exact equality
+    # holds with no executor pinning — including when the unrolled
+    # flush fires for one side but not the other.
     W, H, N = 48, 32, 7
-    # The batched pipeline runs the scan-structure executor; exact
-    # equality therefore pins the sequential side to the same structure.
-    # XLA:CPU fma-contracts mul+add chains per program structure
-    # (optimization barriers and --xla_allow_excess_precision don't stop
-    # it), so at pixels whose membership quantity lands within 1 ulp of
-    # a shape boundary — this scene has a rect corner exactly on a pixel
-    # center — DIFFERENT structures (e.g. the unrolled flush) may
-    # legitimately disagree, just as the C++ reference's own output
-    # depends on the compiler's -ffp-contract.  See ROADMAP.md.
-    from libnativecpurenderer_tpu import config
-    config.set_flush_unrolled(False)
-    try:
-        # sequential
-        seq = []
-        ctx = R.RenderContext(W, H, True)
-        for i in range(N):
-            draw(ctx, i)
-            seq.append(ctx.uint8_buffer().copy())
+    # sequential
+    seq = []
+    ctx = R.RenderContext(W, H, True)
+    for i in range(N):
+        draw(ctx, i)
+        seq.append(ctx.uint8_buffer().copy())
 
-        # batched (batch 3 -> two full flushes + remainder)
-        sink = FrameSink()
-        pipe = BatchedVideoPipeline(sink, W, H, batch=3)
-        ctx2 = R.RenderContext(W, H, True)
-        for i in range(N):
-            draw(ctx2, i)
-            k, p = ctx2._cmds.snapshot()
-            pipe.submit(k, p)
-            ctx2._cmds.clear()
-        pipe.finish()
+    # batched (batch 3 -> two full flushes + remainder)
+    sink = FrameSink()
+    pipe = BatchedVideoPipeline(sink, W, H, batch=3)
+    ctx2 = R.RenderContext(W, H, True)
+    for i in range(N):
+        draw(ctx2, i)
+        k, p = ctx2._cmds.snapshot()
+        pipe.submit(k, p)
+        ctx2._cmds.clear()
+    pipe.finish()
 
-        assert len(sink.frames) == N
-        for a, b in zip(seq, sink.frames):
-            np.testing.assert_array_equal(a, b)
-    finally:
-        config.set_flush_unrolled(True)
+    assert len(sink.frames) == N
+    for a, b in zip(seq, sink.frames):
+        np.testing.assert_array_equal(a, b)
