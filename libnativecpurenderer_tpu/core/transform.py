@@ -62,16 +62,26 @@ def transform_point(m: Mat6, x: float, y: float) -> Tuple[float, float]:
     return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
 
 
+_INV_CACHE: dict = {}
+
+
 def inverse(m: Mat6) -> Mat6:
     """Reference ``GetInverseTransform`` (cpp:472-492).
 
     Faithfully reproduces the degenerate-determinant behaviour: when
     ``det == 0`` the reference uses ``inv_det = 1e9`` rather than failing.
+
+    Memoised on the matrix tuple: recording computes the inverse once per
+    draw call but the transform rarely changes between commands, so a
+    frame's ~60 calls collapse to a handful of computes.
     """
+    inv = _INV_CACHE.get(m)
+    if inv is not None:
+        return inv
     a, b, c, d, e, f = m
     det = a * d - b * c
     inv_det = 1.0 / det if det != 0.0 else 1e9
-    return (
+    inv = (
         d * inv_det,
         -b * inv_det,
         -c * inv_det,
@@ -79,6 +89,10 @@ def inverse(m: Mat6) -> Mat6:
         (c * f - d * e) * inv_det,
         (b * e - a * f) * inv_det,
     )
+    if len(_INV_CACHE) >= 4096:     # bound: churning transforms
+        _INV_CACHE.clear()
+    _INV_CACHE[m] = inv
+    return inv
 
 
 def is_no_transform(m: Mat6) -> bool:
@@ -110,15 +124,25 @@ def aabb(
     bottom)`` bounds a half-open pixel range ``[left, right) x [top, bottom)``
     (the reference's raster loops are ``for i = left; i < right``).
     """
-    lt = transform_point(m, x, y)
-    rt = transform_point(m, x + width, y)
-    lb = transform_point(m, x, y + height)
-    rb = transform_point(m, x + width, y + height)
+    # inlined transform_point x4 (same float ops/order; this runs once
+    # per draw call on the host critical path — the call/tuple overhead
+    # of four transform_point invocations measured ~2x the arithmetic)
+    a, b, c, d, e, f = m
+    xw = x + width
+    yh = y + height
+    ltx = a * x + c * y + e
+    lty = b * x + d * y + f
+    rtx = a * xw + c * y + e
+    rty = b * xw + d * y + f
+    lbx = a * x + c * yh + e
+    lby = b * x + d * yh + f
+    rbx = a * xw + c * yh + e
+    rby = b * xw + d * yh + f
 
-    left = int(min(min(lt[0], rt[0]), min(lb[0], rb[0])))
-    right = int(max(max(lt[0], rt[0]), max(lb[0], rb[0])))
-    top = int(min(min(lt[1], rt[1]), min(lb[1], rb[1])))
-    bottom = int(max(max(lt[1], rt[1]), max(lb[1], rb[1])))
+    left = int(min(min(ltx, rtx), min(lbx, rbx)))
+    right = int(max(max(ltx, rtx), max(lbx, rbx)))
+    top = int(min(min(lty, rty), min(lby, rby)))
+    bottom = int(max(max(lty, rty), max(lby, rby)))
 
     mw = int(max_width)
     mh = int(max_height)
