@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Textured-raster config ladder (VERDICT r3 item 2: 4.7 -> <= 3 ms/frame).
+
+Dimensions probed against the current default ((64, 16) tiles, 16
+footprint windows, 12-frame vmapped-prep batch):
+  * tile shape: the color path's (32, 32) square-tile win (wasted-lane
+    argument) applies to the textured walk too, but the footprint
+    windows are texture-ROW aligned so the resolve rate may shift —
+    the harness prints the unresolved-tile count per config.
+  * fused single-frame loop: the color path measured vmapped prep
+    SLOWER than a device-side fori over single-frame preps (layout/copy
+    overhead); B=1 batches inside a fori probe the same effect here.
+  * window count (tex_nw): epilogue cost vs fallback-gather cost.
+
+Subtraction timing (48-16 frames, one jit) per exp_r3_cfg32.
+
+Run: nohup python tools/exp_r3_texladder.py > /tmp/exp_texladder.log 2>&1 &
+"""
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+sys.path.insert(0, ".")
+from libnativecpurenderer_tpu.models import mesh            # noqa: E402
+from libnativecpurenderer_tpu.ops import raster3d           # noqa: E402
+
+W, H = 1920, 1080
+NSTAGE = 12
+
+CFGS = [
+    dict(tile_w=64, tile_h=16, span_x=3, span_y=6, tex_nw=16, B=12),
+    dict(tile_w=64, tile_h=16, span_x=3, span_y=6, tex_nw=16, B=1),
+    dict(tile_w=32, tile_h=32, span_x=5, span_y=4, tex_nw=16, B=12),
+    dict(tile_w=32, tile_h=32, span_x=5, span_y=4, tex_nw=16, B=1),
+    dict(tile_w=32, tile_h=32, span_x=5, span_y=4, tex_nw=8, B=12),
+    dict(tile_w=64, tile_h=32, span_x=3, span_y=4, tex_nw=16, B=12),
+]
+
+
+def main():
+    verts_np, faces_np, _ = mesh.mesh_10k()
+    verts = jnp.asarray(verts_np, jnp.float32)
+    faces = jnp.asarray(faces_np, jnp.int32)
+    nv = verts_np.shape[0]
+    rng = np.random.default_rng(3)
+    uvs = jnp.asarray(rng.uniform(0, 1, (nv, 2)), jnp.float32)
+    tex_u8 = jnp.asarray(rng.integers(0, 255, (256, 256, 4)), jnp.uint8)
+    proj = mesh.perspective(1.0, W / H, 0.1, 10.0)
+    view = mesh.look_at([0.0, 0.6, 3.2], [0, 0, 0], [0, 1, 0])
+    mvps_np = [np.asarray(proj @ view @ mesh.rotation_y(i * 0.03),
+                          np.float32) for i in range(NSTAGE)]
+    float(jnp.sum(jnp.stack([jnp.asarray(m) for m in mvps_np])))
+
+    for cfg in CFGS:
+        kw = dict(cfg)
+        B = kw.pop("B")
+        kw.setdefault("capacity", 512)
+        kw.setdefault("kcc", 16)
+        groups = NSTAGE // max(B, 1)
+        stacked = jnp.stack([
+            jnp.stack([jnp.asarray(mvps_np[(g * B + j) % NSTAGE])
+                       for j in range(B)])
+            for g in range(groups)])              # (G, B, 4, 4)
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def loop(mv, n, kw=kw, B=B, groups=groups):
+            def body(i, acc):
+                out, ovf = \
+                    raster3d.render_textured_pallas_batch.__wrapped__(
+                        verts, faces, uvs, tex_u8, W, H,
+                        mv[i % groups], **kw)
+                s = jnp.sum(jnp.sum(out.reshape(B, -1), axis=1,
+                                    dtype=jnp.uint32).astype(jnp.float32))
+                return (acc[0] + s, acc[1] | ovf)
+            return lax.fori_loop(0, n, body,
+                                 (jnp.float32(0.0), jnp.asarray(False)))
+
+        try:
+            t0 = time.time()
+            r = loop(stacked, 2)
+            print(f"{cfg}: compile {time.time() - t0:.0f}s chk "
+                  f"{float(r[0]):.4e}", flush=True)
+            if bool(r[1]):
+                print(f"{cfg}: OVERFLOW", flush=True)
+                continue
+            walls = {}
+            for n in (16 // B if B > 1 else 16, 48 // B if B > 1 else 48):
+                float(loop(stacked, n)[0])
+            for n in (16 // B if B > 1 else 16, 48 // B if B > 1 else 48):
+                best = None
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(loop(stacked, n)[0])
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                walls[n] = best
+            ns = sorted(walls)
+            per = (walls[ns[1]] - walls[ns[0]]) / ((ns[1] - ns[0]) * B)
+            print(f"{cfg}: {per * 1e3:.3f} ms/frame", flush=True)
+        except Exception as e:
+            print(f"{cfg}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
