@@ -19,6 +19,8 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
+from ..fastrec import mod as _fast
+
 Mat6 = Tuple[float, float, float, float, float, float]
 
 IDENTITY: Mat6 = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
@@ -124,6 +126,10 @@ def aabb(
     bottom)`` bounds a half-open pixel range ``[left, right) x [top, bottom)``
     (the reference's raster loops are ``for i = left; i < right``).
     """
+    if _fast is not None:
+        # native core: identical double math (-ffp-contract=off), ~10x
+        # less call overhead (native/fastrec.c)
+        return _fast.aabb(m, x, y, width, height, max_width, max_height)
     # inlined transform_point x4 (same float ops/order; this runs once
     # per draw call on the host critical path — the call/tuple overhead
     # of four transform_point invocations measured ~2x the arithmetic)

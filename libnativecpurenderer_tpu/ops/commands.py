@@ -53,6 +53,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..fastrec import mod as _fast
+
 PARAM_W = 32
 
 KIND_NOOP = 0
@@ -104,9 +106,17 @@ class CommandBuffer:
         if self.n == self.kinds.shape[0]:
             self._grow()
         i = self.n
+        inv, box, ct = common
+        if _fast is not None:
+            # native row store (native/fastrec.c): the numpy
+            # fancy-assignment below costs ~5 us per command on the
+            # host-critical record path
+            _fast.record(self.kinds, self.params, i, kind, inv, box, ct,
+                         specific if specific else None)
+            self.n = i + 1
+            return
         self.kinds[i] = kind
         p = self.params[i]
-        inv, box, ct = common
         # one fancy assignment from a python sequence beats four slice
         # stores (recording is on the per-frame host critical path)
         head = (*inv, *box, *ct)

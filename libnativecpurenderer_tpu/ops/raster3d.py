@@ -542,10 +542,12 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
         # triangles >= 3 tile-rows but ~2100 >= 3 tile-cols at 32 px
         # tiles (wide-x AABBs from the camera aspect), so the wide set
         # needs the bigger K
-        TK = min(2048, F)
-        # 16 px-wide tiles push ~41% of the bench mesh past SX_A cols
-        # (max ~4.1k wides over the rotation); give wide span budgets a
-        # deeper top-k so the split stays exact instead of overflowing
+        # deeper top-k for tighter tiles: 16 px-wide tiles push ~41% of
+        # the bench mesh past SX_A cols (max ~4.1k wides over the
+        # rotation) and 8 px-tall tiles push ~20% past SY_A rows; size
+        # the budgets to the span demand so the split stays exact
+        # instead of overflowing
+        TK = min(4096 if span_y >= 8 else 2048, F)
         TKW = min(8192 if span_x >= 8 else 4096, F)
         pieces = [emit(y0c, x0c, x1c, y1c, nonempty, all_tris, 0,
                        min(SY_A, span_y), edges, 0, min(SX_A, span_x))]

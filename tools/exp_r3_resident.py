@@ -46,6 +46,12 @@ CFGS = [
          capacity=384, wide_split=True, resident_out=True),
     dict(tile_w=16, tile_h=16, span_x=10, span_y=5, kcc=24,
          capacity=256, wide_split=True, resident_out=True),
+    # (16, 8): ~11M walked slots (vs 16M at (16,16), 32M at (32,32));
+    # viable only if resident-out amortises 16320 programs/frame
+    dict(tile_w=16, tile_h=8, span_x=10, span_y=10, kcc=8,
+         capacity=256, wide_split=True, resident_out=True),
+    dict(tile_w=16, tile_h=8, span_x=10, span_y=10, kcc=16,
+         capacity=256, wide_split=True, resident_out=True),
 ]
 
 
