@@ -83,31 +83,57 @@ def main():
             return lax.fori_loop(0, n, body,
                                  (jnp.float32(0.0), jnp.asarray(False)))
 
-        try:
-            t0 = time.time()
-            r = loop(mvps, 8)
-            ok = bool(r[1])
-            print(f"{cfg}: compile {time.time() - t0:.0f}s chk "
-                  f"{float(r[0]):.4e}", flush=True)
-            if ok:
-                print(f"{cfg}: OVERFLOW", flush=True)
-                continue
-            for n in (32, 96):
-                float(loop(mvps, n)[0])
-            walls = {}
-            for n in (32, 96):
-                best = None
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    float(loop(mvps, n)[0])
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None else min(best, dt)
-                walls[n] = best
-            per = (walls[96] - walls[32]) / 64.0
-            print(f"{cfg}: {per * 1e3:.3f} ms/frame", flush=True)
-        except Exception as e:
-            print(f"{cfg}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
+        # two compile strategies: plain jit, then the scoped-VMEM
+        # override (96 MB) — a resident whole-frame out block can trip
+        # the 16 MB default if Mosaic double-buffers it (ROADMAP
+        # "Scoped-VMEM discovery")
+        def make_runner(scoped):
+            if not scoped:
+                return lambda n: loop(mvps, n)
+            cache = {}
+
+            def run(n):
+                if n not in cache:
+                    cache[n] = loop.lower(mvps, n).compile(
+                        compiler_options={
+                            "xla_tpu_scoped_vmem_limit_kib": "98304"})
+                return cache[n](mvps)
+            return run
+
+        done = False
+        for scoped in (False, True):
+            tag = " [scoped-vmem]" if scoped else ""
+            try:
+                runner = make_runner(scoped)
+                t0 = time.time()
+                r = runner(8)
+                ok = bool(r[1])
+                print(f"{cfg}{tag}: compile {time.time() - t0:.0f}s chk "
+                      f"{float(r[0]):.4e}", flush=True)
+                if ok:
+                    print(f"{cfg}{tag}: OVERFLOW", flush=True)
+                    done = True
+                    break
+                for n in (32, 96):
+                    float(runner(n)[0])
+                walls = {}
+                for n in (32, 96):
+                    best = None
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        float(runner(n)[0])
+                        dt = time.perf_counter() - t0
+                        best = dt if best is None else min(best, dt)
+                    walls[n] = best
+                per = (walls[96] - walls[32]) / 64.0
+                print(f"{cfg}{tag}: {per * 1e3:.3f} ms/frame", flush=True)
+                done = True
+                break
+            except Exception as e:
+                print(f"{cfg}{tag}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+        if not done:
+            continue
 
 
 if __name__ == "__main__":
