@@ -48,6 +48,11 @@ from . import canvas_kernel
 from . import commands as C
 from . import executor
 from . import noise
+from ..fastrec import mod as _fast_loaded
+
+_fast = (_fast_loaded
+         if _fast_loaded is not None
+         and hasattr(_fast_loaded, "routes_for_size") else None)
 
 # sampling routes (host-computed in context.flush / plan_segments)
 ROUTE_MXU = 0       # separable mapping, footprint fits R
@@ -584,6 +589,30 @@ def _routes_table(kinds, params, W, H, r_choices, sizes):
     tw = p[:, 22:23]
     th = p[:, 23:24]
     out = {}
+
+    if _fast is not None:
+        # native corner math (native/fastrec.c routes_for_size): same
+        # f64 ops; ~0.3 ms/frame of numpy call overhead at 60 commands
+        pc = np.ascontiguousarray(p)
+        fa = np.ascontiguousarray(fast, np.uint8)
+        se = np.ascontiguousarray(sep, np.uint8)
+        sp = np.ascontiguousarray(split, np.uint8)
+        sm = np.ascontiguousarray(np.isin(kinds, _SAMPLING_KINDS_T),
+                                  np.uint8)
+
+        def for_size_native(P):
+            routes, rneeds = _fast.routes_for_size(
+                pc, fa, se, sp, sm, P, W, H, _R_MARGIN,
+                tuple(int(r) for r in r_choices),
+                ROUTE_MXU, ROUTE_REGION, ROUTE_FULL)
+            return routes, rneeds
+
+        def get(P):
+            if P not in out:
+                out[P] = for_size_native(P)
+            return out[P]
+
+        return get
 
     def for_size(P):
         px0 = np.clip(p[:, 6].astype(np.int64), 0, W - P).astype(np.float64)

@@ -214,12 +214,178 @@ done:
     Py_RETURN_NONE;
 }
 
+/* numpy's float64 -> int64 astype on x86 is cvttsd2si: NaN and
+ * out-of-range values become INT64_MIN.  Replicate explicitly so the
+ * result is defined (and identical) regardless of C UB rules. */
+static inline int64_t np_ll(double v) {
+    if (v != v || v >= 9.223372036854775808e18 ||
+        v <= -9.223372036854775809e18)
+        return INT64_MIN;
+    return (int64_t)v;
+}
+
+static inline int64_t clip_ll(int64_t v, int64_t lo, int64_t hi) {
+    if (v < lo) return lo;
+    if (v > hi) return hi;
+    return v;
+}
+
+/* routes_for_size(params, fast, sep, split, sampling, P, W, H, margin,
+ *                 rchoices, route_mxu, route_region, route_full)
+ *     -> (routes list, rneeds list)
+ *
+ * Native port of ops/patch_exec._routes_table.for_size: per sampling
+ * command, the exact f64 corner math of the (P, P) patch window's UV
+ * footprint and the resulting window-size route.  Same IEEE ops in the
+ * same order (-ffp-contract=off); inf/NaN propagate like numpy with
+ * errstate-ignored divides.  Non-sampling rows return (route_full, 0)
+ * — the planner only reads sampling indices. */
+static PyObject *fastrec_routes(PyObject *self, PyObject *args) {
+    PyObject *params_o, *fast_o, *sep_o, *split_o, *samp_o, *rch_o;
+    Py_ssize_t P, W, H;
+    long margin, route_mxu, route_region, route_full;
+    if (!PyArg_ParseTuple(args, "OOOOOnnnlOlll", &params_o, &fast_o,
+                          &sep_o, &split_o, &samp_o, &P, &W, &H, &margin,
+                          &rch_o, &route_mxu, &route_region, &route_full))
+        return NULL;
+    Py_buffer pb, fb, sb, tb, mb;
+    if (PyObject_GetBuffer(params_o, &pb, PyBUF_STRIDES | PyBUF_FORMAT) < 0)
+        return NULL;
+    if (PyObject_GetBuffer(fast_o, &fb, PyBUF_SIMPLE) < 0) {
+        PyBuffer_Release(&pb); return NULL;
+    }
+    if (PyObject_GetBuffer(sep_o, &sb, PyBUF_SIMPLE) < 0) {
+        PyBuffer_Release(&pb); PyBuffer_Release(&fb); return NULL;
+    }
+    if (PyObject_GetBuffer(split_o, &tb, PyBUF_SIMPLE) < 0) {
+        PyBuffer_Release(&pb); PyBuffer_Release(&fb); PyBuffer_Release(&sb);
+        return NULL;
+    }
+    if (PyObject_GetBuffer(samp_o, &mb, PyBUF_SIMPLE) < 0) {
+        PyBuffer_Release(&pb); PyBuffer_Release(&fb); PyBuffer_Release(&sb);
+        PyBuffer_Release(&tb); return NULL;
+    }
+    PyObject *routes_l = NULL, *rneeds_l = NULL, *result = NULL;
+    long long rch[8];
+    Py_ssize_t nrch = 0;
+    {
+        PyObject *fastseq = PySequence_Fast(rch_o, "rchoices");
+        if (!fastseq) goto done;
+        nrch = PySequence_Fast_GET_SIZE(fastseq);
+        if (nrch > 8) { Py_DECREF(fastseq);
+            PyErr_SetString(PyExc_ValueError, "too many r choices");
+            goto done; }
+        for (Py_ssize_t k = 0; k < nrch; k++)
+            rch[k] = PyLong_AsLongLong(PySequence_Fast_GET_ITEM(fastseq, k));
+        Py_DECREF(fastseq);
+    }
+    if (pb.ndim != 2 || pb.itemsize != 8 || pb.strides[1] != 8) {
+        PyErr_SetString(PyExc_ValueError, "params must be f64 2D "
+                        "row-contiguous");
+        goto done;
+    }
+    {
+        Py_ssize_t N = pb.shape[0];
+        if (fb.len < N || sb.len < N || tb.len < N || mb.len < N) {
+            PyErr_SetString(PyExc_ValueError, "flag arrays too short");
+            goto done;
+        }
+        routes_l = PyList_New(N);
+        rneeds_l = PyList_New(N);
+        if (!routes_l || !rneeds_l) goto done;
+        const unsigned char *fa = (const unsigned char *)fb.buf;
+        const unsigned char *se = (const unsigned char *)sb.buf;
+        const unsigned char *sp = (const unsigned char *)tb.buf;
+        const unsigned char *sm = (const unsigned char *)mb.buf;
+        for (Py_ssize_t c = 0; c < N; c++) {
+            long route = route_full;
+            long long rneed = 0;
+            if (sm[c]) {
+                const double *p =
+                    (const double *)((const char *)pb.buf
+                                     + c * pb.strides[0]);
+                double px0 = (double)clip_ll(np_ll(p[6]), 0,
+                                             (long long)(W - P));
+                double py0 = (double)clip_ll(np_ll(p[8]), 0,
+                                             (long long)(H - P));
+                double tw = p[22], th = p[23];
+                double cx[4] = {px0, px0 + (P - 1.0), px0,
+                                px0 + (P - 1.0)};
+                double cy[4] = {py0, py0, py0 + (P - 1.0),
+                                py0 + (P - 1.0)};
+                int64_t umin = INT64_MAX, umax = INT64_MIN;
+                int64_t vmin = INT64_MAX, vmax = INT64_MIN;
+                double uhi = tw - 2.0 > 0.0 ? tw - 2.0 : 0.0;
+                double vhi = th - 2.0 > 0.0 ? th - 2.0 : 0.0;
+                for (int k = 0; k < 4; k++) {
+                    double ix, iy;
+                    if (fa[c]) { ix = cx[k]; iy = cy[k]; }
+                    else {
+                        ix = p[0] * cx[k] + p[2] * cy[k] + p[4];
+                        iy = p[1] * cx[k] + p[3] * cy[k] + p[5];
+                    }
+                    double u = (ix - p[14]) * p[18];
+                    double v = (iy - p[15]) * p[19];
+                    if (sp[c]) {
+                        u = (p[24] + (p[25] - p[24]) * u / tw) * tw;
+                        v = (p[26] + (p[27] - p[26]) * v / th) * th;
+                    }
+                    /* np.clip order: min(max(v, lo), hi) with NaN
+                     * propagating — mirror via explicit comparisons */
+                    u = u < 0.0 ? 0.0 : u;
+                    u = u > uhi ? uhi : u;
+                    v = v < 0.0 ? 0.0 : v;
+                    v = v > vhi ? vhi : v;
+                    int64_t ui = np_ll(u), vi = np_ll(v);
+                    if (ui < umin) umin = ui;
+                    if (ui > umax) umax = ui;
+                    if (vi < vmin) vmin = vi;
+                    if (vi > vmax) vmax = vi;
+                }
+                /* unsigned arithmetic: INT64_MIN sentinels from NaN
+                 * casts must wrap like numpy int64, not C-UB */
+                int64_t du = (int64_t)((uint64_t)umax - (uint64_t)umin);
+                int64_t dv = (int64_t)((uint64_t)vmax - (uint64_t)vmin);
+                int64_t need =
+                    (int64_t)((uint64_t)(du > dv ? du : dv) + 1u);
+                double capf = tw - 1.0 > th - 1.0 ? tw - 1.0 : th - 1.0;
+                int64_t cap = (int64_t)((uint64_t)np_ll(capf) + 1u);
+                if (cap < 1) cap = 1;
+                need = (int64_t)((uint64_t)need + (uint64_t)margin);
+                if (need > cap) need = cap;
+                for (Py_ssize_t k = 0; k < nrch; k++) {
+                    if (need <= rch[k]) {
+                        route = se[c] ? route_mxu : route_region;
+                        rneed = rch[k];
+                        break;
+                    }
+                }
+            }
+            PyList_SET_ITEM(routes_l, c, PyLong_FromLong(route));
+            PyList_SET_ITEM(rneeds_l, c, PyLong_FromLongLong(rneed));
+        }
+    }
+    result = PyTuple_Pack(2, routes_l, rneeds_l);
+done:
+    Py_XDECREF(routes_l);
+    Py_XDECREF(rneeds_l);
+    PyBuffer_Release(&pb);
+    PyBuffer_Release(&fb);
+    PyBuffer_Release(&sb);
+    PyBuffer_Release(&tb);
+    PyBuffer_Release(&mb);
+    return result;
+}
+
 static PyMethodDef methods[] = {
     {"aabb", fastrec_aabb, METH_VARARGS,
      "aabb(m6, x, y, w, h, mw, mh) -> (l, r, t, b)"},
     {"inverse", fastrec_inverse, METH_VARARGS, "inverse(m6) -> m6"},
     {"record", fastrec_record, METH_VARARGS,
      "record(kinds, params, i, kind, inv6, box4, ct4, specific)"},
+    {"routes_for_size", fastrec_routes, METH_VARARGS,
+     "routes_for_size(params, fast, sep, split, sampling, P, W, H, "
+     "margin, rchoices, mxu, region, full) -> (routes, rneeds)"},
     {NULL, NULL, 0, NULL},
 };
 

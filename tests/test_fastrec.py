@@ -91,6 +91,48 @@ def test_record_row_parity(dtype):
                                   np.asarray(p2, np.float64))
 
 
+def test_routes_for_size_parity():
+    """Native footprint-route math == the numpy for_size, including the
+    NaN propagation of zero-extent split textures (0/0 divides)."""
+    from libnativecpurenderer_tpu.ops import patch_exec as pe
+
+    rng = np.random.default_rng(1)
+    W, H = 1920, 1080
+    r_choices = [128, 256, 512]
+    sizes = [128, 256, 512]
+    for trial in range(60):
+        n = int(rng.integers(1, 80))
+        kinds = rng.choice(
+            [C.KIND_RECT, C.KIND_TEX, C.KIND_TEX_FAST, C.KIND_SPLIT_TEX,
+             C.KIND_HITEFFECT, C.KIND_FILL], n).astype(np.int32)
+        p = rng.uniform(-2, 2, (n, C.PARAM_W))
+        p[:, 6] = rng.uniform(-100, 2000, n)
+        p[:, 8] = rng.uniform(-100, 1200, n)
+        p[:, 22] = rng.choice([0.0, 1.0, 16.0, 128.0, 512.0], n)
+        p[:, 23] = rng.choice([0.0, 1.0, 16.0, 128.0, 512.0], n)
+        p[:, 18] = rng.uniform(-2, 2, n)
+        p[:, 19] = rng.uniform(-2, 2, n)
+        p[:, 29] = rng.choice([0.0, 1.0], n)
+        z = rng.random(n) < 0.4
+        p[z, 1] = 0.0
+        p[z, 2] = 0.0
+        for P in (128, 256):
+            rt_n, rn_n = pe._routes_table(kinds, p, W, H, r_choices,
+                                          sizes)(P)
+            saved = pe._fast
+            pe._fast = None
+            try:
+                with np.errstate(invalid="ignore"):
+                    rt_p, rn_p = pe._routes_table(kinds, p, W, H,
+                                                  r_choices, sizes)(P)
+            finally:
+                pe._fast = saved
+            for i in np.nonzero(np.isin(kinds,
+                                        pe._SAMPLING_KINDS_T))[0]:
+                assert int(rt_n[i]) == int(rt_p[i])
+                assert int(rn_n[i]) == int(rn_p[i])
+
+
 def test_recorded_scene_matches_python_path(monkeypatch):
     """A full draw-call scene records byte-identical buffers either way."""
     def scene(ctx):
