@@ -110,6 +110,24 @@ def polygons_intersect(p1, p2):
 
 
 def polygon_in_screen(w, h, polygon):
+    # Exact short-circuits on the polygon AABB (the reference evaluates
+    # the full polygon predicate per note per frame, ~35 ms/frame of
+    # host python on dense charts):
+    #  * AABB strictly inside the screen -> every vertex passes the
+    #    even-odd point test against the screen rect -> True;
+    #  * AABB strictly outside -> no seg-box pair can overlap, no
+    #    vertex is in the rect, and no screen corner can be inside the
+    #    polygon (the polygon lies within its AABB) -> False.
+    # Boundary-touching cases fall through to the exact predicate, so
+    # culling decisions are bit-identical to the reference's.
+    xs = [p[0] for p in polygon]
+    ys = [p[1] for p in polygon]
+    xlo, xhi = min(xs), max(xs)
+    ylo, yhi = min(ys), max(ys)
+    if xlo > 0 and xhi < w and ylo > 0 and yhi < h:
+        return True
+    if xhi < 0 or xlo > w or yhi < 0 or ylo > h:
+        return False
     return polygons_intersect([(0, 0), (w, 0), (w, h), (0, h)], polygon)
 
 
