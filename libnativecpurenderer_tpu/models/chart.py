@@ -354,17 +354,27 @@ class AnimationCollection:
                 AnimationKey.Size, AnimationKey.Rotation,
                 AnimationKey.FlowSpeed, AnimationKey.RelativeX,
                 AnimationKey.RelativeY, AnimationKey.Speed))
+        # most bearers animate 0-2 keys; update() walks only those
+        # (notes' update is per-frame host-critical in milrenderer)
+        self._active = tuple(i for i in range(MAX_ANIMKEY + 1)
+                             if self.anim_groups[i])
+        self._speed_empty = not self.anim_groups[AnimationKey.Speed]
 
     def update(self, t: float, *, only: typing.Optional[int] = None):
         if t < self._t:
             self.indexs = [0] * (MAX_ANIMKEY + 1)
         self._t = t
-        for i, es in enumerate(self.anim_groups):
-            if len(es) == 0 or (only is not None and i != only):
-                if i == AnimationKey.Speed and (only is None
-                                                or only == AnimationKey.Speed):
-                    self.values[i] = t * self.defaults[i]
+        # empty-Speed default: integrated position is t * default speed
+        # (written exactly when Speed has no events and isn't filtered
+        # out, matching the full-loop branch this replaces)
+        if self._speed_empty and (only is None
+                                  or only == AnimationKey.Speed):
+            self.values[AnimationKey.Speed] = \
+                t * self.defaults[AnimationKey.Speed]
+        for i in self._active:
+            if only is not None and i != only:
                 continue
+            es = self.anim_groups[i]
             while (self.indexs[i] < len(es) - 1
                    and es[self.indexs[i] + 1].startTime <= t):
                 self.indexs[i] += 1
