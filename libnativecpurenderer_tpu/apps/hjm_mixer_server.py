@@ -64,33 +64,40 @@ def collect_voiced_notes(mid: midi.MidiFile):
     """Like hjm_mixer.collect_notes but keeps velocity, the channel's
     active GM program, and the percussion flag (channel 10) — the inputs
     timidity reads when rendering the base track."""
+    # channels are GLOBAL in SMF: format-1 files put program changes on
+    # a setup track and notes on others, so the event streams of all
+    # tracks are merged in time order before voicing (tracking programs
+    # per-track voiced everything as piano — round-3 review)
+    events = []
+    for ti, track in enumerate(mid.tracks):
+        for mi, msg in enumerate(track):
+            if msg["type"] in ("program_change", "note_on", "note_off"):
+                events.append((msg["sec_time"], ti, mi, msg))
+    events.sort(key=lambda e: (e[0], e[1], e[2]))
     out = []
-    for track in mid.tracks:
-        program = {}
-        pending: dict = {}
-        for msg in track:
-            if msg["type"] == "program_change":
-                program[msg["channel"]] = msg["program"]
-                continue
-            if msg["type"] not in ("note_on", "note_off"):
-                continue
-            key = (msg["channel"], msg["note"])
-            if msg["type"] == "note_on":
-                if key in pending:
-                    st, vel = pending.pop(key)
-                    out.append((st, st + hjm_mixer.DEFAULT_NOTELENGTH,
-                                key[1], vel, program.get(key[0], 0),
-                                key[0] == 9))
-                pending[key] = (msg["sec_time"], msg["velocity"])
-            else:
-                if key not in pending:
-                    continue
+    program: dict = {}
+    pending: dict = {}
+    for _, _, _, msg in events:
+        if msg["type"] == "program_change":
+            program[msg["channel"]] = msg["program"]
+            continue
+        key = (msg["channel"], msg["note"])
+        if msg["type"] == "note_on":
+            if key in pending:
                 st, vel = pending.pop(key)
-                out.append((st, msg["sec_time"], key[1], vel,
-                            program.get(key[0], 0), key[0] == 9))
-        for key, (st, vel) in pending.items():
-            out.append((st, st + hjm_mixer.DEFAULT_NOTELENGTH, key[1],
-                        vel, program.get(key[0], 0), key[0] == 9))
+                out.append((st, st + hjm_mixer.DEFAULT_NOTELENGTH,
+                            key[1], vel, program.get(key[0], 0),
+                            key[0] == 9))
+            pending[key] = (msg["sec_time"], msg["velocity"])
+        else:
+            if key not in pending:
+                continue
+            st, vel = pending.pop(key)
+            out.append((st, msg["sec_time"], key[1], vel,
+                        program.get(key[0], 0), key[0] == 9))
+    for key, (st, vel) in pending.items():
+        out.append((st, st + hjm_mixer.DEFAULT_NOTELENGTH, key[1],
+                    vel, program.get(key[0], 0), key[0] == 9))
     out.sort(key=lambda x: x[0])
     return out
 
@@ -127,17 +134,23 @@ def _render_tone(note: int, dur: float, vel: int, family: int,
         wave += h * np.sin(2 * np.pi * f * t)
     wave /= sum(harm)
     env = np.ones(n)
-    na = max(int(rate * atk), 1)
+    # clamp every envelope stage to the rendered length: short notes in
+    # slow-attack/decay families (strings, pads) can have atk+dec exceed
+    # dur+rel, which previously indexed t past the end (round-3 review)
+    na = min(max(int(rate * atk), 1), n)
     env[:na] = np.linspace(0.0, 1.0, na, endpoint=False)
     if sus <= 0.0:
-        env[na:] = np.exp(-(t[na:] - t[na]) * (3.0 / dec))
+        if na < n:
+            env[na:] = np.exp(-(t[na:] - t[na]) * (3.0 / dec))
     else:
-        nd = na + int(rate * dec)
-        env[na:nd] = 1.0 - (1.0 - sus) * (t[na:nd] - t[na]) / max(
-            t[nd - 1] - t[na], 1e-9)
+        nd = min(na + int(rate * dec), n)
+        if nd > na:
+            env[na:nd] = 1.0 - (1.0 - sus) * (t[na:nd] - t[na]) / max(
+                t[nd - 1] - t[na], 1e-9)
         env[nd:] = sus
     nr = int(rate * dur)
-    env[nr:] *= np.exp(-(t[nr:] - t[nr]) * (4.0 / rel))
+    if nr < n:
+        env[nr:] *= np.exp(-(t[nr:] - t[nr]) * (4.0 / rel))
     return wave * env * amp
 
 

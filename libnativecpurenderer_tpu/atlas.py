@@ -100,3 +100,45 @@ def get_store(dtype=None) -> TextureStore:
 def reset_stores() -> None:
     """Testing hook: drop all atlas state."""
     _stores.clear()
+    global _dispatch_epoch
+    _dispatch_epoch = 0
+    _pipelines.clear()
+
+
+# ---------------------------------------------------------------------- #
+# dispatch fence: shared-texture region recycling (texture.py)
+#
+# A recording proxy samples a shared texture whose owner redraws per
+# frame; each refresh snapshots into a NEW region so already-recorded
+# commands keep their old texels (the atlas device array is immutable —
+# whatever a dispatch reads is captured at that point).  A superseded
+# region is safe to REUSE once every command referencing it has been
+# rendered: its sampler's record buffer was handed off (gen advanced /
+# buffer replaced) AND a pipeline flush has since rendered the pending
+# frames.  Pipelines bump this epoch after each flush; the bump is
+# skipped while any OTHER live pipeline still holds un-rendered pending
+# frames (they may reference the region).  Without any pipeline the
+# epoch never advances and retired regions are simply never reused —
+# the pre-recycling behaviour.
+# ---------------------------------------------------------------------- #
+import weakref                                                 # noqa: E402
+
+_dispatch_epoch = 0
+_pipelines: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def register_pipeline(pipe) -> None:
+    _pipelines.add(pipe)
+
+
+def dispatch_epoch() -> int:
+    return _dispatch_epoch
+
+
+def dispatch_fence(from_pipe=None) -> None:
+    """Called by a pipeline after it rendered its pending frames."""
+    global _dispatch_epoch
+    for p in _pipelines:
+        if p is not from_pipe and getattr(p, "_pending", None):
+            return
+    _dispatch_epoch += 1

@@ -417,11 +417,13 @@ class RenderContext:
         # then re-snapshot (texture._refresh_shared flushes the owner)
         owner = tex._shared_ctx
         if owner is not None and getattr(tex, "_shared_seq", -1) != owner._seq:
-            if self._no_flush_record and self._cmds.n > 0:
+            if self._no_flush_record:
                 # recording proxy: can't flush this context (queued
-                # commands belong to the pending frame snapshot).  Give
-                # the refreshed texels a FRESH atlas region instead, so
-                # earlier recorded samples keep reading the old texels.
+                # commands belong to the pending frame snapshot), and
+                # even with an EMPTY buffer earlier frames pending in a
+                # batching pipeline still reference the current texels.
+                # Give the refreshed texels a FRESH atlas region, so
+                # every already-recorded sample keeps its old region.
                 if owner._no_flush_record and owner._cmds.n > 0:
                     raise ValueError(
                         "shared texture sampled inside a recording proxy "
@@ -433,6 +435,11 @@ class RenderContext:
                 self.flush()
                 tex._refresh_shared()
             tex._shared_seq = owner._seq
+        if owner is not None and self._no_flush_record:
+            # this proxy's recorded commands reference the CURRENT region
+            # set; the refresh above retires regions under these guards
+            # so they are only recycled once this proxy's batch rendered
+            tex._note_recording_sampler(self)
         scale_x = tex.width / width
         scale_y = tex.height / height
         # resolve against THIS context's store: textures created under a

@@ -145,10 +145,21 @@ def aabb(
     rbx = a * xw + c * yh + e
     rby = b * xw + d * yh + f
 
-    left = int(min(min(ltx, rtx), min(lbx, rbx)))
-    right = int(max(max(ltx, rtx), max(lbx, rbx)))
-    top = int(min(min(lty, rty), min(lby, rby)))
-    bottom = int(max(max(lty, rty), max(lby, rby)))
+    def _trunc(v: float) -> int:
+        # match native trunc_ll (fastrec.c): clamp |v| > 9e17 — including
+        # infinities from overflowed transforms — before the int() cast,
+        # with the SAME double constant so both builds agree bit-for-bit
+        # (the pure-Python int(inf) raised OverflowError; round-3 review)
+        if v > 9.0e17:
+            v = 9.0e17
+        elif v < -9.0e17:
+            v = -9.0e17
+        return int(v)
+
+    left = _trunc(min(min(ltx, rtx), min(lbx, rbx)))
+    right = _trunc(max(max(ltx, rtx), max(lbx, rbx)))
+    top = _trunc(min(min(lty, rty), min(lby, rby)))
+    bottom = _trunc(max(max(lty, rty), max(lby, rby)))
 
     mw = int(max_width)
     mh = int(max_height)

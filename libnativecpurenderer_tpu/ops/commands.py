@@ -95,6 +95,9 @@ class CommandBuffer:
         self.kinds = np.zeros(capacity, dtype=np.int32)
         self.params = np.zeros((capacity, PARAM_W), dtype=np.float64)
         self.n = 0
+        # bumped on clear(): lets shared-texture region recycling see
+        # that recorded commands were handed off (texture.py)
+        self.gen = 0
 
     def _grow(self) -> None:
         cap = self.kinds.shape[0] * 2
@@ -129,6 +132,7 @@ class CommandBuffer:
 
     def clear(self) -> None:
         self.n = 0
+        self.gen += 1
 
     def snapshot(self):
         """Return (kinds, params) views of the recorded region."""

@@ -549,8 +549,13 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
         # instead of overflowing
         TK = min(4096 if span_y >= 8 else 2048, F)
         TKW = min(8192 if span_x >= 8 else 4096, F)
+        # columns are only capped at SX_A when the wide split actually
+        # emits the remaining columns; with wide_split off, the base and
+        # tall pieces must carry the FULL span_x (capping unconditionally
+        # silently dropped bins for triangles >= 3 tile-columns wide)
+        sx_base = min(SX_A, span_x) if wide_split else span_x
         pieces = [emit(y0c, x0c, x1c, y1c, nonempty, all_tris, 0,
-                       min(SY_A, span_y), edges, 0, min(SX_A, span_x))]
+                       min(SY_A, span_y), edges, 0, sx_base)]
         if tall_split:
             spans = jnp.where(nonempty, y1c - y0c + 1, 0)
             tall_span, tall_idx = lax.top_k(spans, TK)
@@ -558,7 +563,7 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
             ty0, tx0, tx1, ty1, tne, tid_, ted = subset(tall_idx)
             pieces.append(emit(ty0, tx0, tx1, ty1, tne, tid_, SY_A,
                                span_y - SY_A, ted, 0,
-                               min(SX_A, span_x)))
+                               sx_base))
             if wide_split:
                 pieces.append(emit(ty0, tx0, tx1, ty1, tne, tid_, SY_A,
                                    span_y - SY_A, ted, SX_A,

@@ -30,6 +30,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import raster3d
 
+# sharded_canvas_step unrolls its per-device frame batch at trace time
+# (vmap tracers hide varying-mesh-axes types), so compile time grows
+# linearly with the local batch; refuse outright rather than silently
+# compiling for minutes (apps use <= 8).
+MAX_LOCAL_BATCH = 16
+
 
 def make_mesh(devices=None, data: int = None, tile: int = None) -> Mesh:
     """Factor the device list into a (data, tile) mesh.  Default: put up to
@@ -174,6 +180,7 @@ def sharded_canvas_step(mesh: Mesh, width: int, height: int,
     tile_n = mesh.shape["tile"]
     assert height % tile_n == 0
     band_h = height // tile_n
+    max_local_batch = MAX_LOCAL_BATCH
 
     axes = ("data", "tile")
     in_specs = [P("data"), P("data"), P(None, None, None)]
@@ -211,6 +218,12 @@ def sharded_canvas_step(mesh: Mesh, width: int, height: int,
         # unrolled over the (small) local frame batch: vmap tracers hide
         # varying-mesh-axes types from the executor's pcast alignment
         bl = kinds_local.shape[0]
+        if bl > max_local_batch:
+            raise ValueError(
+                f"per-device frame batch {bl} > MAX_LOCAL_BATCH "
+                f"{max_local_batch}: the batch is unrolled at trace time "
+                "and compile time grows linearly — shard over more "
+                "devices or submit smaller batches")
         return jnp.stack([one(kinds_local[i], params_local[i])
                           for i in range(bl)])  # (Bl, band, W, 4)
 

@@ -73,6 +73,7 @@ class BatchedVideoPipeline:
                      if fb0 is None else jnp.asarray(fb0, self._dtype))
         self._inflight = None  # overlap device batch N with encode N-1
         self._exec_ctx = None  # lazy executor shell for the segmented path
+        atlas_mod.register_pipeline(self)  # shared-texture region fences
 
     def submit(self, kinds: np.ndarray, params: np.ndarray) -> None:
         self._pending.append((kinds.copy(), params.copy()))
@@ -110,6 +111,7 @@ class BatchedVideoPipeline:
         if config.flush_mode() == "auto":
             pending, self._pending = self._pending, []
             u8 = self._flush_segmented_frames(pending)
+            atlas_mod.dispatch_fence(self)
             self._drain()
             self._inflight = (u8, len(pending))
             return
@@ -146,6 +148,7 @@ class BatchedVideoPipeline:
         u8 = _render_batch(self._fb0, jnp.asarray(kinds),
                            jnp.asarray(params), self._store.device, patch,
                            patch_big)
+        atlas_mod.dispatch_fence(self)
         self._drain()
         # keep the device->host copy async until the next flush
         self._inflight = (u8, n_frames)
@@ -211,5 +214,6 @@ class ShardedVideoPipeline(BatchedVideoPipeline):
         self._pending.clear()
         u8 = self._step(jnp.asarray(kinds), jnp.asarray(params),
                         self._store.device, self._fb0)
+        atlas_mod.dispatch_fence(self)
         self._drain()
         self._inflight = (u8, n_frames)

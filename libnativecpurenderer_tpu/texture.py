@@ -118,25 +118,89 @@ class Texture:
         for key, (ox, oy) in self._alt_regions.items():
             atlas_mod.get_store(np.dtype(key)).upload(ox, oy, fb)
 
+    # -- shared-texture region recycling ---------------------------------
+    # A per-frame-refreshed shared texture retires one region set per
+    # refresh; without reclamation a long render grows the atlas
+    # unboundedly (round-3 review).  Retired regions come back through a
+    # per-texture pool once (a) every recording proxy that sampled them
+    # handed its commands off (buffer gen advanced / buffer replaced /
+    # proxy collected) and (b) a pipeline dispatch fence has passed
+    # since (atlas.dispatch_fence) — at that point every recorded
+    # command referencing the old texels has been rendered against an
+    # (immutable) atlas snapshot that still contained them.
+
+    def _shared_gc_init(self):
+        if not hasattr(self, "_retired"):
+            self._retired = []        # [guards, {key: (ox, oy)}, stamp]
+            self._region_pool = {}    # store key -> [(ox, oy)]
+            self._cur_samplers = {}   # id(proxy) -> (ctx_wr, cmds_wr, gen)
+
+    def _note_recording_sampler(self, proxy) -> None:
+        """Record that ``proxy`` (a no-flush recording context) sampled
+        the CURRENT region set (context._tex_specific calls this on
+        every shared-texture draw it records)."""
+        import weakref
+        self._shared_gc_init()
+        self._cur_samplers[id(proxy)] = (
+            weakref.ref(proxy), weakref.ref(proxy._cmds), proxy._cmds.gen)
+
+    @staticmethod
+    def _guard_released(guard) -> bool:
+        ctx_wr, cmds_wr, gen = guard
+        ctx = ctx_wr()
+        if ctx is None:
+            return True
+        cmds = cmds_wr()
+        return cmds is None or ctx._cmds is not cmds or cmds.gen > gen
+
+    def _reclaim_retired(self) -> None:
+        epoch = atlas_mod.dispatch_epoch()
+        keep = []
+        for entry in self._retired:
+            guards, regions, stamp = entry
+            if stamp is None:
+                if all(self._guard_released(g) for g in guards):
+                    entry[2] = epoch        # promote; free on NEXT fence
+                keep.append(entry)
+            elif epoch > stamp:
+                for key, r in regions.items():
+                    self._region_pool.setdefault(key, []).append(r)
+            else:
+                keep.append(entry)
+        self._retired = keep
+
+    def _pool_alloc(self, store):
+        pool = self._region_pool.get(store.dtype.str)
+        if pool:
+            return pool.pop()
+        return store.alloc(self.width, self.height)
+
     def _refresh_shared_new_region(self) -> None:
         """Shared-texture refresh variant for recording proxies
         (context._tex_specific): snapshot the owner's framebuffer into a
         NEW atlas region instead of overwriting the current one, so
         display-list commands recorded *before* this refresh keep
         sampling the old texels when the batch finally executes.  The
-        superseded region is left allocated (the atlas has no free
-        list); refresh churn is bounded per batch window.
+        superseded regions are retired and recycled once provably
+        unreferenced (see the recycling note above).
         """
         ctx = self._shared_ctx
         if ctx is None:
             return
         ctx.flush()
         fb = ctx._fb
-        self._ox, self._oy = self._store.alloc(self.width, self.height)
+        self._shared_gc_init()
+        regions = {self._store.dtype.str: (self._ox, self._oy)}
+        regions.update(self._alt_regions)
+        self._retired.append([list(self._cur_samplers.values()),
+                              regions, None])
+        self._cur_samplers = {}
+        self._reclaim_retired()
+        self._ox, self._oy = self._pool_alloc(self._store)
         self._store.upload(self._ox, self._oy, fb)
         for key in list(self._alt_regions):
             store = atlas_mod.get_store(np.dtype(key))
-            region = store.alloc(self.width, self.height)
+            region = self._pool_alloc(store)
             store.upload(region[0], region[1], fb)
             self._alt_regions[key] = region
 

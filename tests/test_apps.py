@@ -264,3 +264,50 @@ def test_synth_base_gm_spectral_content():
     # (window still contains the organ's 220 Hz release tail, so allow
     # some peakiness — a pure tone would be ~1000x the median)
     assert sp3.max() < 100.0 * np.median(sp3[f3 > 100])
+
+
+def test_render_tone_short_notes_all_families():
+    """The shortest duration bucket (0.05 s) must render for EVERY GM
+    family: slow-attack/decay families (strings, pads, fx) previously
+    indexed past the envelope buffer (round-3 review)."""
+    from libnativecpurenderer_tpu.apps.hjm_mixer_server import (
+        _GM_FAMILIES, _render_tone)
+
+    for fam in range(len(_GM_FAMILIES)):
+        w = _render_tone(60, 0.05, 100, fam, False, 44100)
+        assert w.size > 0 and np.all(np.isfinite(w)), fam
+        assert np.abs(w).max() > 0.0, fam
+    w = _render_tone(38, 0.05, 100, 0, True, 44100)    # percussion
+    assert np.all(np.isfinite(w))
+
+
+def make_midi_format1(tracks, division=480, tempo=500000):
+    chunks = []
+    for ti, events in enumerate(tracks):
+        track = b""
+        if ti == 0:
+            track += (vlq(0) + bytes([0xFF, 0x51, 0x03])
+                      + tempo.to_bytes(3, "big"))
+        for delta, status, data in events:
+            track += vlq(delta) + bytes([status]) + bytes(data)
+        track += vlq(0) + bytes([0xFF, 0x2F, 0x00])
+        chunks.append(b"MTrk" + struct.pack(">I", len(track)) + track)
+    return (b"MThd" + struct.pack(">IHHH", 6, 1, len(tracks), division)
+            + b"".join(chunks))
+
+
+def test_collect_voiced_notes_format1_program_changes():
+    """Format-1 SMF: program changes live on a setup track, notes on
+    others — channel program state must carry across tracks (per-track
+    tracking voiced everything as piano; round-3 review)."""
+    from libnativecpurenderer_tpu.apps import hjm_mixer_server as srv
+    from libnativecpurenderer_tpu.models import midi
+
+    data = make_midi_format1([
+        [(0, 0xC0, [48]), (0, 0xC1, [19])],      # setup: strings, organ
+        [(0, 0x90, [60, 100]), (480, 0x80, [60, 0])],   # ch0 notes
+        [(0, 0x91, [64, 90]), (480, 0x81, [64, 0])],    # ch1 notes
+    ])
+    notes = srv.collect_voiced_notes(midi.MidiFile(data))
+    progs = {n[2]: n[4] for n in notes}
+    assert progs == {60: 48, 64: 19}

@@ -54,6 +54,22 @@ def test_aabb_nan_raises_like_python():
         fastrec.mod.aabb(m, 0.0, 0.0, 10.0, 10.0, 100.0, 100.0)
 
 
+def test_aabb_inf_parity():
+    """Overflowed transforms (inf corners) clamp identically on the
+    native and pure-Python paths — int(inf) used to raise only on the
+    Python side (round-3 review)."""
+    cases = [
+        ((1e300, 0.0, 0.0, 1e300, 0.0, 0.0), 0.0, 0.0, 1e10, 1e10),
+        ((float("inf"), 0.0, 0.0, 1.0, 0.0, 0.0), 1.0, 1.0, 5.0, 5.0),
+        ((1.0, 0.0, 0.0, 1.0, float("-inf"), 0.0), 0.0, 0.0, 5.0, 5.0),
+        ((-1e200, 0.0, 0.0, 1e200, 1e200, -1e200), 1e120, 1e120,
+         1e120, 1e120),
+    ]
+    for m, x, y, w, h in cases:
+        assert tuple(fastrec.mod.aabb(m, x, y, w, h, 1920.0, 1080.0)) \
+            == tuple(_py_aabb(m, x, y, w, h, 1920.0, 1080.0)), m
+
+
 def test_inverse_parity():
     rng = np.random.default_rng(8)
     for trial in range(1000):

@@ -180,3 +180,12 @@ def test_split_emission_pair_set_exact():
     nt = ntx * nty
     got = sp_a[sp_a >> raster3d.IDX_BITS < nt]
     np.testing.assert_array_equal(np.sort(got.astype(np.int64)), want)
+
+    # tall split ON, wide split OFF (the production default): the base
+    # and tall pieces must emit the FULL span_x columns — a regression
+    # here silently dropped bins for triangles >= 3 tile-columns wide
+    # (round-3 review finding)
+    sp_b, st_b, ct_b, ovf_b = pairs(24, 24, True)
+    assert not ovf_b
+    got_b = sp_b[sp_b >> raster3d.IDX_BITS < nt]
+    np.testing.assert_array_equal(np.sort(got_b.astype(np.int64)), want)

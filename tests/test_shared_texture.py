@@ -102,6 +102,54 @@ def test_shared_in_recording_proxy_keeps_queued_commands():
     assert tuple(fb[28, 60, :3]) == (255, 0, 255)   # queued rect survived
 
 
+def test_shared_refresh_regions_recycled_in_pipeline():
+    """A shared texture refreshed EVERY frame in a pipelined render must
+    not grow the atlas unboundedly: superseded regions recycle through
+    the texture's pool once their sampling batch rendered (round-3
+    review).  Frame contents stay exact — each frame shows the owner's
+    fb state at its record point."""
+    from libnativecpurenderer_tpu import pipeline as pl
+
+    owner = make_ctx()
+    owner.fill_color(0.0, 0.0, 0.0, 1.0)
+    shared = owner.as_texture_shared()
+
+    rec = R.MultiThreadedVideoRenderContextPreparer(None, 64, 32, True)
+
+    class _Sink:
+        def __init__(self):
+            self.frames = []
+
+        def put_frame_u8(self, fr):
+            self.frames.append(np.asarray(fr))
+
+    sink = _Sink()
+    pipe = pl.BatchedVideoPipeline(sink, 64, 32, batch=2, dtype=rec._dtype)
+    store = shared._store
+    marks = []
+    colors = []
+    for i in range(20):
+        c = (i % 4) / 4.0                       # exact binary fractions
+        owner.fill_color(c, 0.25, 0.75, 1.0)    # owner redraws per frame
+        colors.append(c)
+        rec.draw_texture(shared, 0, 0, 64, 32)
+        k, p = rec._cmds.snapshot()
+        pipe.submit(k, p)
+        rec._cmds.clear()
+        marks.append(store._y_next)
+    pipe.finish()
+
+    assert len(sink.frames) == 20
+    for i, fr in enumerate(sink.frames):
+        want = int(np.float64(colors[i]) * 255)
+        assert fr[16, 32, 0] == want, (i, fr[16, 32, 0], want)
+        assert fr[16, 32, 2] == int(np.float64(0.75) * 255)
+    # the atlas stops growing once the recycle pipeline warms up, and
+    # the retirement list stays bounded (regions flow back to the pool)
+    assert marks[-1] == marks[12], marks
+    assert len(shared._retired) <= 8, len(shared._retired)
+
+
 def test_shared_onto_own_context():
     """Blitting a shared texture onto its own context samples the fb as
     of the draw's record point (reference aliasing, minus in-flight
