@@ -126,7 +126,7 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                       u8: bool = False, opaque: bool = False,
                       z_clip: bool = True, tex_dims=None,
                       tex_resolve: bool = False, tex_nw: int = 8,
-                      resident_out: bool = False):
+                      resident_out: bool = False, mxu: int = 0):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
@@ -174,7 +174,13 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
     overflow: high UV-frequency tiles) are left for the caller: output 2
     carries their padded-layout texel index (>= 0) so an XLA gather can
     finish JUST those, -2 = resolved here, -1 = sky.  Output 1 is the
-    packed rgba plane with bg filled for sky and 0 for unresolved."""
+    packed rgba plane with bg filled for sky and 0 for unresolved.
+
+    ``mxu`` (table from build_table_mxu) evaluates the chunk's edge/z/
+    attr planes with ONE (q*kcc, 4) x (4, P) matmul on the MXU instead
+    of ~2(4+D) broadcast-FMA VPU ops (the walk is VPU-compute-bound,
+    ROADMAP): 1 = precision HIGHEST (6-pass bf16, near-f32), 2 = DEFAULT
+    (single bf16 pass — coarser rounding, fastest)."""
     P = tile_h * tile_w
 
     def kernel(scal_ref, blk0_ref, blk1_ref, table_ref, keys_ref, rgba_ref,
@@ -190,11 +196,21 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
         p_idx = lax.broadcasted_iota(jnp.int32, (1, P), 1)
         x1 = (ox + p_idx % tile_w).astype(jnp.float32)
         y1 = (oy + p_idx // tile_w).astype(jnp.float32)
-        X = jnp.broadcast_to(x1, (kcc, P))
-        Y = jnp.broadcast_to(y1, (kcc, P))
         slot0 = lax.broadcasted_iota(jnp.int32, (kcc, P), 0)
 
         nacc = 3 if (tex_dims or (u8 and opaque)) else 4
+        if mxu:
+            # pixel-plane matrix [x; y; 1; 0]: lane 4q+3 of every table
+            # row is 0, so the pad row contributes nothing
+            P4 = jnp.concatenate(
+                [x1, y1, jnp.ones((1, P), jnp.float32),
+                 jnp.zeros((1, P), jnp.float32)], axis=0)      # (4, P)
+            nq = 4 + nacc
+            prec = (lax.Precision.HIGHEST if mxu == 1
+                    else lax.Precision.DEFAULT)
+        else:
+            X = jnp.broadcast_to(x1, (kcc, P))
+            Y = jnp.broadcast_to(y1, (kcc, P))
 
         def body(c, carry):
             kacc, rs = carry[0], carry[1:]
@@ -214,11 +230,26 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             def col(j):
                 return rows[:, j:j + 1]
 
-            e0 = col(0) * X + col(1) * Y + col(2)
-            e1 = col(3) * X + col(4) * Y + col(5)
-            e2 = col(6) * X + col(7) * Y + col(8)
+            if mxu:
+                # quantity-major coefficient stack: rows carry affine
+                # triples at lanes 4q..4q+2 (build_table_mxu); ONE
+                # matmul evaluates every plane of the chunk at every
+                # pixel of the tile
+                mcoef = jnp.concatenate(
+                    [rows[:, 4 * q:4 * (q + 1)] for q in range(nq)],
+                    axis=0)                                # (nq*kcc, 4)
+                V = lax.dot_general(
+                    mcoef, P4, (((1,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32)
+                V = V.reshape(nq, kcc, P)
+                e0, e1, e2, zz = V[0], V[1], V[2], V[3]
+            else:
+                e0 = col(0) * X + col(1) * Y + col(2)
+                e1 = col(3) * X + col(4) * Y + col(5)
+                e2 = col(6) * X + col(7) * Y + col(8)
+                zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
             m = jnp.minimum(jnp.minimum(e0, e1), e2)
-            zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
             if z_clip:
                 cov = (m >= 0.0) & (zz >= 0.0) & (zz <= 1.0)
             else:
@@ -237,8 +268,11 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             upd = cmin < kacc
             outs = []
             for d, rd in enumerate(rs):
-                cd = (e0 * col(14 + d) + e1 * col(14 + D + d)
-                      + e2 * col(14 + 2 * D + d))
+                if mxu:
+                    cd = V[4 + d]
+                else:
+                    cd = (e0 * col(14 + d) + e1 * col(14 + D + d)
+                          + e2 * col(14 + 2 * D + d))
                 cd = jnp.where(win, cd, 0.0)
                 cdm = jnp.sum(cd, axis=0, keepdims=True)
                 outs.append(jnp.where(upd, cdm, rd))
@@ -360,13 +394,14 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                                   15))
 def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                       tile_w: int, Kb: int, interpret: bool = False,
                       kcc: int = KCC, tiles_per_frame: int = 0,
                       u8: bool = False, opaque: bool = False,
                       z_clip: bool = True, tex_dims=None,
-                      resident_out: bool = False):
+                      resident_out: bool = False, mxu: int = 0):
     """Flat-bins kernel launch.  sorted_pad: (Spad,) i32 packed pairs from
     bin_triangles_flat (multi-frame: frames' arrays concatenated, with the
     scalar block indices made absolute by the caller); scalars: (5*NT,)
@@ -409,14 +444,14 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
             _make_kernel_flat(tile_h, tile_w, Kb, kcc, u8=u8,
                               opaque=opaque, z_clip=z_clip,
                               tex_dims=tex_dims,
-                              resident_out=resident_out),
+                              resident_out=resident_out, mxu=mxu),
             out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
             grid_spec=grid_spec,
             interpret=interpret,
         )(scalars, blocks, blocks, table)[0]
         return packed
     keys, rgba = pl.pallas_call(
-        _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=z_clip),
+        _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=z_clip, mxu=mxu),
         out_shape=(
             jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
             jax.ShapeDtypeStruct((nt, D, P), jnp.float32),
@@ -529,7 +564,8 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
                                  interpret: bool = False, kcc: int = KCC,
                                  opaque: bool = False,
                                  z_clip: bool = True,
-                                 resident_out: bool = False):
+                                 resident_out: bool = False,
+                                 mxu: int = 0):
     """Video-path raster: fused u8 quantise in the kernel epilogue, no
     depth output.  Returns rgba (H, W, 4) uint8 — exactly
     clip(rgba_f32 * 255, 0, 255) truncated, with bg quantised the same
@@ -546,7 +582,7 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
 
     packed = raster_tiles_flat(sorted_pad, table, scalars, nt, tile_h,
                                tile_w, Kb, interpret, kcc, 0, True, opaque,
-                               z_clip, None, resident_out)
+                               z_clip, None, resident_out, mxu)
     return _detile_packed(packed.reshape(nt, -1), nty, ntx, tile_h,
                           tile_w, height, width)
 
@@ -557,7 +593,8 @@ def render_binned_pallas_flat_batch_u8(sorted_pads, starts, counts,
                                        interpret: bool = False,
                                        kcc: int = KCC,
                                        opaque: bool = False,
-                                       z_clip: bool = True):
+                                       z_clip: bool = True,
+                                       mxu: int = 0):
     """Batched u8 raster: B frames in one launch (see
     render_binned_pallas_flat_batch), u8-packed output (see
     render_binned_pallas_flat_u8).  Returns (B, H, W, 4) uint8."""
@@ -580,7 +617,8 @@ def render_binned_pallas_flat_batch_u8(sorted_pads, starts, counts,
 
     packed = raster_tiles_flat(sorted_pads.reshape(-1), tables, scalars,
                                Bn * nt, tile_h, tile_w, Kb, interpret,
-                               kcc, nt, True, opaque, z_clip)
+                               kcc, nt, True, opaque, z_clip, None,
+                               False, mxu)
     packed = packed.reshape(Bn, nt, -1)
     return jax.vmap(
         lambda p: _detile_packed(p, nty, ntx, tile_h, tile_w, height,
@@ -985,6 +1023,40 @@ def build_table(A, B, C, zplane_scaled, inv_area, sign, valid, attrs):
         [table, jnp.full((1, table.shape[1]), jnp.nan, jnp.float32)],
         axis=0)
     return jnp.pad(table, ((0, 0), (0, ROW_W - table.shape[1])))
+
+
+def build_table_mxu(A, B, C, zplane_scaled, inv_area, sign, valid, attrs):
+    """Affine row table for the MXU chunk walk (_make_kernel_flat mxu):
+    EVERY per-pixel quantity the walk evaluates — the three sign-folded
+    edges, the z plane, and the D attribute planes — is an affine
+    function of (x, y), so each row stores 4 + D affine triples
+    (a_x, a_y, c, 0) at lanes 4q..4q+3 and the kernel evaluates all of
+    them with ONE (q*kcc, 4) x (4, P) matmul per chunk instead of
+    ~2(4+D) broadcast-FMA vector ops.
+
+    The z/attr triples PRECOMBINE the per-edge weights
+    (a_z = sum_i A_i' * w_i, w = zsc * sign; same for attrs * ia * sign),
+    which changes rounding vs the two-step e-then-dot evaluation of the
+    default walk: knife-edge z-ties and attribute ulps can differ (see
+    tests/test_pallas_raster.py mxu tests).  D=4 fills ROW_W exactly."""
+    F = A.shape[0]
+    As = A * sign[:, None]
+    Bs = B * sign[:, None]
+    Cs = C * sign[:, None]
+    w_z = zplane_scaled * sign[:, None]                     # (F, 3)
+    attrs_sc = attrs * (inv_area * sign)[:, None, None]     # (F, 3, D)
+    zero = jnp.zeros((F,), As.dtype)
+    cols = []
+    for q in range(3):
+        cols += [As[:, q], Bs[:, q], Cs[:, q], zero]
+    for w in ([w_z] + [attrs_sc[:, :, d] for d in range(D)]):
+        cols += [jnp.sum(As * w, axis=1), jnp.sum(Bs * w, axis=1),
+                 jnp.sum(Cs * w, axis=1), zero]
+    table = jnp.stack(cols, axis=1)                         # (F, 32)
+    assert table.shape[1] == ROW_W
+    table = jnp.where(valid[:, None], table, jnp.nan).astype(jnp.float32)
+    return jnp.concatenate(
+        [table, jnp.full((1, ROW_W), jnp.nan, jnp.float32)], axis=0)
 
 
 def _detile(keys_flat, rgba_flat, nty, ntx, tile_h, tile_w, height, width,

@@ -736,7 +736,7 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-                    19, 20))
+                    19, 20, 21))
 def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 512, bg=None, span_x: int = 8,
@@ -745,7 +745,7 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           near_clip: bool = False, u8: bool = False,
                           opaque: bool = False, z_clip: bool = True,
                           wide_split: bool = False,
-                          resident_out: bool = False):
+                          resident_out: bool = False, mxu: int = 0):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned.
@@ -758,8 +758,14 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
     ``u8=True`` (requires ``flat``) is the video path: u8 quantisation
     fused into the kernel epilogue and no depth output — returns
     (rgba (H, W, 4) uint8, None, overflow).  Exactly
-    clip(rgba_f32 * 255, 0, 255) truncated."""
+    clip(rgba_f32 * 255, 0, 255) truncated.
+
+    ``mxu`` (flat+u8 only) switches the kernel's chunk walk to one
+    MXU matmul over an affine-plane table (build_table_mxu): 1 =
+    HIGHEST precision, 2 = DEFAULT (bf16, coarser rounding)."""
     from . import pallas_raster
+    if mxu:
+        assert flat and u8, "mxu walk requires flat=True, u8=True"
     dtype = verts.dtype
     if mvp is None:
         mvp = jnp.eye(4, dtype=dtype)
@@ -788,13 +794,20 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                                      (tri["z"] >= 0.0) & (tri["z"] <= 1.0),
                                      True))
             overflow = overflow | ~z_ok
-        table = pallas_raster.build_table(A, B, C, zsc, inv_area, sign,
-                                          valid, attrs)
+        if mxu:
+            # MXU chunk walk (pallas_raster._make_kernel_flat mxu):
+            # affine-plane table, u8 video path only
+            assert u8, "mxu walk is wired for the u8 video path"
+            table = pallas_raster.build_table_mxu(A, B, C, zsc, inv_area,
+                                                  sign, valid, attrs)
+        else:
+            table = pallas_raster.build_table(A, B, C, zsc, inv_area, sign,
+                                              valid, attrs)
         if u8:
             rgba8 = pallas_raster.render_binned_pallas_flat_u8(
                 sorted_pad, starts, counts, table, bg, width, height,
                 tile_w, tile_h, capacity, interpret, kcc, opaque, z_clip,
-                resident_out)
+                resident_out, mxu)
             return rgba8, None, overflow
         keys, rgba = pallas_raster.render_binned_pallas_flat(
             sorted_pad, starts, counts, table, bg, width, height,
@@ -814,7 +827,7 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-                    19))
+                    19, 20))
 def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
                                 height: int, mvps=None, tile_w: int = 128,
                                 tile_h: int = 32, capacity: int = 512,
@@ -822,7 +835,8 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
                                 interpret: bool = False, flat: bool = False,
                                 kcc: int = 32, u8: bool = False,
                                 opaque: bool = False, z_clip: bool = True,
-                                dynrows: int = 0, rows_cap: int = 0):
+                                dynrows: int = 0, rows_cap: int = 0,
+                                mxu: int = 0):
     """Batched Pallas render: B frames (mvps (B, 4, 4)) in one kernel
     launch.  Per-frame prep (projection, edge setup, binning, tables) is
     vmapped; tiles of all frames share one grid.  Amortises the
@@ -838,6 +852,9 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
     Bit-exact vs the flat kernel.
     Returns (rgba (B, H, W, 4), z (B, H, W), overflow)."""
     from . import pallas_raster
+    if mxu:
+        assert flat and u8 and not dynrows, \
+            "mxu walk requires flat=True, u8=True"
     dtype = verts.dtype
     if bg is None:
         bg = jnp.zeros(4, dtype)
@@ -860,8 +877,12 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
                     tri["valid"][:, None],
                     (tri["z"] >= 0.0) & (tri["z"] <= 1.0), True))
                 ovf = ovf | ~z_ok
-            table = pallas_raster.build_table(A, B, C, zsc, ia, sg, vl,
-                                              attrs)
+            if mxu:
+                table = pallas_raster.build_table_mxu(A, B, C, zsc, ia,
+                                                      sg, vl, attrs)
+            else:
+                table = pallas_raster.build_table(A, B, C, zsc, ia, sg,
+                                                  vl, attrs)
             if dynrows:
                 cap = rows_cap or 49152
                 rows = jnp.take(table, sorted_pad[:cap] & IDX_MASK,
@@ -883,7 +904,7 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
         if u8:
             rgba8 = pallas_raster.render_binned_pallas_flat_batch_u8(
                 sps, starts, counts, tables, bg, width, height, tile_w,
-                tile_h, capacity, interpret, kcc, opaque, z_clip)
+                tile_h, capacity, interpret, kcc, opaque, z_clip, mxu)
             return rgba8, None, jnp.any(ovfs)
         keys, rgba = pallas_raster.render_binned_pallas_flat_batch(
             sps, starts, counts, tables, bg, width, height, tile_w,

@@ -117,23 +117,18 @@ def test_milrenderer_batched_matches_sequential(tmp_path, chart_package):
     if not media.native_available():
         pytest.skip("needs native encoder to compare decoded frames")
     import random
-    from libnativecpurenderer_tpu import config
     zpath, res = chart_package
     out_a = str(tmp_path / "seq.mp4")
     out_b = str(tmp_path / "bat.mp4")
-    # pin both sides to the scan-structure executor: knife-edge boundary
-    # pixels can differ between program structures (XLA fma contraction;
-    # see test_pipeline.test_batched_equals_sequential)
-    config.set_flush_unrolled(False)
-    try:
-        random.seed(42)  # hit-effect seeds/groups draw from the global RNG
-        Renderer(width=96, height=54, fps=10, res_dir=res).run(
-            zpath, out_a, progress=False)
-        random.seed(42)
-        Renderer(width=96, height=54, fps=10, res_dir=res,
-                 batch_frames=4).run(zpath, out_b, progress=False)
-    finally:
-        config.set_flush_unrolled(True)
+    # no executor pinning: the 1/256 subpixel snap makes knife-edge
+    # membership canonical across program structures (scan vs unrolled
+    # vs batched — see test_adversarial_knife_edge_across_executors)
+    random.seed(42)  # hit-effect seeds/groups draw from the global RNG
+    Renderer(width=96, height=54, fps=10, res_dir=res).run(
+        zpath, out_a, progress=False)
+    random.seed(42)
+    Renderer(width=96, height=54, fps=10, res_dir=res,
+             batch_frames=4).run(zpath, out_b, progress=False)
 
     ca, cb = cv2.VideoCapture(out_a), cv2.VideoCapture(out_b)
     assert int(ca.get(cv2.CAP_PROP_FRAME_COUNT)) == \
