@@ -81,9 +81,24 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         # beats the 12-frame vmap-prep batch per frame (1.62 vs ~2.0 —
         # vmap'd prep pays layout/copy overhead the single-frame prep
         # fuses away).
+        # race group: the champion shape and its round-3 kernel variants
+        # (MXU chunk walk, whole-frame resident out) are ALL warmed and
+        # short-timed, fastest wins — new variants can't lose the
+        # headline to ladder order, and a variant that fails to compile
+        # just drops out of the race (tools/exp_r4_mxu.py,
+        # exp_r3_resident.py)
         dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
              flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
-             fused_loop=True),
+             fused_loop=True, race=True),
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             fused_loop=True, race=True, mxu=1),
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             fused_loop=True, race=True, resident_out=True),
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             fused_loop=True, race=True, mxu=1, resident_out=True),
         dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=384,
              flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
              fused_loop=True),
@@ -126,8 +141,12 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
     render = None
     cfg = None
     outs = None
+    racers = []      # (candidate, fn, mvp_for, frames_eff) — see race flag
     for candidate in ladder:
+        if racers and not candidate.get("race"):
+            break        # race group satisfied; don't warm the fallbacks
         kw = dict(candidate)
+        kw.pop("race", None)
         try:
             if use_pallas:
                 B = kw.pop("batch", 0)
@@ -239,11 +258,34 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
                 continue
             outs = [r[0] for r in res]
             checksum(outs)
+            if candidate.get("race"):
+                racers.append((candidate, fn, mvp_for, frames_eff))
+                continue
             render = fn
             cfg = candidate
             break
         except Exception as e:
             log(f"config {candidate} failed ({type(e).__name__}); next")
+    if racers:
+        # short-time each surviving race candidate (2 whole-sequence
+        # reps, one sync each — the persistent XLA cache makes the warm
+        # compiles cheap when the experiment queue ran first) and keep
+        # the fastest; ladder order no longer decides the headline
+        timed = []
+        for cand, fn_r, mvp_r, fe_r in racers:
+            best_r = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rs = [fn_r(verts, faces, colors, width, height,
+                           mvp_r(i * (frames // fe_r)))[0]
+                      for i in range(fe_r)]
+                checksum(rs)
+                dt_r = time.perf_counter() - t0
+                best_r = dt_r if best_r is None else min(best_r, dt_r)
+            log(f"race {cand}: {best_r / frames * 1e3:.3f} ms/frame")
+            timed.append((best_r, cand, fn_r, mvp_r, fe_r))
+        timed.sort(key=lambda t: t[0])
+        _, cfg, render, mvp_for, frames_eff = timed[0]
     if render is None:
         log("all pallas configs failed; XLA fallback")
         # reset mvp_for/frames_eff: a failed batched/fused candidate
