@@ -273,19 +273,25 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         # the fastest; ladder order no longer decides the headline
         timed = []
         for cand, fn_r, mvp_r, fe_r in racers:
-            best_r = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                rs = [fn_r(verts, faces, colors, width, height,
-                           mvp_r(i * (frames // fe_r)))[0]
-                      for i in range(fe_r)]
-                checksum(rs)
-                dt_r = time.perf_counter() - t0
-                best_r = dt_r if best_r is None else min(best_r, dt_r)
-            log(f"race {cand}: {best_r / frames * 1e3:.3f} ms/frame")
-            timed.append((best_r, cand, fn_r, mvp_r, fe_r))
-        timed.sort(key=lambda t: t[0])
-        _, cfg, render, mvp_for, frames_eff = timed[0]
+            try:
+                best_r = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rs = [fn_r(verts, faces, colors, width, height,
+                               mvp_r(i * (frames // fe_r)))[0]
+                          for i in range(fe_r)]
+                    checksum(rs)
+                    dt_r = time.perf_counter() - t0
+                    best_r = dt_r if best_r is None else min(best_r, dt_r)
+                log(f"race {cand}: {best_r / frames * 1e3:.3f} ms/frame")
+                timed.append((best_r, cand, fn_r, mvp_r, fe_r))
+            except Exception as e:
+                # a racer that warmed but fails the timed re-run just
+                # drops out; the bench must still emit its JSON line
+                log(f"race {cand} failed ({type(e).__name__}); dropped")
+        if timed:
+            timed.sort(key=lambda t: t[0])
+            _, cfg, render, mvp_for, frames_eff = timed[0]
     if render is None:
         log("all pallas configs failed; XLA fallback")
         # reset mvp_for/frames_eff: a failed batched/fused candidate

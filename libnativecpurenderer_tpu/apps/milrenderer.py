@@ -603,9 +603,11 @@ class Renderer:
         else:
             for i in frame_range:
                 # executor flushes donate the framebuffer, so each frame
-                # starts from a fresh device copy of the snapshot
-                with timer.phase("record"):
+                # starts from a fresh device copy of the snapshot (a
+                # device op — counted as dispatch, not host record)
+                with timer.phase("dispatch"):
                     self.ctx._fb = jnp.copy(static_fb)
+                with timer.phase("record"):
                     self.draw_frame(chart, i / self.fps, hit_effects,
                                     include_static=False)
                 with timer.phase("dispatch"):

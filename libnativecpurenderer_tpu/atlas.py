@@ -100,45 +100,48 @@ def get_store(dtype=None) -> TextureStore:
 def reset_stores() -> None:
     """Testing hook: drop all atlas state."""
     _stores.clear()
-    global _dispatch_epoch
-    _dispatch_epoch = 0
     _pipelines.clear()
 
 
 # ---------------------------------------------------------------------- #
-# dispatch fence: shared-texture region recycling (texture.py)
+# dispatch fences: shared-texture region recycling (texture.py)
 #
 # A recording proxy samples a shared texture whose owner redraws per
 # frame; each refresh snapshots into a NEW region so already-recorded
 # commands keep their old texels (the atlas device array is immutable —
 # whatever a dispatch reads is captured at that point).  A superseded
 # region is safe to REUSE once every command referencing it has been
-# rendered: its sampler's record buffer was handed off (gen advanced /
-# buffer replaced) AND a pipeline flush has since rendered the pending
-# frames.  Pipelines bump this epoch after each flush; the bump is
-# skipped while any OTHER live pipeline still holds un-rendered pending
-# frames (they may reference the region).  Without any pipeline the
-# epoch never advances and retired regions are simply never reused —
-# the pre-recycling behaviour.
+# rendered.  Each pipeline carries its own fence counter, bumped after
+# every flush (all of ITS pending frames rendered); texture.py stamps
+# the live pipelines' counters when a retired region's sampler guards
+# release and frees the region once EVERY stamped pipeline has fenced
+# again (or died) — per-pipeline counters keep interleaved concurrent
+# pipelines from stalling each other (a global epoch deadlocked there,
+# round-3 review).  Without any live pipeline, regions sampled by
+# no-flush recording proxies are never reused — the pre-recycling
+# behaviour (a proxy's frames may be executed by machinery we can't
+# observe).
 # ---------------------------------------------------------------------- #
 import weakref                                                 # noqa: E402
 
-_dispatch_epoch = 0
 _pipelines: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def register_pipeline(pipe) -> None:
+    pipe._fence_count = 0
     _pipelines.add(pipe)
 
 
-def dispatch_epoch() -> int:
-    return _dispatch_epoch
-
-
-def dispatch_fence(from_pipe=None) -> None:
+def dispatch_fence(pipe) -> None:
     """Called by a pipeline after it rendered its pending frames."""
-    global _dispatch_epoch
-    for p in _pipelines:
-        if p is not from_pipe and getattr(p, "_pending", None):
-            return
-    _dispatch_epoch += 1
+    pipe._fence_count += 1
+
+
+def pipeline_stamp():
+    """Snapshot (weakref, fence_count) of every live pipeline."""
+    return [(weakref.ref(p), p._fence_count) for p in _pipelines]
+
+
+def stamp_passed(stamp) -> bool:
+    """True once every stamped pipeline has fenced again or died."""
+    return all(p() is None or p()._fence_count > c for p, c in stamp)

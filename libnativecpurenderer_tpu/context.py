@@ -435,10 +435,12 @@ class RenderContext:
                 self.flush()
                 tex._refresh_shared()
             tex._shared_seq = owner._seq
-        if owner is not None and self._no_flush_record:
-            # this proxy's recorded commands reference the CURRENT region
-            # set; the refresh above retires regions under these guards
-            # so they are only recycled once this proxy's batch rendered
+        if owner is not None:
+            # this context's recorded command references the CURRENT
+            # region set; the next refresh retires those regions under
+            # this guard so they are only recycled once the command was
+            # rendered (flush-clear for direct contexts, submit+clear
+            # for recording proxies — texture.py recycling notes)
             tex._note_recording_sampler(self)
         scale_x = tex.width / width
         scale_y = tex.height / height

@@ -179,8 +179,11 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
     ``mxu`` (table from build_table_mxu) evaluates the chunk's edge/z/
     attr planes with ONE (q*kcc, 4) x (4, P) matmul on the MXU instead
     of ~2(4+D) broadcast-FMA VPU ops (the walk is VPU-compute-bound,
-    ROADMAP): 1 = precision HIGHEST (6-pass bf16, near-f32), 2 = DEFAULT
-    (single bf16 pass — coarser rounding, fastest)."""
+    ROADMAP).  1 = precision HIGHEST (6-pass bf16, near-f32: +-1 u8
+    quantisation slips vs the FMA walk).  2 = DEFAULT (single bf16
+    pass) is a MEASUREMENT-ONLY speed bound: bf16 rounds the pixel
+    COORDINATES themselves (spacing 8 at x in [1024, 2048)), moving
+    coverage boundaries by multiple pixels at 1080p — never ship it."""
     P = tile_h * tile_w
 
     def kernel(scal_ref, blk0_ref, blk1_ref, table_ref, keys_ref, rgba_ref,

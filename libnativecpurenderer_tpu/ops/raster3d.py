@@ -762,7 +762,9 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
 
     ``mxu`` (flat+u8 only) switches the kernel's chunk walk to one
     MXU matmul over an affine-plane table (build_table_mxu): 1 =
-    HIGHEST precision, 2 = DEFAULT (bf16, coarser rounding)."""
+    HIGHEST precision (+-1 u8 slips); 2 = DEFAULT single-pass bf16 —
+    measurement-only, bf16 rounds the pixel coordinates themselves and
+    distorts coverage by pixels at 1080p."""
     from . import pallas_raster
     if mxu:
         assert flat and u8, "mxu walk requires flat=True, u8=True"

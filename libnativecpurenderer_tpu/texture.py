@@ -122,47 +122,68 @@ class Texture:
     # A per-frame-refreshed shared texture retires one region set per
     # refresh; without reclamation a long render grows the atlas
     # unboundedly (round-3 review).  Retired regions come back through a
-    # per-texture pool once (a) every recording proxy that sampled them
-    # handed its commands off (buffer gen advanced / buffer replaced /
-    # proxy collected) and (b) a pipeline dispatch fence has passed
-    # since (atlas.dispatch_fence) — at that point every recorded
-    # command referencing the old texels has been rendered against an
-    # (immutable) atlas snapshot that still contained them.
+    # per-texture pool once
+    #   (a) every recorder that sampled them released its guard: the
+    #       record buffer was cleared (gen bump — clears happen AFTER
+    #       submit in every supported flow) or both the buffer and its
+    #       param array died (no live snapshot views — snapshot views
+    #       keep the array alive, so a preparer's un-submitted frames
+    #       HOLD the guard even after the buffer was swapped), and
+    #   (b) every pipeline alive at guard-release time has fenced again
+    #       (atlas.dispatch_fence) — all frames pending then, which may
+    #       reference the region, have been rendered against an
+    #       (immutable) atlas snapshot that still contained it.
+    # Ordering contract: a snapshot must be submitted to its pipeline
+    # BEFORE the recording buffer is cleared (the pipeline flow does
+    # this); clearing first would release the guard while the frame
+    # still waits to sample the region.
+    # With no live pipeline, regions guarded by no-flush proxies stay
+    # retired forever (their frames execute through machinery we cannot
+    # observe) — the safe pre-recycling behaviour.
 
     def _shared_gc_init(self):
         if not hasattr(self, "_retired"):
-            self._retired = []        # [guards, {key: (ox, oy)}, stamp]
+            # entries: [guards, {store key: (ox, oy)}, stamp, no_flush]
+            self._retired = []
             self._region_pool = {}    # store key -> [(ox, oy)]
-            self._cur_samplers = {}   # id(proxy) -> (ctx_wr, cmds_wr, gen)
+            self._cur_samplers = {}   # id(cmds) -> guard tuple
 
-    def _note_recording_sampler(self, proxy) -> None:
-        """Record that ``proxy`` (a no-flush recording context) sampled
-        the CURRENT region set (context._tex_specific calls this on
-        every shared-texture draw it records)."""
+    def _note_recording_sampler(self, ctx) -> None:
+        """Record that ``ctx`` recorded a draw sampling the CURRENT
+        region set (context._tex_specific calls this for EVERY
+        shared-texture draw — flushing contexts release their guard at
+        the flush-clear; no-flush proxies at submit+clear)."""
         import weakref
         self._shared_gc_init()
-        self._cur_samplers[id(proxy)] = (
-            weakref.ref(proxy), weakref.ref(proxy._cmds), proxy._cmds.gen)
+        cmds = ctx._cmds
+        self._cur_samplers[id(cmds)] = (
+            weakref.ref(cmds), weakref.ref(cmds.params), cmds.gen,
+            ctx._no_flush_record)
 
     @staticmethod
     def _guard_released(guard) -> bool:
-        ctx_wr, cmds_wr, gen = guard
-        ctx = ctx_wr()
-        if ctx is None:
-            return True
+        cmds_wr, params_wr, gen, _nf = guard
         cmds = cmds_wr()
-        return cmds is None or ctx._cmds is not cmds or cmds.gen > gen
+        if cmds is not None:
+            return cmds.gen > gen
+        # buffer object gone (e.g. preparer swapped it out): released
+        # only when the param array died too — live snapshot views keep
+        # it alive, and those frames may not have been rendered yet
+        return params_wr() is None
 
     def _reclaim_retired(self) -> None:
-        epoch = atlas_mod.dispatch_epoch()
         keep = []
         for entry in self._retired:
-            guards, regions, stamp = entry
+            guards, regions, stamp, no_flush = entry
             if stamp is None:
                 if all(self._guard_released(g) for g in guards):
-                    entry[2] = epoch        # promote; free on NEXT fence
+                    stamp = atlas_mod.pipeline_stamp()
+                    if not stamp and no_flush:
+                        # no pipeline to fence against: hold forever
+                        stamp = False
+                    entry[2] = stamp
                 keep.append(entry)
-            elif epoch > stamp:
+            elif stamp is not False and atlas_mod.stamp_passed(stamp):
                 for key, r in regions.items():
                     self._region_pool.setdefault(key, []).append(r)
             else:
@@ -192,8 +213,9 @@ class Texture:
         self._shared_gc_init()
         regions = {self._store.dtype.str: (self._ox, self._oy)}
         regions.update(self._alt_regions)
-        self._retired.append([list(self._cur_samplers.values()),
-                              regions, None])
+        guards = list(self._cur_samplers.values())
+        self._retired.append([guards, regions, None,
+                              any(g[3] for g in guards)])
         self._cur_samplers = {}
         self._reclaim_retired()
         self._ox, self._oy = self._pool_alloc(self._store)

@@ -210,32 +210,35 @@ def test_u8_mxu_walk_matches():
     bit-equal."""
     v, f, c, m = _scene()
     bg = jnp.asarray([0.12, 0.34, 0.56, 1.0], jnp.float32)
-    base, _, ovf = raster3d.render_gouraud_pallas(
-        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96, bg=bg,
-        span_x=8, span_y=8, interpret=True, flat=True, u8=True)
-    mx, _, ovf_m = raster3d.render_gouraud_pallas(
-        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96, bg=bg,
-        span_x=8, span_y=8, interpret=True, flat=True, u8=True, mxu=1)
-    assert not bool(ovf) and not bool(ovf_m)
-    a, b = np.asarray(base), np.asarray(mx)
-    d = np.abs(a.astype(np.int32) - b.astype(np.int32))
-    diff = np.any(d > 0, axis=-1)
-    # ulp slips across a x255 truncation boundary are common (~7% of
-    # pixels on this scene) but bounded to 1; anything larger means a
-    # knife-edge winner flip, which must stay rare
-    assert diff.mean() <= 0.15, diff.mean()
-    big = diff & (d.max(axis=-1) > 1)
-    assert big.mean() <= 0.002, big.mean()
+    # both concat paths: opaque=False (nacc=4, nq=8) and opaque=True
+    # (nacc=3, nq=7 — the bench race configuration)
+    for opaque in (False, True):
+        kw = dict(tile_w=32, tile_h=8, capacity=96, bg=bg, span_x=8,
+                  span_y=8, interpret=True, flat=True, u8=True,
+                  opaque=opaque)
+        base, _, ovf = raster3d.render_gouraud_pallas(
+            v, f, c, W, H, m, **kw)
+        mx, _, ovf_m = raster3d.render_gouraud_pallas(
+            v, f, c, W, H, m, **kw, mxu=1)
+        assert not bool(ovf) and not bool(ovf_m)
+        a, b = np.asarray(base), np.asarray(mx)
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        diff = np.any(d > 0, axis=-1)
+        # ulp slips across a x255 truncation boundary are common (~7%
+        # of pixels on this scene) but bounded to 1; anything larger
+        # means a knife-edge winner flip, which must stay rare
+        assert diff.mean() <= 0.15, (opaque, diff.mean())
+        big = diff & (d.max(axis=-1) > 1)
+        assert big.mean() <= 0.002, (opaque, big.mean())
 
-    # the batched launcher must agree with the single-frame mxu path
-    # exactly (same table, same kernel, same arithmetic)
-    mvps = jnp.stack([m, m])
-    mb, _, ovf_b = raster3d.render_gouraud_pallas_batch(
-        v, f, c, W, H, mvps, tile_w=32, tile_h=8, capacity=96, bg=bg,
-        span_x=8, span_y=8, interpret=True, flat=True, u8=True, mxu=1)
-    assert not bool(ovf_b)
-    np.testing.assert_array_equal(np.asarray(mb[0]), b)
-    np.testing.assert_array_equal(np.asarray(mb[1]), b)
+        # the batched launcher must agree with the single-frame mxu
+        # path exactly (same table, same kernel, same arithmetic)
+        mvps = jnp.stack([m, m])
+        mb, _, ovf_b = raster3d.render_gouraud_pallas_batch(
+            v, f, c, W, H, mvps, **kw, mxu=1)
+        assert not bool(ovf_b)
+        np.testing.assert_array_equal(np.asarray(mb[0]), b)
+        np.testing.assert_array_equal(np.asarray(mb[1]), b)
 
 
 def test_u8_batch_matches_per_frame():

@@ -150,6 +150,105 @@ def test_shared_refresh_regions_recycled_in_pipeline():
     assert len(shared._retired) <= 8, len(shared._retired)
 
 
+def test_shared_region_not_recycled_under_held_snapshot():
+    """A preparer that swaps its command buffer (end_of_frame) while the
+    snapshot is still un-submitted must HOLD the region guard: the live
+    snapshot views keep the param array alive, and freeing the region
+    would let a later refresh re-upload new texels under the queued
+    frame (round-3 review finding)."""
+    from libnativecpurenderer_tpu import pipeline as pl
+
+    owner = make_ctx()
+    owner.fill_color(0.25, 0.0, 0.0, 1.0)
+    shared = owner.as_texture_shared()
+
+    rec = R.MultiThreadedVideoRenderContextPreparer(None, 64, 32, True)
+
+    class _Sink:
+        def __init__(self):
+            self.frames = []
+
+        def put_frame_u8(self, fr):
+            self.frames.append(np.asarray(fr))
+
+    sink = _Sink()
+    pipe = pl.BatchedVideoPipeline(sink, 64, 32, batch=1, dtype=rec._dtype)
+
+    # frame 0 samples region set A, then end_of_frame swaps the buffer
+    # WITHOUT submitting (the held-snapshot window)
+    rec.draw_texture(shared, 0, 0, 64, 32)
+    rec.end_of_frame()
+    held_k, held_p = rec.frames[0]
+
+    # many refresh cycles while the snapshot is held: region A must not
+    # be recycled even though fences pass (pipe flushes other frames)
+    for i in range(6):
+        owner.fill_color(0.5, (i % 2) * 0.5, 1.0, 1.0)
+        rec.draw_texture(shared, 0, 0, 64, 32)
+        k, p = rec._cmds.snapshot()
+        pipe.submit(k, p)
+        rec._cmds.clear()
+        pipe.flush()
+
+    # now submit the held frame 0: it must still sample the ORIGINAL
+    # red texels
+    pipe.submit(held_k, held_p)
+    rec.frames.clear()
+    pipe.finish()
+    first = sink.frames[-1]
+    assert first[16, 32, 0] == int(np.float64(0.25) * 255), first[16, 32]
+    assert first[16, 32, 2] == 0
+
+
+def test_dual_pipeline_interleave_still_recycles():
+    """Two pipelines fed in alternation must not stall region recycling:
+    fences are per-pipeline counters, not a global all-idle epoch
+    (round-3 review finding)."""
+    from libnativecpurenderer_tpu import pipeline as pl
+
+    owner = make_ctx()
+    owner.fill_color(0.0, 0.0, 0.0, 1.0)
+    shared = owner.as_texture_shared()
+
+    recs = [R.MultiThreadedVideoRenderContextPreparer(None, 64, 32, True)
+            for _ in range(2)]
+
+    class _Sink:
+        def __init__(self):
+            self.frames = []
+
+        def put_frame_u8(self, fr):
+            self.frames.append(np.asarray(fr))
+
+    sinks = [_Sink(), _Sink()]
+    pipes = [pl.BatchedVideoPipeline(sinks[j], 64, 32, batch=2,
+                                     dtype=recs[j]._dtype)
+             for j in range(2)]
+    store = shared._store
+    marks = []
+    colors = []
+    for i in range(24):
+        j = i % 2                       # alternate pipelines
+        c = (i % 4) / 4.0
+        owner.fill_color(c, 0.25, 0.75, 1.0)
+        colors.append(c)
+        recs[j].draw_texture(shared, 0, 0, 64, 32)
+        k, p = recs[j]._cmds.snapshot()
+        pipes[j].submit(k, p)
+        recs[j]._cmds.clear()
+        marks.append(store._y_next)
+    for p_ in pipes:
+        p_.finish()
+    # every frame exact (each side sees the owner state at record time)
+    for j in range(2):
+        for fi, fr in enumerate(sinks[j].frames):
+            want = int(np.float64(colors[2 * fi + j]) * 255)
+            assert fr[16, 32, 0] == want, (j, fi, fr[16, 32, 0], want)
+    # and the atlas stopped growing (per-pipeline fences let retired
+    # regions recycle despite the interleave)
+    assert marks[-1] == marks[16], marks
+
+
 def test_shared_onto_own_context():
     """Blitting a shared texture onto its own context samples the fb as
     of the draw's record point (reference aliasing, minus in-flight

@@ -41,7 +41,9 @@ CFGS = [
     dict(tile_w=32, tile_h=32, span_x=5, span_y=3, kcc=16),
     # MXU walk, HIGHEST precision (6-pass bf16, near-f32)
     dict(tile_w=32, tile_h=32, span_x=5, span_y=3, kcc=16, mxu=1),
-    # MXU walk, DEFAULT precision (single bf16 pass, coarsest/fastest)
+    # MXU walk, DEFAULT precision: measurement-only speed bound
+    # (bf16 rounds pixel coordinates -> multi-pixel distortion at
+    # 1080p; never a production config)
     dict(tile_w=32, tile_h=32, span_x=5, span_y=3, kcc=16, mxu=2),
     # bigger chunks amortise the concat/reshape + per-chunk gather;
     # M = 7*32 = 224 sublanes = 2 MXU row blocks
