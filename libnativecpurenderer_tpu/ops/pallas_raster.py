@@ -466,12 +466,12 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+                   static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                      tile_h: int, tile_w: int, Kb: int,
                      interpret: bool = False, kcc: int = KCC,
                      tiles_per_frame: int = 0, tex_dims=None,
-                     tex_nw: int = 8):
+                     tex_nw: int = 8, mxu: int = 0):
     """tex_resolve kernel launch (see _make_kernel_flat): tex_l is the
     packed-i32 texture in (th*bpr, 128) window layout, VMEM-resident
     across all programs.  scalars: (5*NT+1,) with the packed background
@@ -508,7 +508,7 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
     packed, fbidx = pl.pallas_call(
         _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=True,
                           tex_dims=tuple(tex_dims), tex_resolve=True,
-                          tex_nw=tex_nw),
+                          tex_nw=tex_nw, mxu=mxu),
         out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
                    jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
         grid_spec=grid_spec,
@@ -666,7 +666,7 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
                                     tile_w: int, tile_h: int, Kb: int,
                                     tex_dims, interpret: bool = False,
                                     kcc: int = KCC, tex_nw: int = 8,
-                                    detile: bool = True):
+                                    detile: bool = True, mxu: int = 0):
     """Batched in-kernel-texel raster: B frames in one launch through the
     tex_resolve kernel (texels fetched from the VMEM-resident packed
     texture via per-tile footprint windows).  Returns
@@ -695,7 +695,8 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
 
     packed, fbidx = raster_tiles_tex(
         sorted_pads.reshape(-1), tables, scalars, tex_l, Bn * nt,
-        tile_h, tile_w, Kb, interpret, kcc, nt, tuple(tex_dims), tex_nw)
+        tile_h, tile_w, Kb, interpret, kcc, nt, tuple(tex_dims), tex_nw,
+        mxu)
 
     if not detile:
         return packed.reshape(Bn, nt, -1), fbidx.reshape(Bn, nt, -1)

@@ -1006,7 +1006,8 @@ def pack_texture_u8(tex_u8):
 
 
 @functools.partial(
-    jax.jit, static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17))
+    jax.jit,
+    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18))
 def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  height: int, mvps=None,
                                  tile_w: int = 64, tile_h: int = 16,
@@ -1015,7 +1016,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  interpret: bool = False, kcc: int = 16,
                                  perspective_correct: bool = True,
                                  tex_nw: int = 16,
-                                 fb_tile_cap: int = 1024):
+                                 fb_tile_cap: int = 1024, mxu: int = 0):
     """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
     launch.  The tile kernel fetches texels IN-KERNEL from the
     VMEM-resident packed texture through per-tile UV-footprint windows
@@ -1059,8 +1060,15 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
         else:
             attrs = jnp.concatenate(
                 [fuv_all, jnp.ones_like(fuv_all)], axis=-1)
-        table = pallas_raster.build_table(A, B, C, zsc, ia, sg, vl,
-                                          attrs)
+        if mxu:
+            # affine UVW planes: same MXU chunk walk as the color path
+            # (u/v planes precombine per-edge weights -> texel index
+            # can flip to the neighbouring texel at UV knife edges)
+            table = pallas_raster.build_table_mxu(A, B, C, zsc, ia, sg,
+                                                  vl, attrs)
+        else:
+            table = pallas_raster.build_table(A, B, C, zsc, ia, sg, vl,
+                                              attrs)
         return sorted_pad, starts, counts, table, ovf
 
     sps, starts, counts, tables, ovfs = jax.vmap(prep)(mvps)
@@ -1071,7 +1079,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
     pk, fb = pallas_raster.render_binned_tex_resolve_batch(
         sps, starts, counts, tables, tex_l, bg, width, height, tile_w,
         tile_h, capacity, (th_t, tw_t), interpret, kcc, tex_nw,
-        detile=False)                          # (B, NT, P) each
+        detile=False, mxu=mxu)                 # (B, NT, P) each
     Bn, nt, P = pk.shape
     pk2 = pk.reshape(Bn * nt, P)
     fb2 = fb.reshape(Bn * nt, P)

@@ -209,3 +209,31 @@ def test_tex_resolve_full_gather_escape():
             interpret=True, perspective_correct=True, fb_tile_cap=cap)
         outs.append(np.asarray(fb)[0])
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_tex_mxu_walk_matches():
+    # the MXU chunk walk on the textured path (affine UVW planes,
+    # build_table_mxu): identical hit masks; texel flips only at UV
+    # knife edges (precombined u/v plane rounding), so >=99% of pixels
+    # carry the identical texel
+    rng = np.random.default_rng(11)
+    verts, faces, uvs = mesh.quad_batch(12, seed=3)
+    tex_u8 = rng.integers(0, 256, (32, 32, 4), np.uint8)
+    mvp = np.eye(4, dtype=np.float32)
+    for persp in (False, True):
+        outs = []
+        for mxu in (0, 1):
+            fb, ovf = raster3d.render_textured_pallas_batch(
+                jnp.asarray(verts, jnp.float32),
+                jnp.asarray(faces, jnp.int32),
+                jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8),
+                W, H, jnp.asarray(np.stack([mvp, mvp])),
+                tile_w=32, tile_h=8, capacity=64, span_x=8, span_y=8,
+                interpret=True, perspective_correct=persp, mxu=mxu)
+            assert not bool(ovf)
+            outs.append(np.asarray(fb))
+        a, b = outs
+        np.testing.assert_array_equal(b[0], b[1])
+        np.testing.assert_array_equal(a[0][..., 3] > 0, b[0][..., 3] > 0)
+        same = (a[0].astype(np.int32) == b[0].astype(np.int32)).all(-1)
+        assert same.mean() > 0.99, (persp, same.mean())

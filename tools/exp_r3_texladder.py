@@ -40,6 +40,12 @@ CFGS = [
     dict(tile_w=32, tile_h=32, span_x=5, span_y=4, tex_nw=16, B=1),
     dict(tile_w=32, tile_h=32, span_x=5, span_y=4, tex_nw=8, B=12),
     dict(tile_w=64, tile_h=32, span_x=3, span_y=4, tex_nw=16, B=12),
+    # MXU chunk walk on the UVW planes (exp_r4_mxu rationale; texel
+    # flips only at UV knife edges)
+    dict(tile_w=64, tile_h=16, span_x=3, span_y=6, tex_nw=16, B=12,
+         mxu=1),
+    dict(tile_w=64, tile_h=16, span_x=3, span_y=6, tex_nw=16, B=1,
+         mxu=1),
 ]
 
 
