@@ -82,8 +82,14 @@ def _make_kernel(tile_h, tile_w, ncmd, dtype):
                         & (Y >= p(8)) & (Y < p(9)))
 
             def inv_point():
-                return (p(0) * X + p(2) * Y + p(4),
-                        p(1) * X + p(3) * Y + p(5))
+                # SAME 1/256 subpixel snap as executor._snap: without
+                # it, knife-edge membership can flip vs the scan/
+                # unrolled executors (caught by extended fuzz, seed
+                # 7023/7025 of test_fuzz_kernel_route_vs_scan)
+                ix = p(0) * X + p(2) * Y + p(4)
+                iy = p(1) * X + p(3) * Y + p(5)
+                return (jnp.round(ix * 256.0) * (1.0 / 256.0),
+                        jnp.round(iy * 256.0) * (1.0 / 256.0))
 
             def ct(r, g, b, a):
                 return r * p(10), g * p(11), b * p(12), a * p(13)
