@@ -11,6 +11,7 @@ Auxiliary numbers (Mtri/s, audio mixdown xRT) go to stderr.
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -142,9 +143,19 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
     cfg = None
     outs = None
     racers = []      # (candidate, fn, mvp_for, frames_eff) — see race flag
+    race_t0 = time.monotonic()
+    # warm-compile budget for the race group: cold Pallas compiles ride
+    # the remote tunnel at 0.5-10 min each; once one racer is warm, stop
+    # warming more after this many seconds so the bench always finishes
+    RACE_WARM_BUDGET_S = float(os.environ.get(
+        "TPURENDER_BENCH_RACE_BUDGET_S", "600"))
     for candidate in ladder:
         if racers and not candidate.get("race"):
             break        # race group satisfied; don't warm the fallbacks
+        if (racers and candidate.get("race")
+                and time.monotonic() - race_t0 > RACE_WARM_BUDGET_S):
+            log(f"race warm budget exhausted; skipping {candidate}")
+            continue
         kw = dict(candidate)
         kw.pop("race", None)
         try:
