@@ -432,6 +432,15 @@ class RenderContext:
                         "state is undefined until its batch executes")
                 tex._refresh_shared_new_region()
             else:
+                if owner._no_flush_record and owner._cmds.n > 0:
+                    # same hazard from a NORMAL sampler: refreshing would
+                    # flush the OWNER proxy, silently consuming its queued
+                    # frame commands into its fb (round-3 review)
+                    raise ValueError(
+                        "shared texture sampled while its owner (a "
+                        "recording proxy) has pending commands — the "
+                        "owner's framebuffer state is undefined until "
+                        "its batch executes")
                 self.flush()
                 tex._refresh_shared()
             tex._shared_seq = owner._seq

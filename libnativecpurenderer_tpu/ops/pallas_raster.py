@@ -880,19 +880,23 @@ def render_binned_dynrows_batch_u8(rows, starts, counts, bg, width: int,
     Bn, cap = rows.shape[0], rows.shape[1]
     assert g * cap <= DYNROWS_BATCH_ROWS, (g, cap)
     grp = min((DYNROWS_BATCH_ROWS // cap) // g * g, Bn)
-    assert grp and Bn % grp == 0, (Bn, grp)
+    # slices need only be multiples of g (frames per program); a
+    # remainder slice smaller than grp is fine (round-3 review: the old
+    # Bn % grp == 0 assert rejected e.g. 6-frame batches at grp=4)
+    assert grp and Bn % g == 0, (Bn, g, grp)
 
     tids = jnp.arange(nt, dtype=jnp.int32)
-    ox = jnp.tile(tids % ntx * tile_w, grp // g)
-    oy = jnp.tile(tids // ntx * tile_h, grp // g)
     bgp = _pack_bg(bg)[None]
 
     outs = []
     for s0 in range(0, Bn, grp):
-        rsl = lax.slice_in_dim(rows, s0, s0 + grp, axis=0)
+        sz = min(grp, Bn - s0)
+        rsl = lax.slice_in_dim(rows, s0, s0 + sz, axis=0)
+        ox = jnp.tile(tids % ntx * tile_w, sz // g)
+        oy = jnp.tile(tids // ntx * tile_h, sz // g)
         cs, offs = [], []
         for q in range(g):
-            fsel = s0 + jnp.arange(grp // g) * g + q
+            fsel = s0 + jnp.arange(sz // g) * g + q
             cs.append(counts[fsel].reshape(-1))
             offs.append(starts[fsel].reshape(-1))
         scal = jnp.concatenate(
@@ -900,9 +904,9 @@ def render_binned_dynrows_batch_u8(rows, starts, counts, bg, width: int,
              for x in (cs + [ox, oy] + offs + [bgp])])
         out = raster_tiles_dynrows(rsl, scal, nt, tile_h, tile_w, g,
                                    kcc, interpret)
-        # (npg, g, P) -> (grp, nt, P) in frame order
-        out = out.reshape(grp // g, nt, g, P)
-        outs.append(jnp.moveaxis(out, 2, 1).reshape(grp, nt, P))
+        # (npg, g, P) -> (sz, nt, P) in frame order
+        out = out.reshape(sz // g, nt, g, P)
+        outs.append(jnp.moveaxis(out, 2, 1).reshape(sz, nt, P))
     packed = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
     return jax.vmap(
         lambda p: _detile_packed(p, nty, ntx, tile_h, tile_w, height,

@@ -326,6 +326,16 @@ def test_dynrows_matches_flat_u8(g):
     assert z is None and not bool(ovf) and not bool(ovf0)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    if g == 1:
+        # batch sizes that don't divide the operand group are sliced
+        # with a remainder (rows_cap=65536 -> grp=3 for this 4-frame
+        # batch: one 3-frame slice + one 1-frame remainder; the old
+        # Bn % grp == 0 assert rejected this — round-3 review)
+        got_r, _, ovf_r = raster3d.render_gouraud_pallas_batch(
+            v, f, c, W, H, mvps, dynrows=1, rows_cap=65536, kcc=8, **kw)
+        assert not bool(ovf_r)
+        np.testing.assert_array_equal(np.asarray(got_r), np.asarray(ref))
+
 
 def test_dynrows_overflow_flag():
     """Real pair counts beyond rows_cap - capacity must raise the

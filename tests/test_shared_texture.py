@@ -200,6 +200,26 @@ def test_shared_region_not_recycled_under_held_snapshot():
     assert first[16, 32, 2] == 0
 
 
+def test_normal_sampler_of_pending_proxy_owner_raises():
+    """A NORMAL context sampling a shared texture whose owner is a
+    recording proxy with queued commands must raise, not silently flush
+    the owner (consuming its pending frame) — round-3 review: the old
+    guard only covered proxy samplers."""
+    import pytest
+
+    owner = R.MultiThreadedVideoRenderContextPreparer(None, 32, 24, True)
+    owner.fill_color(0.1, 0.2, 0.3, 1.0)     # frame 0: still queued
+    shared = owner.as_texture_shared()
+    owner.draw_rect(0, 0, 8, 8, 1, 1, 1, 1)  # pending commands
+    pending_before = owner._cmds.n
+
+    dst = make_ctx()
+    with pytest.raises(ValueError):
+        dst.draw_texture(shared, 0, 0, 32, 24)
+    # the owner's queued commands survived untouched
+    assert owner._cmds.n == pending_before
+
+
 def test_dual_pipeline_interleave_still_recycles():
     """Two pipelines fed in alternation must not stall region recycling:
     fences are per-pipeline counters, not a global all-idle epoch
