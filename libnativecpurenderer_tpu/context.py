@@ -120,7 +120,7 @@ class RenderContext:
             self._fb, jnp.asarray(kp), jnp.asarray(pp), self._store.device,
             patch, patch_big)
 
-    def _flush_segmented(self, kinds, params) -> None:
+    def _flush_segmented(self, kinds, params, segs=None) -> None:
         """Production path (ops/patch_exec.py): order-preserving segments.
 
         Consecutive patch / full-arith segments fold into ONE packed
@@ -130,8 +130,9 @@ class RenderContext:
         (whole-atlas gathers) dispatch on the round-1 scan in between.
         """
         atlas = self._store.device
-        segs = patch_exec.plan_segments(kinds, params, self.width,
-                                        self.height, atlas.shape)
+        if segs is None:
+            segs = patch_exec.plan_segments(kinds, params, self.width,
+                                            self.height, atlas.shape)
         group: list = []
         for seg in segs:
             if seg[0] == "fullsamp":
@@ -211,6 +212,63 @@ class RenderContext:
         return sel >= C.N_KINDS or sel in (C.KIND_RECT, C.KIND_CIRCLE,
                                            C.KIND_LINE, C.KIND_VGRD)
 
+    def _unroll_pack(self, group, kinds, params):
+        """Canonical padded signature + packed param rows for a group of
+        patch/fullarith segments, or None when the unrolled path should
+        not fire (disabled, signature not yet repeated, or compile cap
+        reached).  Owns the signature-cache bookkeeping and hit/miss
+        counters shared by flush() and the batched frame pipeline."""
+        if not config.flush_unrolled_enabled():
+            RenderContext._unroll_misses += 1
+            return None
+        sig = []
+        slices = []          # (lo, hi, pad) param-row pieces
+        for seg in group:
+            if seg[0] == "patch":
+                _, P, R, lo, hi, sels, _wr = seg
+                runs = []
+                k = 0
+                while k < len(sels):
+                    j = k
+                    while j < len(sels) and sels[j] == sels[k]:
+                        j += 1
+                    if self._sel_pad_safe(sels[k]):
+                        cnt = self._run_bucket(j - k)
+                    else:
+                        cnt = j - k
+                    runs.append((sels[k], cnt))
+                    slices.append((lo + k, lo + j, cnt - (j - k)))
+                    k = j
+                sig.append(("patch", P, R, tuple(runs)))
+            else:
+                _, lo, hi = seg
+                sig.append(("fullarith",
+                            tuple(int(k) for k in kinds[lo:hi])))
+                slices.append((lo, hi, 0))
+        sig = tuple(sig)
+        key = (self.height, self.width, self._dtype.str, sig)
+        cache = RenderContext._unroll_sigs
+        compiled = RenderContext._unroll_compiled
+        seen = cache.pop(key, 0)
+        cache[key] = seen + 1            # re-insert = move to MRU end
+        if len(cache) > RenderContext._UNROLL_SIG_CAP:
+            cache.pop(next(iter(cache)))  # evict LRU
+        ok = key in compiled or (
+            seen + 1 >= config.flush_unroll_min_seen()
+            and len(compiled) < config.flush_unroll_compile_cap())
+        if not ok:
+            RenderContext._unroll_misses += 1
+            return None
+        RenderContext._unroll_hits += 1
+        compiled.add(key)
+        total = sum((hi - lo) + pad for lo, hi, pad in slices)
+        rows = np.zeros((total, C.PARAM_W), self._dtype)
+        at = 0
+        for lo, hi, pad in slices:
+            rows[at:at + hi - lo] = params[lo:hi]
+            at += (hi - lo) + pad    # pad rows stay zero (NOOP)
+        return sig, rows
+
     def _dispatch_group(self, group, kinds, params, atlas) -> None:
         """One packed upload + one flush call for a run of patch/fullarith
         segments.  Uses the unrolled executor (static branch picks, XLA
@@ -223,56 +281,12 @@ class RenderContext:
             else group[-1][4]
         ncmds = hi_last - lo0
 
-        if config.flush_unrolled_enabled():
-            # canonical padded signature + row-slice plan
-            sig = []
-            slices = []          # (lo, hi, pad) param-row pieces
-            for seg in group:
-                if seg[0] == "patch":
-                    _, P, R, lo, hi, sels, _wr = seg
-                    runs = []
-                    k = 0
-                    while k < len(sels):
-                        j = k
-                        while j < len(sels) and sels[j] == sels[k]:
-                            j += 1
-                        if self._sel_pad_safe(sels[k]):
-                            cnt = self._run_bucket(j - k)
-                        else:
-                            cnt = j - k
-                        runs.append((sels[k], cnt))
-                        slices.append((lo + k, lo + j, cnt - (j - k)))
-                        k = j
-                    sig.append(("patch", P, R, tuple(runs)))
-                else:
-                    _, lo, hi = seg
-                    sig.append(("fullarith",
-                                tuple(int(k) for k in kinds[lo:hi])))
-                    slices.append((lo, hi, 0))
-            sig = tuple(sig)
-            key = (self.height, self.width, self._dtype.str, sig)
-            cache = RenderContext._unroll_sigs
-            compiled = RenderContext._unroll_compiled
-            seen = cache.pop(key, 0)
-            cache[key] = seen + 1            # re-insert = move to MRU end
-            if len(cache) > RenderContext._UNROLL_SIG_CAP:
-                cache.pop(next(iter(cache)))  # evict LRU
-            ok = key in compiled or (
-                seen + 1 >= config.flush_unroll_min_seen()
-                and len(compiled) < config.flush_unroll_compile_cap())
-            if ok:
-                RenderContext._unroll_hits += 1
-                compiled.add(key)
-                total = sum((hi - lo) + pad for lo, hi, pad in slices)
-                rows = np.zeros((total, C.PARAM_W), self._dtype)
-                at = 0
-                for lo, hi, pad in slices:
-                    rows[at:at + hi - lo] = params[lo:hi]
-                    at += (hi - lo) + pad    # pad rows stay zero (NOOP)
-                self._fb = patch_exec.render_flush_unrolled(
-                    self._fb, jnp.asarray(rows), atlas, sig)
-                return
-        RenderContext._unroll_misses += 1
+        packed_sig = self._unroll_pack(group, kinds, params)
+        if packed_sig is not None:
+            sig, rows = packed_sig
+            self._fb = patch_exec.render_flush_unrolled(
+                self._fb, jnp.asarray(rows), atlas, sig)
+            return
         nbase = patch_exec.len_bucket(ncmds)
         packed = np.zeros((nbase + len(group), patch_exec.PACKED_W),
                           self._dtype)

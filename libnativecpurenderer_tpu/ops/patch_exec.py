@@ -476,8 +476,7 @@ def render_flush(fb, packed, atlas, plan: tuple, nbase: int):
 # small (real workloads repeat frame structures; the persistent compile
 # cache keeps warm starts cheap) and falls back to the loop above.
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-def render_flush_unrolled(fb, params, atlas, sig: tuple):
+def _unrolled_body(fb, params, atlas, sig: tuple):
     """sig: tuple of segments; each is ('patch', P, R, ((sel, cnt), ...))
     or ('fullarith', (sels...)).  params: (ncmd, PARAM_W) rows in segment
     order, ncmd = total expanded count.  Patch runs are run-length
@@ -515,6 +514,25 @@ def render_flush_unrolled(fb, params, atlas, sig: tuple):
                 fb = lax.optimization_barrier(fb)
                 i += 1
     return fb
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def render_flush_unrolled(fb, params, atlas, sig: tuple):
+    return _unrolled_body(fb, params, atlas, sig)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def frame_step_unrolled(fb0, params, atlas, sig: tuple):
+    """One whole pipeline frame in ONE device program: start from the
+    shared (NON-donated) initial framebuffer, run the unrolled flush,
+    quantise to u8.  Replaces the eager fb0.copy -> flush -> quantize
+    chain (3 tunnel queue items + an explicit 33 MB device copy at
+    1080p f32) with a single dispatch whose initial copy and final
+    quantise fuse into the command chain.  Bit-exact vs the eager
+    chain: commands stay barrier-isolated, and quantize is a single
+    rounding (mul by 255 + C-cast truncation) on the barriered fb."""
+    fb = _unrolled_body(fb0, params, atlas, sig)
+    return executor.quantize_u8(fb)
 
 
 # --------------------------------------------------------------------- #

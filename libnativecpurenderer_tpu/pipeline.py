@@ -90,17 +90,35 @@ class BatchedVideoPipeline:
         structure hit one compiled unrolled program.  Dispatches stay
         async — frames pipeline on the device queue and sync only at the
         batch's host fetch, so the batch still amortises the transfer."""
+        from .ops import patch_exec
+
         if self._exec_ctx is None:
             from .context import RenderContext
             self._exec_ctx = RenderContext(self.width, self.height, True,
                                            dtype=self._dtype)
         ctx = self._exec_ctx
+        atlas = self._store.device
         outs = []
         for k, p in pending:
+            # Fused fast path: when the frame's plan collapses to one
+            # patch/fullarith group (the common frame mix) and its
+            # signature is warm, the whole frame runs as ONE device
+            # program (fb0 -> unrolled flush -> u8), with no explicit
+            # fb copy and no separate quantize dispatch
+            # (patch_exec.frame_step_unrolled).
+            segs = patch_exec.plan_segments(k, p, self.width, self.height,
+                                            atlas.shape)
+            if all(s[0] in ("patch", "fullarith") for s in segs):
+                packed_sig = ctx._unroll_pack(segs, k, p)
+                if packed_sig is not None:
+                    sig, rows = packed_sig
+                    outs.append(patch_exec.frame_step_unrolled(
+                        self._fb0, jnp.asarray(rows), atlas, sig))
+                    continue
             # copy: the flush executors donate their fb argument, and
             # _fb0 must survive for the next frame
             ctx._fb = self._fb0.copy()
-            ctx._flush_segmented(k, p)
+            ctx._flush_segmented(k, p, segs=segs)
             outs.append(executor.quantize_u8(ctx._fb))
         return jnp.stack(outs)
 

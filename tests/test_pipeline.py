@@ -55,3 +55,57 @@ def test_batched_equals_sequential():
     assert len(sink.frames) == N
     for a, b in zip(seq, sink.frames):
         np.testing.assert_array_equal(a, b)
+
+
+def test_fused_frame_step_fires_and_matches():
+    """Frames with a repeating single-group plan take the fused
+    fb0 -> unrolled flush -> u8 program (ONE device dispatch,
+    pipeline.frame_step_unrolled) and stay bit-equal to sequential
+    rendering."""
+    from libnativecpurenderer_tpu.context import RenderContext
+    from libnativecpurenderer_tpu.ops import patch_exec
+
+    # canvas must be patch-eligible (min(W, H) >= 128) or sampling
+    # commands plan as full-frame scans and the fused path can't apply
+    W, H, N = 192, 160, 6
+    rng = np.random.default_rng(7)
+    tex = R.Texture._from_array(rng.random((16, 16, 4)), True)
+
+    def draw(ctx, i):
+        ctx.fill_color(0.1, 0.1, 0.2, 0.3)
+        ctx.draw_texture(tex, 4.0 + i, 6.0, 12.0, 12.0)
+        ctx.draw_rect(20.0, 8.0 + i, 10.0, 6.0, 0.9, 0.4, 0.2, 0.8)
+
+    seq = []
+    for i in range(N):
+        ctx = R.RenderContext(W, H, True)   # fresh zero fb per frame,
+        draw(ctx, i)                        # like the pipeline's fb0
+        seq.append(ctx.uint8_buffer().copy())
+
+    calls = []
+    orig = patch_exec.frame_step_unrolled
+
+    def spy(fb0, rows, atlas, sig):
+        calls.append(sig)
+        return orig(fb0, rows, atlas, sig)
+
+    sink = FrameSink()
+    pipe = BatchedVideoPipeline(sink, W, H, batch=3)
+    ctx2 = R.RenderContext(W, H, True)
+    patch_exec.frame_step_unrolled = spy
+    try:
+        for i in range(N):
+            draw(ctx2, i)
+            k, p = ctx2._cmds.snapshot()
+            pipe.submit(k, p)
+            ctx2._cmds.clear()
+        pipe.finish()
+    finally:
+        patch_exec.frame_step_unrolled = orig
+
+    assert len(sink.frames) == N
+    for a, b in zip(seq, sink.frames):
+        np.testing.assert_array_equal(a, b)
+    # the repeating structure must warm the signature cache and route
+    # at least the later frames through the fused program
+    assert len(calls) >= 2, "fused frame step never fired"
