@@ -364,6 +364,11 @@ class Renderer:
     def _draw_note_group(self, notes, can_break, t, line_fsp, line_fp,
                          line_visa, hit_effects):
         ctx, w, h = self.ctx, self.w, self.h
+        # loop invariants, hoisted with the SAME left-to-right FP op
+        # order as the per-note expressions they replace (bit-parity)
+        fp_base = SPEED_UNIT / MIL_SCRH * h * self.flow_speed
+        visa_px = line_visa / MIL_SCRH * h
+        width_px = (w + h) * self.note_size
         removed = []
         for note in notes:
             clicked = note.time <= t
@@ -380,25 +385,30 @@ class Renderer:
 
             g = note.acollection.get_value
             note_fsp = line_fsp * g(AnimationKey.FlowSpeed)
-            fp_mult = SPEED_UNIT / MIL_SCRH * h * self.flow_speed * note_fsp
+            fp_mult = fp_base * note_fsp
             raw_fp = note.floorPosition - line_fp
             curr_fp = raw_fp * fp_mult
+
+            # visibility cull (reference milrenderer:929) — everything
+            # between here and the original cull site is pure (animation
+            # get_value is a forward-scan cache; milpos2scrpos is
+            # stateless), so culled notes skip the position/size math
+            if curr_fp > visa_px:
+                continue
+
             rel = self.milpos2scrpos_cen(g(AnimationKey.RelativeX),
                                          g(AnimationKey.RelativeY))
             pos = (0.0, -curr_fp)
             if note.ishold and clicked:
                 pos = (0.0, 0.0)
-            if note.acollection.anim_groups[AnimationKey.PositionX]:
+            anim_groups = note.acollection.anim_groups
+            if anim_groups[AnimationKey.PositionX]:
                 pos = (g(AnimationKey.PositionX) / MIL_SCRW * w, pos[1])
-            if note.acollection.anim_groups[AnimationKey.PositionY]:
+            if anim_groups[AnimationKey.PositionY]:
                 pos = (pos[0], g(AnimationKey.PositionY) / MIL_SCRH * h)
             pos = (pos[0] + rel[0], pos[1] + rel[1])
             size = g(AnimationKey.Size) * NOTE_SCALE
-            width_px = (w + h) * self.note_size
             tex = self.game_res[note.texname]
-
-            if curr_fp > line_visa / MIL_SCRH * h:
-                continue
 
             transp = g(AnimationKey.Transparency)
             rot = -90 - g(AnimationKey.Rotation)
@@ -407,8 +417,9 @@ class Renderer:
                                        / HOLD_DISAPPEAR_TIME)
 
             ctx.save_state()
-            ctx.apply_color_transform(
-                *(v / 255 for v in g(AnimationKey.Color)))
+            col = g(AnimationKey.Color)
+            ctx.apply_color_transform(col[0] / 255, col[1] / 255,
+                                      col[2] / 255, col[3] / 255)
             ctx.apply_color_transform(1, 1, 1, transp)
             ctx.translate(*pos)
             ctx.rotate_degree(rot)
