@@ -172,12 +172,21 @@ def main():
         # covers the SAME frame range as the timed pass — a churning
         # chart's later frames have their own signatures, so warming a
         # different range leaves the timed half compile-bound.
+        # Warm until the compile set stabilises: one-shot setup flushes
+        # (initial clear, bg precomposite) occur once PER RUN, so with
+        # min_seen=2 they compile on the SECOND run — a single warm pass
+        # would leave those compiles (minutes each through the remote
+        # TPU compiler) inside the timed pass (tools/exp_sig_churn.py).
         half = args.frames // 2
         t0 = time.perf_counter()
-        r.run(zpath, "/dev/null", progress=False, start_frame=half,
-              end_frame=args.frames)
-        if r.cap.last is not None:
-            np.asarray(r.cap.last)[:1, :1]
+        for _ in range(4):
+            pre = len(RenderContext._unroll_compiled)
+            r.run(zpath, "/dev/null", progress=False, start_frame=half,
+                  end_frame=args.frames)
+            if r.cap.last is not None:
+                np.asarray(r.cap.last)[:1, :1]
+            if len(RenderContext._unroll_compiled) == pre:
+                break
         warm_dt = time.perf_counter() - t0
         h0, m0 = (RenderContext._unroll_hits,
                   RenderContext._unroll_misses)

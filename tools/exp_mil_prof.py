@@ -74,12 +74,20 @@ def main(frames=40, width=1920, height=1080, trace=False):
     SinkCap.put_renderer_context_frame = timed_put
 
     try:
-        # warm pass over the same range
+        # warm over the same range until the compile set stabilises:
+        # one-shot setup flushes (initial clear, bg precomposite) recur
+        # once PER RUN, so min_seen=2 compiles them on the SECOND run —
+        # a single warm pass leaves those compiles in the timed pass
+        # (tools/exp_sig_churn.py root-caused this)
         t0 = time.perf_counter()
-        r.run(zpath, "/dev/null", progress=False, start_frame=0,
-              end_frame=frames)
-        if r.cap.last is not None:
-            np.asarray(r.cap.last)[:1, :1]
+        for _ in range(4):
+            pre = len(RenderContext._unroll_compiled)
+            r.run(zpath, "/dev/null", progress=False, start_frame=0,
+                  end_frame=frames)
+            if r.cap.last is not None:
+                np.asarray(r.cap.last)[:1, :1]
+            if len(RenderContext._unroll_compiled) == pre:
+                break
         print(f"WARM {frames} frames wall={time.perf_counter() - t0:.1f}s "
               f"sigs={len(RenderContext._unroll_compiled)}", flush=True)
 
