@@ -26,6 +26,7 @@ import numpy as np
 
 from .. import (AudioClip, Helpers, RenderContext, Texture, VideoCap)
 from ..core import transform as xf
+from ..fastrec import mod as _fastrec
 from ..models import chart as chart_mod
 from ..models.chart import AnimationKey
 
@@ -363,6 +364,117 @@ class Renderer:
 
     def _draw_note_group(self, notes, can_break, t, line_fsp, line_fp,
                          line_visa, hit_effects):
+        if _fastrec is not None:
+            return self._draw_note_group_native(
+                notes, can_break, t, line_fsp, line_fp, line_visa,
+                hit_effects)
+        return self._draw_note_group_py(
+            notes, can_break, t, line_fsp, line_fp, line_visa,
+            hit_effects)
+
+    def _draw_note_group_native(self, notes, can_break, t, line_fsp,
+                                line_fp, line_visa, hit_effects):
+        """Native per-note hot path: chart logic (animations, hold state,
+        hit effects, removal) stays in Python; the compose + screen-cull +
+        receding-break + record chain runs in one C call per note
+        (native/fastrec.c note_blit, bit-parity with
+        _draw_note_group_py — tests/test_fastrec.py)."""
+        ctx, w, h = self.ctx, self.w, self.h
+        fp_base = SPEED_UNIT / MIL_SCRH * h * self.flow_speed
+        visa_px = line_visa / MIL_SCRH * h
+        width_px = (w + h) * self.note_size
+        base_m = ctx._state.matrix
+        base_ct = ctx._state.color
+        cmds = ctx._cmds
+        store = ctx._store
+        wf, hf = float(w), float(h)
+        game_res = self.game_res
+        note_blit = _fastrec.note_blit
+        removed = []
+        for note in notes:
+            clicked = note.time <= t
+            if clicked and not note.clicked:
+                note.clicked = True
+                hit_effects.append(HitEffect(note, note.time))
+
+            if note.ishold and note.endTime + HOLD_DISAPPEAR_TIME < t:
+                removed.append(note)
+                continue
+            if not note.ishold and clicked:
+                removed.append(note)
+                continue
+
+            g = note.acollection.get_value
+            note_fsp = line_fsp * g(AnimationKey.FlowSpeed)
+            fp_mult = fp_base * note_fsp
+            raw_fp = note.floorPosition - line_fp
+            curr_fp = raw_fp * fp_mult
+            if curr_fp > visa_px:
+                continue
+
+            rel = self.milpos2scrpos_cen(g(AnimationKey.RelativeX),
+                                         g(AnimationKey.RelativeY))
+            pos = (0.0, -curr_fp)
+            if note.ishold and clicked:
+                pos = (0.0, 0.0)
+            anim_groups = note.acollection.anim_groups
+            if anim_groups[AnimationKey.PositionX]:
+                pos = (g(AnimationKey.PositionX) / MIL_SCRW * w, pos[1])
+            if anim_groups[AnimationKey.PositionY]:
+                pos = (pos[0], g(AnimationKey.PositionY) / MIL_SCRH * h)
+            size = g(AnimationKey.Size) * NOTE_SCALE
+            tex = game_res[note.texname]
+
+            transp = g(AnimationKey.Transparency)
+            rot = -90 - g(AnimationKey.Rotation)
+            if note.ishold:
+                transp *= 1.0 - fixorp((t - note.endTime)
+                                       / HOLD_DISAPPEAR_TIME)
+            col = g(AnimationKey.Color)
+
+            if not note.ishold:
+                height_px = width_px / tex.width * tex.height
+                ishold = 0
+                hold_len = u0 = u1 = 0.0
+                need = 1
+            else:
+                atlas = game_res["meta"][
+                    "holdAtlas" if not note.morebets else "holdDoubleAtlas"]
+                hold_len = max(
+                    0.0,
+                    (note.endFloorPosition
+                     - (line_fp if clicked else note.floorPosition))
+                    * fp_mult)
+                u0 = atlas[0] / tex.width
+                u1 = 1.0 - atlas[1] / tex.width
+                height_px = 0.0
+                ishold = 1
+                need = 3
+            if cmds.n + need > cmds.kinds.shape[0]:
+                cmds._grow()
+            ox, oy = tex.region_for(store)
+            nrec, brk, extent, m = note_blit(
+                cmds.kinds, cmds.params, cmds.n, base_m,
+                pos[0] + rel[0], pos[1] + rel[1], rot, size, base_ct,
+                col[0] / 255, col[1] / 255, col[2] / 255, col[3] / 255,
+                transp, wf, hf,
+                1 if can_break else 0,
+                1.0 if fp_mult > 0 else -1.0,
+                1 if fp_mult == 0.0 else 0,
+                ishold, width_px, height_px, hold_len, u0, u1,
+                float(ox), float(oy), float(tex.width), float(tex.height))
+            if brk:
+                break
+            cmds.n += nrec
+            ctx._seq += nrec
+            if extent > ctx._max_sampling_extent:
+                ctx._max_sampling_extent = extent
+            note.transform = m
+        for n in removed:
+            notes.remove(n)
+
+    def _draw_note_group_py(self, notes, can_break, t, line_fsp, line_fp,
+                            line_visa, hit_effects):
         ctx, w, h = self.ctx, self.w, self.h
         # loop invariants, hoisted with the SAME left-to-right FP op
         # order as the per-note expressions they replace (bit-parity)

@@ -377,12 +377,360 @@ done:
     return result;
 }
 
+/* ---------------------------------------------------------------------
+ * note_blit: the whole per-note hot path of milrenderer's note loop
+ * (apps/milrenderer.py _draw_note_group) in one call — compose the
+ * note transform, run the screen cull + receding-note break test, and
+ * record the tap blit (1 row) or hold split-blits (3 rows) directly
+ * into the CommandBuffer arrays.  Pure host math; bit-parity with the
+ * Python path it replaces (same double ops in the same order,
+ * -ffp-contract=off; sin/cos/sqrt from the same libm CPython uses).
+ * Reference semantics anchor: milrenderer.py:880-1010 note loop.
+ * ------------------------------------------------------------------- */
+
+/* core/transform.compose: right-multiply, exact op order (cpp:398-411) */
+static inline void compose6(const double *o, double a, double b, double c,
+                            double d, double e, double f, double *out) {
+    out[0] = o[0] * a + o[2] * b;
+    out[1] = o[1] * a + o[3] * b;
+    out[2] = o[0] * c + o[2] * d;
+    out[3] = o[1] * c + o[3] * d;
+    out[4] = o[0] * e + o[2] * f + o[4];
+    out[5] = o[1] * e + o[3] * f + o[5];
+}
+
+static inline void tpoint(const double *m, double x, double y,
+                          double *ox, double *oy) {
+    *ox = m[0] * x + m[2] * y + m[4];
+    *oy = m[1] * x + m[3] * y + m[5];
+}
+
+/* core/transform.aabb corner math; returns -1 on NaN (caller raises
+ * like Python's int(nan)) */
+static int aabb_core(const double *m, double x, double y, double w,
+                     double h, double mw, double mh, double *out4) {
+    double a = m[0], b = m[1], c = m[2], d = m[3], e = m[4], f = m[5];
+    double xw = x + w, yh = y + h;
+    double ltx = a * x + c * y + e,  lty = b * x + d * y + f;
+    double rtx = a * xw + c * y + e, rty = b * xw + d * y + f;
+    double lbx = a * x + c * yh + e, lby = b * x + d * yh + f;
+    double rbx = a * xw + c * yh + e, rby = b * xw + d * yh + f;
+    double lf = mn(mn(ltx, rtx), mn(lbx, rbx));
+    double rf = mx(mx(ltx, rtx), mx(lbx, rbx));
+    double tf = mn(mn(lty, rty), mn(lby, rby));
+    double bf = mx(mx(lty, rty), mx(lby, rby));
+    if (lf != lf || rf != rf || tf != tf || bf != bf) return -1;
+    long long left = trunc_ll(lf), right = trunc_ll(rf);
+    long long top = trunc_ll(tf), bottom = trunc_ll(bf);
+    long long mwi = (long long)mw, mhi = (long long)mh;
+    if (left < 0) left = 0; else if (left > mwi) left = mwi;
+    if (right < 0) right = 0; else if (right > mwi) right = mwi;
+    if (top < 0) top = 0; else if (top > mhi) top = mhi;
+    if (bottom < 0) bottom = 0; else if (bottom > mhi) bottom = mhi;
+    out4[0] = (double)left; out4[1] = (double)right;
+    out4[2] = (double)top;  out4[3] = (double)bottom;
+    return 0;
+}
+
+/* milrenderer.point_in_polygon: even-odd, exact expression order */
+static int pip(const double *px, const double *py, int n, double qx,
+               double qy) {
+    int res = 0, j = n - 1;
+    for (int i = 0; i < n; i++) {
+        if (((py[i] > qy) != (py[j] > qy)) &&
+            (qx < (px[j] - px[i]) * (qy - py[i]) / (py[j] - py[i])
+                  + px[i]))
+            res = !res;
+        j = i;
+    }
+    return res;
+}
+
+static inline int seg_boxes(double a0x, double a0y, double a1x, double a1y,
+                            double b0x, double b0y, double b1x, double b1y) {
+    return !(mx(a0x, a1x) < mn(b0x, b1x) || mx(b0x, b1x) < mn(a0x, a1x) ||
+             mx(a0y, a1y) < mn(b0y, b1y) || mx(b0y, b1y) < mn(a0y, a1y));
+}
+
+/* milrenderer.polygon_in_screen incl. the exact AABB short-circuits */
+static int poly_in_screen(double w, double h, const double *px,
+                          const double *py) {
+    double xlo = mn(mn(mn(px[0], px[1]), px[2]), px[3]);
+    double xhi = mx(mx(mx(px[0], px[1]), px[2]), px[3]);
+    double ylo = mn(mn(mn(py[0], py[1]), py[2]), py[3]);
+    double yhi = mx(mx(mx(py[0], py[1]), py[2]), py[3]);
+    if (xlo > 0.0 && xhi < w && ylo > 0.0 && yhi < h) return 1;
+    if (xhi < 0.0 || xlo > w || yhi < 0.0 || ylo > h) return 0;
+    {
+        double sx[4] = {0.0, w, w, 0.0};
+        double sy[4] = {0.0, 0.0, h, h};
+        /* polygon lines are (p[i-1], p[i]) for i in 0..3 */
+        for (int i = 0; i < 4; i++) {
+            int i0 = (i + 3) & 3;
+            for (int k = 0; k < 4; k++) {
+                int k0 = (k + 3) & 3;
+                if (seg_boxes(sx[i0], sy[i0], sx[i], sy[i],
+                              px[k0], py[k0], px[k], py[k]))
+                    return 1;
+            }
+        }
+        for (int k = 0; k < 4; k++)
+            if (pip(sx, sy, 4, px[k], py[k])) return 1;
+        for (int k = 0; k < 4; k++)
+            if (pip(px, py, 4, sx[k], sy[k])) return 1;
+    }
+    return 0;
+}
+
+/* milrenderer.line_length: overflow -> inf matches the Python
+ * OverflowError->inf fallback; sqrt == correctly-rounded x**0.5 for
+ * the non-negative sums this sees */
+static inline double line_len(double x0, double y0, double x1, double y1) {
+    double dx = x1 - x0, dy = y1 - y0;
+    return sqrt(dx * dx + dy * dy);
+}
+
+static inline void emit_row(int32_t *kinds, char *pbase,
+                            Py_ssize_t stride, Py_ssize_t width,
+                            Py_ssize_t i, long kind, const double *inv,
+                            const double *box, const double *ct,
+                            const double *spec, int nspec) {
+    double *dst = (double *)(pbase + i * stride);
+    kinds[i] = (int32_t)kind;
+    for (int k = 0; k < 6; k++) dst[k] = inv[k];
+    for (int k = 0; k < 4; k++) dst[6 + k] = box[k];
+    for (int k = 0; k < 4; k++) dst[10 + k] = ct[k];
+    for (int k = 0; k < nspec; k++) dst[14 + k] = spec[k];
+    for (Py_ssize_t k = 14 + nspec; k < width; k++) dst[k] = 0.0;
+}
+
+#define KIND_TEX_C 7
+#define KIND_TEX_FAST_C 8
+#define KIND_SPLIT_TEX_C 9
+
+/* note_blit(kinds, params, n, m6base, tx, ty, deg, size, ct4,
+ *           cr, cg, cb, ca, transp, W, H,
+ *           can_break, dir_y, fp_zero, ishold,
+ *           width_px, height_px, hold_len, u0, u1, ox, oy, tw, th)
+ * -> (nrec, brk, extent, (m6...))
+ */
+static PyObject *fastrec_note_blit(PyObject *self, PyObject *args) {
+    PyObject *kinds_o, *params_o, *m_o, *ct_o;
+    Py_ssize_t n;
+    double tx, ty, deg, size, cr, cg, cb, ca, transp, W, H, dir_y;
+    int can_break, fp_zero, ishold;
+    double width_px, height_px, hold_len, u0, u1, ox, oy, tw, th;
+    if (!PyArg_ParseTuple(args, "OOnOddddOdddddddidiiddddddddd",
+                          &kinds_o, &params_o, &n, &m_o,
+                          &tx, &ty, &deg, &size, &ct_o,
+                          &cr, &cg, &cb, &ca, &transp, &W, &H,
+                          &can_break, &dir_y, &fp_zero, &ishold,
+                          &width_px, &height_px, &hold_len, &u0, &u1,
+                          &ox, &oy, &tw, &th))
+        return NULL;
+    double base[6], ctb[6];
+    if (parse6(m_o, base) < 0) return NULL;
+    {   /* ct4 */
+        PyObject *fast = PySequence_Fast(ct_o, "ct must be a 4-sequence");
+        if (!fast) return NULL;
+        if (PySequence_Fast_GET_SIZE(fast) != 4) {
+            Py_DECREF(fast);
+            PyErr_SetString(PyExc_ValueError, "ct must have 4 entries");
+            return NULL;
+        }
+        for (int i = 0; i < 4; i++) {
+            ctb[i] = PyFloat_AsDouble(PySequence_Fast_GET_ITEM(fast, i));
+            if (ctb[i] == -1.0 && PyErr_Occurred()) {
+                Py_DECREF(fast);
+                return NULL;
+            }
+        }
+        Py_DECREF(fast);
+    }
+
+    /* transform: translate -> rotate_degree -> scale, via the shared
+     * compose so zero/one products round exactly like the Python path */
+    double m1[6], m2[6], m[6];
+    compose6(base, 1.0, 0.0, 0.0, 1.0, tx, ty, m1);
+    {
+        double ang = deg * M_PI / 180.0;
+        double s = sin(ang), c = cos(ang);
+        compose6(m1, c, s, -s, c, 0.0, 0.0, m2);
+    }
+    compose6(m2, size, 0.0, 0.0, size, 0.0, 0.0, m);
+
+    /* color: apply(col/255) then apply(1,1,1,transp) */
+    double ct[4] = {ctb[0] * cr * 1.0, ctb[1] * cg * 1.0,
+                    ctb[2] * cb * 1.0, ctb[3] * ca * transp};
+
+    /* cull polygon: getCRectPoints order (lt, rt, rb, lb) */
+    double cxq = ishold ? hold_len / 2.0 : 0.0;
+    double pw = ishold
+        ? hold_len + width_px / 2.0 + width_px / 2.0
+        : height_px;
+    double ph = width_px;
+    double qx0 = cxq - pw / 2.0, qy0 = 0.0 - ph / 2.0;
+    double px[4], py[4];
+    tpoint(m, qx0, qy0, &px[0], &py[0]);
+    tpoint(m, qx0 + pw, qy0, &px[1], &py[1]);
+    tpoint(m, qx0 + pw, qy0 + ph, &px[2], &py[2]);
+    tpoint(m, qx0, qy0 + ph, &px[3], &py[3]);
+
+    long brk = 0;
+    if (!poly_in_screen(W, H, px, py) && can_break) {
+        if (fp_zero) brk = 1;
+        else {
+            double ax, ay, bx, by;
+            tpoint(m, 0.0, dir_y, &ax, &ay);
+            tpoint(m, 0.0, 0.0, &bx, &by);
+            if (line_len(W / 2.0, H / 2.0, ax, ay)
+                    - line_len(W / 2.0, H / 2.0, bx, by) > 0.0)
+                brk = 1;
+        }
+    }
+    PyObject *m_t = Py_BuildValue("(dddddd)", m[0], m[1], m[2], m[3],
+                                  m[4], m[5]);
+    if (!m_t) return NULL;
+    if (brk)
+        return Py_BuildValue("(lldN)", 0L, 1L, 0.0, m_t);
+
+    /* inverse (core/transform.inverse incl. det==0 -> 1e9 quirk) */
+    double inv[6];
+    {
+        double a = m[0], b = m[1], c = m[2], d = m[3], e = m[4], f = m[5];
+        double det = a * d - b * c;
+        double inv_det = det != 0.0 ? 1.0 / det : 1e9;
+        inv[0] = d * inv_det; inv[1] = -b * inv_det;
+        inv[2] = -c * inv_det; inv[3] = a * inv_det;
+        inv[4] = (c * f - d * e) * inv_det;
+        inv[5] = (b * e - a * f) * inv_det;
+    }
+    /* IsNoTransform sum test, exact left-to-right order */
+    int fastpath =
+        (m[0] - 1.0 + m[1] + m[2] + m[3] - 1.0 + m[4] + m[5]) < 1e-5;
+
+    Py_buffer kb, pb;
+    if (PyObject_GetBuffer(kinds_o, &kb, PyBUF_WRITABLE | PyBUF_FORMAT) < 0) {
+        Py_DECREF(m_t);
+        return NULL;
+    }
+    if (PyObject_GetBuffer(params_o, &pb,
+                           PyBUF_WRITABLE | PyBUF_FORMAT | PyBUF_STRIDES)
+            < 0) {
+        PyBuffer_Release(&kb);
+        Py_DECREF(m_t);
+        return NULL;
+    }
+    PyObject *result = NULL;
+    long nrec = 0;
+    double extent = 0.0;
+    if (pb.ndim != 2 || pb.strides[1] != 8 || pb.itemsize != 8) {
+        PyErr_SetString(PyExc_ValueError, "params must be f64 2D "
+                        "row-contiguous");
+        goto done;
+    }
+    {
+        Py_ssize_t widthp = pb.shape[1];
+        Py_ssize_t maxrows = ishold ? 3 : 1;
+        if (widthp < 28) {
+            PyErr_SetString(PyExc_ValueError, "param row too narrow");
+            goto done;
+        }
+        if (n < 0 || n + maxrows > pb.shape[0] ||
+            n + maxrows > kb.len / (Py_ssize_t)sizeof(int32_t)) {
+            PyErr_SetString(PyExc_IndexError, "row range out of bounds");
+            goto done;
+        }
+        int32_t *kd = (int32_t *)kb.buf;
+        char *pbase = (char *)pb.buf;
+        Py_ssize_t stride = pb.strides[0];
+
+        if (!ishold) {
+            /* draw_texture(tex, -h/2, -w/2, height_px, width_px) */
+            double x = -height_px / 2.0, y = -width_px / 2.0;
+            double w = height_px, h = width_px;
+            if (w != 0.0 && h != 0.0) {
+                double box[4], spec[10];
+                long kind;
+                if (fastpath) {
+                    if (x != x || y != y) {
+                        PyErr_SetString(
+                            PyExc_ValueError,
+                            "cannot convert float NaN to integer");
+                        goto done;
+                    }
+                    box[0] = trunc(x); box[1] = x + w;
+                    box[2] = trunc(y); box[3] = y + h;
+                    kind = KIND_TEX_FAST_C;
+                } else {
+                    if (aabb_core(m, x, y, w, h, W, H, box) < 0) {
+                        PyErr_SetString(
+                            PyExc_ValueError,
+                            "cannot convert float NaN to integer");
+                        goto done;
+                    }
+                    kind = KIND_TEX_C;
+                }
+                spec[0] = x; spec[1] = y; spec[2] = x + w; spec[3] = y + h;
+                spec[4] = tw / w; spec[5] = th / h;
+                spec[6] = ox; spec[7] = oy; spec[8] = tw; spec[9] = th;
+                emit_row(kd, pbase, stride, widthp, n, kind, inv, box, ct,
+                         spec, 10);
+                extent = mx(box[1] - box[0], box[3] - box[2]);
+                nrec = 1;
+            }
+        } else {
+            /* three split blits: head, body, tail (same transform) */
+            double head = width_px / 2.0;
+            double xs[3] = {-head, 0.0, hold_len};
+            double ws[3] = {head + 1.0, hold_len + 1.0, head + 1.0};
+            double us[3] = {0.0, u0, u1};
+            double ue[3] = {u0, u1, 1.0};
+            double y = -width_px / 2.0, h = width_px;
+            for (int k = 0; k < 3; k++) {
+                if (ws[k] == 0.0 || h == 0.0) continue;
+                double box[4], spec[14];
+                if (aabb_core(m, xs[k], y, ws[k], h, W, H, box) < 0) {
+                    PyErr_SetString(PyExc_ValueError,
+                                    "cannot convert float NaN to integer");
+                    goto done;
+                }
+                spec[0] = xs[k]; spec[1] = y;
+                spec[2] = xs[k] + ws[k]; spec[3] = y + h;
+                spec[4] = tw / ws[k]; spec[5] = th / h;
+                spec[6] = ox; spec[7] = oy; spec[8] = tw; spec[9] = th;
+                spec[10] = us[k]; spec[11] = ue[k];
+                spec[12] = 0.0; spec[13] = 1.0;
+                emit_row(kd, pbase, stride, widthp, n + nrec,
+                         KIND_SPLIT_TEX_C, inv, box, ct, spec, 14);
+                {
+                    double e2 = mx(box[1] - box[0], box[3] - box[2]);
+                    if (e2 > extent) extent = e2;
+                }
+                nrec++;
+            }
+        }
+    }
+    result = Py_BuildValue("(lldN)", nrec, 0L, extent, m_t);
+    m_t = NULL;
+done:
+    PyBuffer_Release(&kb);
+    PyBuffer_Release(&pb);
+    Py_XDECREF(m_t);
+    return result;
+}
+
 static PyMethodDef methods[] = {
     {"aabb", fastrec_aabb, METH_VARARGS,
      "aabb(m6, x, y, w, h, mw, mh) -> (l, r, t, b)"},
     {"inverse", fastrec_inverse, METH_VARARGS, "inverse(m6) -> m6"},
     {"record", fastrec_record, METH_VARARGS,
      "record(kinds, params, i, kind, inv6, box4, ct4, specific)"},
+    {"note_blit", fastrec_note_blit, METH_VARARGS,
+     "note_blit(kinds, params, n, m6, tx, ty, deg, size, ct4, cr, cg, "
+     "cb, ca, transp, W, H, can_break, dir_y, fp_zero, ishold, "
+     "width_px, height_px, hold_len, u0, u1, ox, oy, tw, th) -> "
+     "(nrec, brk, extent, m6)"},
     {"routes_for_size", fastrec_routes, METH_VARARGS,
      "routes_for_size(params, fast, sep, split, sampling, P, W, H, "
      "margin, rchoices, mxu, region, full) -> (routes, rneeds)"},

@@ -149,6 +149,150 @@ def test_routes_for_size_parity():
                 assert int(rn_n[i]) == int(rn_p[i])
 
 
+def _mil_chart(tmp_path, n_lines=3, notes_per_line=24, dur=6.0):
+    """Denser synthetic Milthm chart: holds, rotation sweeps, large
+    position sweeps (off-screen spans exercise the receding-note break),
+    one zero-size window (Size -> 0)."""
+    import json
+    import zipfile
+
+    from PIL import Image
+    from tests.conftest import _write_wav
+
+    res = tmp_path / "res"
+    res.mkdir()
+    rng = np.random.default_rng(3)
+    for name in ["tap", "tap_double", "extap", "extap_double", "hold",
+                 "hold_double", "exhold", "exhold_double", "drag",
+                 "drag_double", "line_head", "perfect_circ"]:
+        arr = rng.integers(0, 255, (16, 16, 4), np.uint8)
+        arr[..., 3] = 255
+        Image.fromarray(arr, "RGBA").save(str(res / f"{name}.png"))
+    (res / "meta.json").write_text(json.dumps(
+        {"holdAtlas": [4, 4], "holdDoubleAtlas": [4, 4]}))
+    sfx = np.full((441, 2), 0.1)
+    _write_wav(str(res / "hit.ogg"), sfx)
+    _write_wav(str(res / "drag.ogg"), sfx * 0.5)
+    bgm = np.zeros((int(44100 * dur), 2))
+    _write_wav(str(tmp_path / "audio.ogg"), bgm)
+    Image.fromarray(rng.integers(0, 255, (18, 32, 3), np.uint8),
+                    "RGB").save(str(tmp_path / "bg.png"))
+
+    def ease():
+        return {"type": 0, "press": 0, "isValueExp": False,
+                "cusValueExp": "", "clipLeft": 0.0, "clipRight": 1.0}
+
+    def anim(key, start, end, st, et):
+        return {"startTime": st, "endTime": et, "type": key,
+                "start": start, "end": end, "index": 0,
+                "bearer_type": 0, "bearer": 0, "ease": ease()}
+
+    total_beats = int(dur * 2) - 1
+    lines = []
+    for li in range(n_lines):
+        notes = []
+        for ni in range(notes_per_line):
+            beat = 1 + (ni * total_beats) // notes_per_line
+            tm = [beat, (li * 5 + ni * 3) % 8, 8]
+            kind = (li + ni) % 3
+            end = [beat + 1, tm[1], 8] if kind == 2 else tm
+            notes.append({"time": tm, "type": 0 if kind == 0 else kind,
+                          "isFake": False, "isAlwaysPerfect": False,
+                          "endTime": end, "index": li * 100 + ni})
+        anims = [
+            anim(12, 0.8 + 0.3 * li, 1.2, [0, 0, 1], [total_beats, 0, 1]),
+            anim(4, 40.0 * li, 360.0, [0, 0, 1], [total_beats, 0, 1]),
+            anim(2, -300.0 + 200 * li, 300.0, [0, 0, 1],
+                 [total_beats, 0, 1]),
+        ]
+        if li == 1:   # Size collapses to 0 mid-chart: zero-size draws
+            anims.append(anim(8, 1.0, 0.0, [0, 0, 1], [total_beats, 0, 1]))
+        lines.append({"index": li, "animations": anims, "notes": notes})
+    chart = {
+        "fmt": 2,
+        "meta": {"background_dim": 0.6, "name": "p",
+                 "background_artist": "", "music_artist": "",
+                 "charter": "", "difficulty_name": "EZ", "difficulty": 1,
+                 "offset": 0.0},
+        "bpms": [{"time": [0, 0, 1], "bpm": 120}],
+        "lines": lines,
+    }
+    zpath = tmp_path / "chart.zip"
+    with zipfile.ZipFile(str(zpath), "w") as z:
+        z.writestr("meta.json", json.dumps({
+            "chart_file": "chart.json", "audio_file": "audio.ogg",
+            "image_file": "bg.png"}))
+        z.writestr("chart.json", json.dumps(chart))
+        z.write(str(tmp_path / "audio.ogg"), "audio.ogg")
+        z.write(str(tmp_path / "bg.png"), "bg.png")
+    return str(zpath), str(res)
+
+
+def _record_frames(zpath, r, frames, native, monkeypatch):
+    """One path's frame records.  The Renderer is shared between the two
+    paths so both sample identical atlas regions; only the chart (note
+    state) is rebuilt per pass."""
+    from libnativecpurenderer_tpu.apps import milrenderer as mil
+    from libnativecpurenderer_tpu.models import chart as chart_mod
+
+    import random
+
+    with monkeypatch.context() as mp:
+        if not native:
+            mp.setattr(mil, "_fastrec", None)
+        random.seed(1234)     # HitEffect.group draws from the global RNG
+        pkg = mil.ChartPackage(zpath)
+        chart = chart_mod.Chart(pkg.read_json(pkg.meta["chart_file"]))
+        r.ctx._max_sampling_extent = 0.0
+        out = []
+        effects = []
+        seq0 = r.ctx._seq
+        for i in range(frames):
+            r.draw_frame(chart, i / 20.0, effects, include_static=False)
+            k, p = r.ctx._cmds.snapshot()
+            out.append((k.copy(), p.copy(),
+                        r.ctx._max_sampling_extent, r.ctx._seq - seq0))
+            r.ctx._cmds.clear()
+        transforms = [tuple(n.transform)
+                      for line in chart.lines for n in line.notes]
+        remaining = [(len(line.effect_notes), len(line.plain_notes))
+                     for line in chart.lines]
+        return out, transforms, remaining, [e.t for e in effects]
+
+
+@pytest.mark.parametrize("dense", [False, True])
+def test_note_blit_parity_full_frames(tmp_path, chart_package,
+                                      monkeypatch, dense):
+    """milrenderer frames record byte-identical command buffers (and the
+    same note/effect side effects) through the native note_blit path and
+    the pure-Python note loop."""
+    from libnativecpurenderer_tpu.apps import milrenderer as mil
+
+    if dense:
+        sub = tmp_path / "dense"
+        sub.mkdir()
+        zpath, res = _mil_chart(sub)
+        frames = 100
+    else:
+        zpath, res = chart_package
+        frames = 24
+    assert mil._fastrec is not None
+    r = mil.Renderer(width=96, height=54, fps=20, res_dir=res,
+                     silent=True)
+    r.load_assets(mil.ChartPackage(zpath))
+    a = _record_frames(zpath, r, frames, True, monkeypatch)
+    b = _record_frames(zpath, r, frames, False, monkeypatch)
+    for i, ((k1, p1, e1, s1), (k2, p2, e2, s2)) in enumerate(
+            zip(a[0], b[0])):
+        np.testing.assert_array_equal(k1, k2, err_msg=f"frame {i} kinds")
+        np.testing.assert_array_equal(p1, p2, err_msg=f"frame {i} params")
+        assert e1 == e2, f"frame {i} sampling extent"
+        assert s1 == s2, f"frame {i} seq"
+    assert a[1] == b[1], "note transforms diverge"
+    assert a[2] == b[2], "note removal diverges"
+    assert a[3] == b[3], "hit effects diverge"
+
+
 def test_recorded_scene_matches_python_path(monkeypatch):
     """A full draw-call scene records byte-identical buffers either way."""
     def scene(ctx):
