@@ -272,6 +272,12 @@ class Renderer:
             open(self.res_path("meta.json"), encoding="utf-8"))
         self.game_res["perfect_circ"] = Texture.from_pilimg(
             Image.open(self.res_path("perfect_circ.png"))).resample(512, 512)
+        # the native note path bypasses _tex_specific's shared-texture
+        # refresh logic, so it is only valid while every note texture is
+        # a plain (non-aliasing) texture — true for file-loaded assets
+        self._notes_native_ok = all(
+            getattr(t, "_shared_ctx", None) is None
+            for t in self.game_res.values() if isinstance(t, Texture))
 
         n_frames = int(self.fps * HIT_EFFECT_DUR)
         self.hit_effect_texs = [
@@ -364,7 +370,7 @@ class Renderer:
 
     def _draw_note_group(self, notes, can_break, t, line_fsp, line_fp,
                          line_visa, hit_effects):
-        if _fastrec is not None:
+        if _fastrec is not None and getattr(self, "_notes_native_ok", False):
             return self._draw_note_group_native(
                 notes, can_break, t, line_fsp, line_fp, line_visa,
                 hit_effects)
