@@ -293,6 +293,138 @@ def test_note_blit_parity_full_frames(tmp_path, chart_package,
     assert a[3] == b[3], "hit effects diverge"
 
 
+class _FakeAC:
+    """Minimal AnimationCollection stand-in for note-level fuzzing."""
+
+    def __init__(self, values, groups):
+        self._v = values
+        self.anim_groups = groups
+
+    def get_value(self, key):
+        return self._v[key]
+
+
+class _FakeNote:
+    def __init__(self, **kw):
+        self.clicked = False
+        self.transform = (0.0,) * 6
+        self.__dict__.update(kw)
+
+
+def test_note_blit_adversarial_fuzz(tmp_path, chart_package, monkeypatch):
+    """Unit-level fuzz of the native note path vs the Python oracle over
+    extreme scalars: huge/zero/negative sizes and rotations, off-screen
+    and overflowing positions, degenerate (det==0) line transforms,
+    holds with clamped/huge lengths — byte-identical buffers and
+    identical break/removal/transform side effects required."""
+    from libnativecpurenderer_tpu.apps import milrenderer as mil
+    from libnativecpurenderer_tpu.models.chart import AnimationKey as AK
+
+    zpath, res = chart_package
+    r = mil.Renderer(width=96, height=54, fps=20, res_dir=res,
+                     silent=True)
+    r.load_assets(mil.ChartPackage(zpath))
+    rng = np.random.default_rng(17)
+    texnames = ["tap", "drag", "extap"]
+    holdnames = ["hold", "exhold"]
+
+    def build_notes(trial_rng):
+        notes = []
+        for k in range(8):
+            ishold = bool(trial_rng.random() < 0.4)
+            t0 = float(trial_rng.uniform(-2, 4))
+            vals = {
+                AK.FlowSpeed: float(trial_rng.choice(
+                    [0.0, 1.0, -1.0, 1e6, 1e-9,
+                     trial_rng.uniform(-3, 3)])),
+                AK.RelativeX: float(trial_rng.choice(
+                    [0.0, 0.5, -4.0, 4.0, 1e155,
+                     trial_rng.uniform(-2, 2)])),
+                AK.RelativeY: float(trial_rng.uniform(-2, 2)),
+                AK.PositionX: float(trial_rng.uniform(-2000, 2000)),
+                AK.PositionY: float(trial_rng.uniform(-2000, 2000)),
+                AK.Size: float(trial_rng.choice(
+                    [0.0, -1.0, 1e3, trial_rng.uniform(0, 3)])),
+                AK.Transparency: float(trial_rng.uniform(-1, 2)),
+                AK.Rotation: float(trial_rng.choice(
+                    [0.0, 90.0, 45.0, 1e7, trial_rng.uniform(-720, 720)])),
+                AK.Color: [float(v) for v in
+                           trial_rng.uniform(0, 255, 4)],
+            }
+            groups = {AK.PositionX: ([1] if trial_rng.random() < 0.3
+                                     else []),
+                      AK.PositionY: ([1] if trial_rng.random() < 0.3
+                                     else [])}
+            notes.append(dict(
+                time=t0, ishold=ishold,
+                endTime=t0 + float(trial_rng.uniform(0, 2)),
+                floorPosition=float(trial_rng.uniform(-5, 5)),
+                endFloorPosition=float(trial_rng.uniform(-5, 5)),
+                texname=(trial_rng.choice(holdnames) if ishold
+                         else trial_rng.choice(texnames)),
+                morebets=bool(trial_rng.random() < 0.5),
+                values=vals, groups=groups))
+        return notes
+
+    for trial in range(120):
+        seed = int(rng.integers(1 << 30))
+        spec = build_notes(np.random.default_rng(seed))
+        line_m = {
+            0: (1.0, 0.0, 0.0, 1.0, 48.0, 27.0),
+            1: (0.0, 2.0, -2.0, 0.0, 10.0, 400.0),    # rotated, scaled
+            2: (1.0, 1.0, 1.0, 1.0, 0.0, 0.0),        # det == 0
+            3: (1e-8, 0.0, 0.0, 1e-8, 48.0, 27.0),    # collapse
+        }[trial % 4]
+        t = float(np.random.default_rng(seed + 1).uniform(0, 3))
+        can_break = bool(trial % 2)
+        line_fsp = float(np.random.default_rng(seed + 2).choice(
+            [0.0, 1.0, -2.0, 0.7]))
+        line_fp = float(np.random.default_rng(seed + 3).uniform(-2, 2))
+        line_visa = 10.0
+
+        results = []
+        for native in (True, False):
+            with monkeypatch.context() as mp:
+                if not native:
+                    mp.setattr(mil, "_fastrec", None)
+                notes = [
+                    _FakeNote(time=s["time"], ishold=s["ishold"],
+                              endTime=s["endTime"],
+                              floorPosition=s["floorPosition"],
+                              endFloorPosition=s["endFloorPosition"],
+                              texname=s["texname"], morebets=s["morebets"],
+                              acollection=_FakeAC(s["values"], s["groups"]))
+                    for s in spec]
+                effects = []
+                r.ctx._cmds.clear()
+                r.ctx._max_sampling_extent = 0.0
+                r.ctx.save_state()
+                r.ctx._state.set_transform(*line_m)
+                try:
+                    r._draw_note_group(notes, can_break, t, line_fsp,
+                                       line_fp, line_visa, effects)
+                    err = None
+                except ValueError as e:
+                    err = str(e)
+                finally:
+                    r.ctx.restore_state()
+                k, p = r.ctx._cmds.snapshot()
+                results.append((k.copy(), p.copy(), err,
+                                [tuple(n.transform) for n in notes],
+                                [n.clicked for n in notes], len(notes),
+                                r.ctx._max_sampling_extent,
+                                [e.note.time for e in effects]))
+        (k1, p1, e1, t1, c1, n1, x1, h1), \
+            (k2, p2, e2, t2, c2, n2, x2, h2) = results
+        msg = f"trial {trial} seed {seed}"
+        np.testing.assert_array_equal(k1, k2, err_msg=msg)
+        np.testing.assert_array_equal(p1, p2, err_msg=msg)
+        assert e1 == e2, f"{msg}: errors {e1!r} vs {e2!r}"
+        assert t1 == t2, f"{msg}: transforms"
+        assert c1 == c2 and n1 == n2 and h1 == h2, f"{msg}: side effects"
+        assert x1 == x2, f"{msg}: extent"
+
+
 def test_recorded_scene_matches_python_path(monkeypatch):
     """A full draw-call scene records byte-identical buffers either way."""
     def scene(ctx):
