@@ -225,9 +225,63 @@ def sweep_mxu():
           f"{worst_big:.5f}", flush=True)
 
 
+def sweep_notes():
+    """Deep version of tests/test_fastrec.py's adversarial note fuzz:
+    reuses the pytest body with a monkeypatch shim over far more
+    trials by re-seeding its outer RNG."""
+    import tempfile
+    import pathlib
+
+    import test_fastrec as tfr
+    import conftest as cft
+
+    class _MP:
+        def __init__(self):
+            self._s = []
+
+        def context(self):
+            return self
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            for o, n, v in self._s:
+                setattr(o, n, v)
+            self._s.clear()
+
+        def setattr(self, obj, name, val):
+            self._s.append((obj, name, getattr(obj, name)))
+            setattr(obj, name, val)
+
+    for round_ in range(10):
+        td = pathlib.Path(tempfile.mkdtemp())
+        zpath, res = cft.chart_package.__wrapped__(td)
+        # re-seed the test's RNG stream by deriving fresh trial seeds:
+        # the test itself consumes np.random.default_rng(17); run it
+        # as-is once, then with perturbed global state via monkeypatched
+        # default_rng inside the module
+        orig_rng = np.random.default_rng
+
+        def seeded_rng(seed=None, _r=round_):
+            if seed is None:
+                return orig_rng()
+            return orig_rng((int(seed) * 1000003 + _r * 7919)
+                            % (1 << 63))
+        np.random.default_rng = seeded_rng
+        try:
+            tfr.test_note_blit_adversarial_fuzz(td, (zpath, res), _MP())
+        except Exception as e:
+            _fail(f"notes round {round_}: {repr(e)[:300]}")
+        finally:
+            np.random.default_rng = orig_rng
+        print("notes round", round_, flush=True)
+
+
 ALL = {"canvas": sweep_canvas, "kernel": sweep_kernel,
        "raster": sweep_raster, "angles": sweep_angles,
-       "sharded": sweep_sharded, "mxu": sweep_mxu}
+       "sharded": sweep_sharded, "mxu": sweep_mxu,
+       "notes": sweep_notes}
 
 
 def main():
