@@ -100,6 +100,17 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
              flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
              fused_loop=True, race=True, mxu=1, resident_out=True),
+        # small tiles: ~2x fewer walked pair-pixels, viable only with
+        # the resident whole-frame out amortising 4x programs
+        # (tools/exp_r3_resident.py ladder shapes)
+        dict(tile_w=16, tile_h=16, span_x=10, span_y=5, capacity=256,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             wide_split=True, fused_loop=True, race=True,
+             resident_out=True),
+        dict(tile_w=16, tile_h=16, span_x=10, span_y=5, capacity=256,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             wide_split=True, fused_loop=True, race=True,
+             resident_out=True, mxu=1),
         dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=384,
              flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
              fused_loop=True),
