@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Op-level device profile of the CHAMPION raster config.
+
+Traces the bench.py fused_loop program ((32,32) span(5,3) kcc16 u8
+opaque z_clip=False resident_out) with jax.profiler — which works
+through the axon tunnel (ROADMAP round-3 findings) — and aggregates
+device-track event durations by op name, so the ~0.65 ms/frame
+non-kernel tail is attributed to concrete HLO ops instead of guessed.
+Decision input for the last push toward the 1000-fps north-star:
+whatever tops the tail is the next lever.
+
+Run: nohup python tools/exp_r3_champprof.py > /tmp/exp_champprof.log 2>&1 &
+"""
+
+import collections
+import glob
+import gzip
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+sys.path.insert(0, ".")
+from libnativecpurenderer_tpu.models import mesh            # noqa: E402
+from libnativecpurenderer_tpu.ops import raster3d           # noqa: E402
+
+W, H = 1920, 1080
+FRAMES = 48
+CFG = dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
+           flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+           resident_out=True)
+
+
+def main():
+    verts_np, faces_np, colors_np = mesh.mesh_10k()
+    verts = jnp.asarray(verts_np, jnp.float32)
+    faces = jnp.asarray(faces_np, jnp.int32)
+    colors = jnp.asarray(colors_np, jnp.float32)
+    proj = mesh.perspective(1.0, W / H, 0.1, 10.0)
+    view = mesh.look_at([0.0, 0.6, 3.2], [0, 0, 0], [0, 1, 0])
+    mvps = jnp.stack([jnp.asarray(proj @ view @ mesh.rotation_y(i * 0.03),
+                                  jnp.float32) for i in range(FRAMES)])
+
+    @jax.jit
+    def seq(mv):
+        def step(i, acc):
+            out, _, ovf = raster3d.render_gouraud_pallas.__wrapped__(
+                verts, faces, colors, W, H, mv[i], **CFG)
+            s = jnp.sum(out, dtype=jnp.uint32).astype(jnp.float32)
+            return (acc[0] + s, acc[1] | ovf)
+        return lax.fori_loop(0, FRAMES, step,
+                             (jnp.float32(0.0), jnp.asarray(False)))
+
+    t0 = time.time()
+    s, ovf = seq(mvps)
+    print(f"warm {time.time() - t0:.0f}s chk {float(s):.6g} "
+          f"ovf {bool(ovf)}", flush=True)
+
+    logdir = "/tmp/champprof"
+    with jax.profiler.trace(logdir):
+        s, _ = seq(mvps)
+        float(s)   # sync inside the trace window
+
+    # aggregate device-track events by name
+    paths = sorted(glob.glob(logdir + "/**/*.trace.json.gz",
+                             recursive=True))
+    print("traces:", paths, flush=True)
+    ev = json.load(gzip.open(paths[-1], "rt")).get("traceEvents", [])
+    pids = {e["pid"]: e["args"].get("name", "")
+            for e in ev if e.get("ph") == "M"
+            and e.get("name") == "process_name" and "args" in e}
+    dev_pids = {p for p, n in pids.items()
+                if "TPU" in n or "tpu" in n or "/device" in n}
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    dev_total = 0.0
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            name = e.get("name", "?")
+            d = e.get("dur", 0) / 1e3            # us -> ms
+            tot[name] += d
+            cnt[name] += 1
+            dev_total += d
+    print(f"device total {dev_total:.2f} ms over {FRAMES} frames "
+          f"= {dev_total / FRAMES:.3f} ms/frame", flush=True)
+    print(f"{'op':60s} {'ms/frame':>9s} {'count':>7s}")
+    for name, d in tot.most_common(40):
+        print(f"{name[:60]:60s} {d / FRAMES:9.4f} {cnt[name]:7d}")
+
+
+if __name__ == "__main__":
+    main()
