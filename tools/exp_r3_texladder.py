@@ -31,7 +31,7 @@ from libnativecpurenderer_tpu.models import mesh            # noqa: E402
 from libnativecpurenderer_tpu.ops import raster3d           # noqa: E402
 
 W, H = 1920, 1080
-NSTAGE = 12
+NSTAGE = 24   # must give groups >= 2 for every B so the fori body varies
 
 CFGS = [
     dict(tile_w=64, tile_h=16, span_x=3, span_y=6, tex_nw=16, B=12),
@@ -77,10 +77,17 @@ def main():
         @functools.partial(jax.jit, static_argnums=(1,))
         def loop(mv, n, kw=kw, B=B, groups=groups):
             def body(i, acc):
+                # Data-depend the mvp on the loop carry (bit-identical
+                # select) so XLA cannot hoist a loop-invariant render
+                # out of the fori body — with groups==1 that hoisting
+                # made n=1 and n=4 equally fast and the subtraction
+                # "timing" measured ~0 ms/frame (exp_texladder r3 run).
+                mvi = jnp.where(jnp.isfinite(acc[0]),
+                                mv[i % groups], 0.0)
                 out, ovf = \
                     raster3d.render_textured_pallas_batch.__wrapped__(
                         verts, faces, uvs, tex_u8, W, H,
-                        mv[i % groups], **kw)
+                        mvi, **kw)
                 s = jnp.sum(jnp.sum(out.reshape(B, -1), axis=1,
                                     dtype=jnp.uint32).astype(jnp.float32))
                 return (acc[0] + s, acc[1] | ovf)
