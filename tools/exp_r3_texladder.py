@@ -55,7 +55,17 @@ def main():
     faces = jnp.asarray(faces_np, jnp.int32)
     nv = verts_np.shape[0]
     rng = np.random.default_rng(3)
-    uvs = jnp.asarray(rng.uniform(0, 1, (nv, 2)), jnp.float32)
+    if "--random-uv" in sys.argv:
+        # adversarial: every triangle spans ~half the texture, so the
+        # footprint windows always miss and the fallback gather is the
+        # whole measurement.  NOT the bench workload.
+        uvs = jnp.asarray(rng.uniform(0, 1, (nv, 2)), jnp.float32)
+    else:
+        # bench.py bench_textured's planar-projected uvs (coherent —
+        # the workload the ladder should optimise)
+        uvs_np = ((verts_np[:, :2] - verts_np[:, :2].min(0))
+                  / np.ptp(verts_np[:, :2], 0))
+        uvs = jnp.asarray(uvs_np, jnp.float32)
     tex_u8 = jnp.asarray(rng.integers(0, 255, (256, 256, 4)), jnp.uint8)
     proj = mesh.perspective(1.0, W / H, 0.1, 10.0)
     view = mesh.look_at([0.0, 0.6, 3.2], [0, 0, 0], [0, 1, 0])

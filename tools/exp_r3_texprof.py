@@ -36,7 +36,16 @@ def main():
     faces = jnp.asarray(faces_np, jnp.int32)
     nv = verts_np.shape[0]
     rng = np.random.default_rng(3)
-    uvs = jnp.asarray(rng.uniform(0, 1, (nv, 2)), jnp.float32)
+    if "--random-uv" in sys.argv:
+        # adversarial fallback-only scene (footprint windows never hit)
+        uvs = jnp.asarray(rng.uniform(0, 1, (nv, 2)), jnp.float32)
+    else:
+        # bench.py bench_textured's planar-projected uvs — the actual
+        # bench workload (the r3 random-uv run profiled the fallback
+        # conds at ~6 ms/frame each, which is NOT the bench's path)
+        uvs_np = ((verts_np[:, :2] - verts_np[:, :2].min(0))
+                  / np.ptp(verts_np[:, :2], 0))
+        uvs = jnp.asarray(uvs_np, jnp.float32)
     tex = jnp.asarray(rng.integers(0, 255, (256, 256, 4)), jnp.uint8)
     proj = mesh.perspective(1.0, W / H, 0.1, 10.0)
     view = mesh.look_at([0.0, 0.6, 3.2], [0, 0, 0], [0, 1, 0])
