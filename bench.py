@@ -460,9 +460,9 @@ def bench_textured(frames: int = 24, batch: int = 12):
 
     run_all = None
     try:
-        # defaults: (64, 16) tiles + 16 footprint windows + compacted
-        # fallback — measured 5.24 ms/frame vs 8.9 for the f32 path in
-        # this harness (tools/exp_tex_resolve.py)
+        # defaults: (64, 32) tiles + 16 footprint windows + compacted
+        # fallback — measured 3.29 ms/frame vs 9.0 for the f32 path on
+        # the planar-UV bench workload (tools/exp_r3_texladder.py)
         bfn = functools.partial(raster3d.render_textured_pallas_batch,
                                 capacity=512, kcc=16)
         grouped = [jnp.stack(mvps[i:i + batch])

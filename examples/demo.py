@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--batch", type=int, default=16,
                     help="frames per device dispatch (0 = unbatched)")
     args = ap.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
 
     ctx_s = 4
     ctx = R.RenderContext(1024 // ctx_s, 1024 // ctx_s, True)

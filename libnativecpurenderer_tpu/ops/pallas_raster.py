@@ -126,6 +126,7 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                       u8: bool = False, opaque: bool = False,
                       z_clip: bool = True, tex_dims=None,
                       tex_resolve: bool = False, tex_nw: int = 8,
+                      tex_split: bool = False,
                       resident_out: bool = False, mxu: int = 0):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
@@ -315,6 +316,26 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             bw = jnp.clip(jnp.max(jnp.where(hit1, ub1, -1)) - ub0 + 1,
                           1, NW)
             fh = NW // bw
+            if tex_split:
+                # bimodal-v footprint: the bench mesh's miss tiles are
+                # almost all tiles whose winner surface mixes two
+                # v-clusters (ring band crossing a sphere, silhouette
+                # grazing) — a SINGLE rect anchored at v0 misses the
+                # far cluster.  When the v spread exceeds the window
+                # rows, split them between two clusters anchored at
+                # vmin and vmax (host sim /tmp/fp_sim.py: NW=32+split
+                # resolves ~100% vs 95-99% single-rect; all misses are
+                # v-misses since bpr blocks always fit bw).  With
+                # spread <= fh this degenerates to the single rect
+                # bit-for-bit (fhA = fh, cluster B empty).
+                vmaxs = jnp.max(jnp.where(hit1, vi, -1))
+                single = (vmaxs - v0 + 1) <= fh
+                fhA = jnp.where(single, fh, fh // 2)
+                fhB = fh - fhA
+                vB0 = jnp.clip(vmaxs - fhB + 1, 0, th_t - 1)
+            else:
+                fhA = fh
+                vB0 = jnp.int32(0)
 
             def to_sub(v):
                 return jnp.concatenate(
@@ -326,15 +347,32 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             # i1 vectors can't ride the slice+concat (invalid vreg
             # cast); move the mask as i32
             hit_s = to_sub(hit1.astype(jnp.int32)) != 0
-            dv = vi_s - v0
+            dvA = vi_s - v0
             du = ui_s // 128 - ub0
-            blk = dv * bw + du
             lane = ui_s % 128
-            resolved = (hit_s & (dv >= 0) & (dv < fh)
-                        & (du >= 0) & (du < bw))
+            if tex_split:
+                # window rows [0, fhA) anchor at v0 (cluster A), rows
+                # [fhA, fh) anchor at vB0 (cluster B); a pixel in both
+                # clusters' overlap resolves through A
+                dvB = vi_s - vB0
+                useA = (dvA >= 0) & (dvA < fhA)
+                useB = (dvB >= 0) & (dvB < fh - fhA) & ~useA
+                dv = jnp.where(useA, dvA, fhA + dvB)
+                in_v = useA | useB
+            else:
+                dv = dvA
+                in_v = (dvA >= 0) & (dvA < fh)
+            blk = dv * bw + du
+            resolved = hit_s & in_v & (du >= 0) & (du < bw)
             acc = jnp.zeros((n_sub, 128), jnp.int32)
             for w in range(NW):
-                off = jnp.clip((v0 + w // bw) * bpr + ub0 + w % bw,
+                wrow = w // bw
+                if tex_split:
+                    wv = jnp.where(wrow < fhA, v0 + wrow,
+                                   vB0 + (wrow - fhA))
+                else:
+                    wv = v0 + wrow
+                off = jnp.clip(wv * bpr + ub0 + w % bw,
                                0, th_t * bpr - 1)
                 row = tex_ref[pl.ds(off, 1), :]          # (1, 128)
                 g = jnp.take_along_axis(
@@ -466,12 +504,13 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+                   static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                      tile_h: int, tile_w: int, Kb: int,
                      interpret: bool = False, kcc: int = KCC,
                      tiles_per_frame: int = 0, tex_dims=None,
-                     tex_nw: int = 8, mxu: int = 0):
+                     tex_nw: int = 8, mxu: int = 0,
+                     tex_split: bool = False):
     """tex_resolve kernel launch (see _make_kernel_flat): tex_l is the
     packed-i32 texture in (th*bpr, 128) window layout, VMEM-resident
     across all programs.  scalars: (5*NT+1,) with the packed background
@@ -508,7 +547,7 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
     packed, fbidx = pl.pallas_call(
         _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=True,
                           tex_dims=tuple(tex_dims), tex_resolve=True,
-                          tex_nw=tex_nw, mxu=mxu),
+                          tex_nw=tex_nw, tex_split=tex_split, mxu=mxu),
         out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
                    jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
         grid_spec=grid_spec,
@@ -666,7 +705,8 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
                                     tile_w: int, tile_h: int, Kb: int,
                                     tex_dims, interpret: bool = False,
                                     kcc: int = KCC, tex_nw: int = 8,
-                                    detile: bool = True, mxu: int = 0):
+                                    detile: bool = True, mxu: int = 0,
+                                    tex_split: bool = False):
     """Batched in-kernel-texel raster: B frames in one launch through the
     tex_resolve kernel (texels fetched from the VMEM-resident packed
     texture via per-tile footprint windows).  Returns
@@ -696,7 +736,7 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
     packed, fbidx = raster_tiles_tex(
         sorted_pads.reshape(-1), tables, scalars, tex_l, Bn * nt,
         tile_h, tile_w, Kb, interpret, kcc, nt, tuple(tex_dims), tex_nw,
-        mxu)
+        mxu, tex_split)
 
     if not detile:
         return packed.reshape(Bn, nt, -1), fbidx.reshape(Bn, nt, -1)

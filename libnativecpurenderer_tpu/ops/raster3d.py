@@ -1007,16 +1007,17 @@ def pack_texture_u8(tex_u8):
 
 @functools.partial(
     jax.jit,
-    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18))
+    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19))
 def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  height: int, mvps=None,
-                                 tile_w: int = 64, tile_h: int = 16,
+                                 tile_w: int = 64, tile_h: int = 32,
                                  capacity: int = 512, bg=None,
-                                 span_x: int = 3, span_y: int = 6,
+                                 span_x: int = 3, span_y: int = 4,
                                  interpret: bool = False, kcc: int = 16,
                                  perspective_correct: bool = True,
                                  tex_nw: int = 16,
-                                 fb_tile_cap: int = 1024, mxu: int = 0):
+                                 fb_tile_cap: int = 1024, mxu: int = 0,
+                                 tex_split: bool = False):
     """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
     launch.  The tile kernel fetches texels IN-KERNEL from the
     VMEM-resident packed texture through per-tile UV-footprint windows
@@ -1028,13 +1029,16 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
     pixels take the u8-quantised bg.  Sampling semantics: clamped
     nearest (reference DrawTexture inverse-UV family, cpp:754-777).
 
-    Default tiles are (64, 16) with ``tex_nw=16`` windows, unlike the
+    Default tiles are (64, 32) with ``tex_nw=16`` windows, unlike the
     color path's (128, 8): the footprint windows are texture-row
     aligned, so a wide pixel tile whose screen-x maps to texture-v
     (any rotated mesh) needs the footprint to span many texture rows —
     measured 20.6% unresolved on the rotating bench mesh with (128, 8)
     tiles + 8 windows vs 6.4% at (64, 16) + 16 (tools/exp_tex_resolve
-    .py, exp_fp_hist.py).  The remaining misses cluster in a few
+    .py, exp_fp_hist.py).  TPU ladder on the bench's planar-UV
+    workload (tools/exp_r3_texladder.py, 2026-08-18): (64, 32)
+    span (3, 4) = 3.29 ms/frame vs (64, 16) span (3, 6) = 3.70 —
+    checksums bit-identical across tile configs.  The remaining misses cluster in a few
     steep-UV-gradient tiles, so the fallback gathers ONLY those tiles
     (``fb_tile_cap`` static compaction via nonzero(size=...), ~2 ns/row
     -> ~0.2 ms/frame) unless they exceed the cap (whole-plane gather).
@@ -1079,7 +1083,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
     pk, fb = pallas_raster.render_binned_tex_resolve_batch(
         sps, starts, counts, tables, tex_l, bg, width, height, tile_w,
         tile_h, capacity, (th_t, tw_t), interpret, kcc, tex_nw,
-        detile=False, mxu=mxu)                 # (B, NT, P) each
+        detile=False, mxu=mxu, tex_split=tex_split)   # (B, NT, P) each
     Bn, nt, P = pk.shape
     pk2 = pk.reshape(Bn * nt, P)
     fb2 = fb.reshape(Bn * nt, P)

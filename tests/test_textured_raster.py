@@ -211,6 +211,40 @@ def test_tex_resolve_full_gather_escape():
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_tex_split_matches():
+    # bimodal-v footprint split (tex_split=True) only moves pixels from
+    # the XLA fallback gather into the in-kernel window resolve — both
+    # sample the same clamped-nearest texel, so the final RGBA must be
+    # bit-identical with the split on or off, including on the
+    # footprint-overflow scene where the split actually engages
+    rng = np.random.default_rng(13)
+    scenes = []
+    verts, faces, uvs = mesh.quad_batch(12, seed=3)
+    scenes.append((verts, faces, uvs,
+                   rng.integers(0, 256, (32, 32, 4), np.uint8)))
+    verts2 = np.array([[-0.9, -0.9, 0.5], [0.9, -0.9, 0.5],
+                       [-0.9, 0.9, 0.5], [0.9, 0.9, 0.5]], np.float32)
+    faces2 = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    uvs2 = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    scenes.append((verts2, faces2, uvs2,
+                   rng.integers(0, 256, (256, 32, 4), np.uint8)))
+    mvp = np.eye(4, dtype=np.float32)
+    for verts_s, faces_s, uvs_s, tex_u8 in scenes:
+        outs = []
+        for split in (False, True):
+            fb, ovf = raster3d.render_textured_pallas_batch(
+                jnp.asarray(verts_s, jnp.float32),
+                jnp.asarray(faces_s, jnp.int32),
+                jnp.asarray(uvs_s, jnp.float32), jnp.asarray(tex_u8),
+                W, H, jnp.asarray(mvp[None]),
+                tile_w=32, tile_h=8, capacity=64, span_x=8, span_y=8,
+                interpret=True, perspective_correct=True,
+                tex_split=split)
+            assert not bool(ovf)
+            outs.append(np.asarray(fb)[0])
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_tex_mxu_walk_matches():
     # the MXU chunk walk on the textured path (affine UVW planes,
     # build_table_mxu): identical hit masks; texel flips only at UV

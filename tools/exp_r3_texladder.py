@@ -49,7 +49,26 @@ CFGS = [
 ]
 
 
+SPLIT_CFGS = [
+    # champion (64,32)/(3,4)/nw16 measured 3.286 ms/frame 2026-08-18;
+    # tex_split anchors the footprint at BOTH v-clusters (bimodal-v
+    # tiles), host sim ~100% resolve vs 95-99% single-rect — if the
+    # fallback gather cost dominates the extra epilogue selects, split
+    # wins; nw8+split probes whether full resolve lets windows shrink
+    dict(tile_w=64, tile_h=32, span_x=3, span_y=4, tex_nw=16, B=12),
+    dict(tile_w=64, tile_h=32, span_x=3, span_y=4, tex_nw=16, B=12,
+         tex_split=True),
+    dict(tile_w=64, tile_h=32, span_x=3, span_y=4, tex_nw=8, B=12,
+         tex_split=True),
+    dict(tile_w=64, tile_h=16, span_x=3, span_y=6, tex_nw=8, B=12,
+         tex_split=True),
+]
+
+
 def main():
+    global CFGS
+    if "--split" in sys.argv:
+        CFGS = SPLIT_CFGS
     verts_np, faces_np, _ = mesh.mesh_10k()
     verts = jnp.asarray(verts_np, jnp.float32)
     faces = jnp.asarray(faces_np, jnp.int32)

@@ -42,8 +42,10 @@ def run(name, kernel, n_out=1):
             grid=(2,),
             in_specs=[pl.BlockSpec((NQ * KCC, 4), lambda i: (0, 0)),
                       pl.BlockSpec((KCC, P), lambda i: (0, 0))],
-            out_specs=tuple(pl.BlockSpec((1, P), lambda i: (0, 0))
-                            for _ in range(n_out)),
+            out_specs=(tuple(pl.BlockSpec((1, P), lambda i: (0, 0))
+                             for _ in range(n_out)) if n_out > 1
+                       else pl.BlockSpec((1, P), lambda i: (0, 0))),
+            out_shape=(out_shapes if n_out > 1 else out_shapes[0]),
         )
         coef = jnp.ones((NQ * KCC, 4), jnp.float32)
         aux = jnp.ones((KCC, P), jnp.float32)
@@ -125,6 +127,41 @@ def kF(coef_ref, aux_ref, o_ref):
     o_ref[0, :] = acc[0, :]
 
 
+def kE1(coef_ref, aux_ref, o_ref):
+    # lane-slice LHS, NO concat: is the 4-lane slice itself the crasher?
+    rows = aux_ref[:, :]
+    V = lax.dot_general(rows[:, 0:4], p4(aux_ref),
+                        (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    o_ref[0, :] = jnp.sum(V, axis=0)
+
+
+def kE2(coef_ref, aux_ref, o_ref):
+    # sublane concat of two lane-sliced slabs (minimal E)
+    rows = aux_ref[:, :]
+    mcoef = jnp.concatenate([rows[:, 0:4], rows[:, 4:8]], axis=0)
+    V = lax.dot_general(mcoef, p4(aux_ref),
+                        (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    o_ref[0, :] = jnp.sum(V, axis=0)
+
+
+def kE3(coef_ref, aux_ref, o_ref):
+    # F-style per-quantity dots but with lane-sliced LHS from rows
+    rows = aux_ref[:, :]
+    pp = p4(aux_ref)
+    acc = jnp.zeros((1, P), jnp.float32)
+    for q in range(NQ):
+        Vq = lax.dot_general(rows[:, 4 * q:4 * (q + 1)], pp,
+                             (((1,), (0,)), ((), ())),
+                             precision=lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+        acc = acc + jnp.sum(Vq, axis=0, keepdims=True)
+    o_ref[0, :] = acc[0, :]
+
+
 def kA_default(coef_ref, aux_ref, o_ref):
     V = lax.dot_general(coef_ref[:KCC, :], p4(aux_ref),
                         (((1,), (0,)), ((), ())),
@@ -141,4 +178,7 @@ if __name__ == "__main__":
     run("C  B + 3D reshape", kC)
     run("D  C + V[q] slabs", kD)
     run("E  7-slab sublane concat + dot", kE)
+    run("E1 lane-slice LHS, no concat", kE1)
+    run("E2 2-slab sublane concat + dot", kE2)
+    run("E3 per-quantity dots, lane-sliced LHS", kE3)
     run("F  per-quantity dots", kF)
