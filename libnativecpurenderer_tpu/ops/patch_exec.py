@@ -62,6 +62,12 @@ ROUTE_FULL = 2      # footprint exceeds R: full-frame scan segment
 _SAMPLING_KINDS_T = (C.KIND_TEX, C.KIND_TEX_FAST, C.KIND_SPLIT_TEX,
                      C.KIND_HITEFFECT)
 _SAMPLING_KINDS = frozenset(_SAMPLING_KINDS_T)
+# kind-indexed membership LUT: np.isin costs ~50 us per call on the
+# hot flush path (sorting machinery); kinds are small ints, so a table
+# lookup does the same in ~2 us
+_SAMPLING_LUT = np.zeros(C.N_KINDS + 8, np.bool_)
+for _k in _SAMPLING_KINDS_T:
+    _SAMPLING_LUT[_k] = True
 
 
 def sel_for(kind: int, route) -> int:
@@ -615,8 +621,7 @@ def _routes_table(kinds, params, W, H, r_choices, sizes):
         fa = np.ascontiguousarray(fast, np.uint8)
         se = np.ascontiguousarray(sep, np.uint8)
         sp = np.ascontiguousarray(split, np.uint8)
-        sm = np.ascontiguousarray(np.isin(kinds, _SAMPLING_KINDS_T),
-                                  np.uint8)
+        sm = np.ascontiguousarray(_SAMPLING_LUT[kinds], np.uint8)
 
         def for_size_native(P):
             routes, rneeds = _fast.routes_for_size(
@@ -702,7 +707,7 @@ def plan_segments(kinds, params, W, H, atlas_shape):
     sidx = np.searchsorted(np.asarray(sizes, np.float64), ext)
     Ps = [sizes[i] if i < len(sizes) else None for i in sidx]
 
-    any_sampling = bool(np.isin(np.asarray(kinds), _SAMPLING_KINDS_T).any())
+    any_sampling = bool(_SAMPLING_LUT[np.asarray(kinds)].any())
     routes_tab = (_routes_table(kinds, params, W, H, r_choices, sizes)
                   if (any_sampling and r_choices and sizes) else None)
 
