@@ -190,7 +190,7 @@ class Renderer:
     def __init__(self, *, width: int, height: int, fps: int,
                  note_scale: float = 1.0, flow_speed: float = 1.66,
                  res_dir: str = ".", silent: bool = False,
-                 batch_frames: int = 1, unrolled_flush: bool = True,
+                 batch_frames: int = 8, unrolled_flush: bool = True,
                  devices: int = 1):
         self.w = width
         self.h = height
@@ -763,7 +763,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-fs", "--flow-speed", type=float, default=1.66)
     p.add_argument("-d", "--debug", action="store_true")
     p.add_argument("-sl", "--silent", action="store_true")
-    p.add_argument("-bf", "--batch-frames", type=int, default=1,
+    # default 8: the fused pipeline frame step (fb0 -> unrolled flush ->
+    # u8 in ONE device program) beat the per-frame eager chain 4.48 vs
+    # 5.46 ms/frame on device (tools/exp_fused_frame.py, 2026-08-18);
+    # the batched path is bit-tested equal to sequential
+    p.add_argument("-bf", "--batch-frames", type=int, default=8,
                    help="frames per device dispatch (TPU batching)")
     p.add_argument("--devices", type=int, default=1,
                    help="devices to shard over (0 = all available; >1 "

@@ -235,18 +235,20 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                 return rows[:, j:j + 1]
 
             if mxu:
-                # quantity-major coefficient stack: rows carry affine
-                # triples at lanes 4q..4q+2 (build_table_mxu); ONE
-                # matmul evaluates every plane of the chunk at every
-                # pixel of the tile
-                mcoef = jnp.concatenate(
-                    [rows[:, 4 * q:4 * (q + 1)] for q in range(nq)],
-                    axis=0)                                # (nq*kcc, 4)
-                V = lax.dot_general(
-                    mcoef, P4, (((1,), (0,)), ((), ())),
-                    precision=prec,
-                    preferred_element_type=jnp.float32)
-                V = V.reshape(nq, kcc, P)
+                # per-quantity (kcc, 4) x (4, P) dots: rows carry affine
+                # triples at lanes 4q..4q+2 (build_table_mxu).  A single
+                # (nq*kcc, 4) x (4, P) dot over a sublane-concat of the
+                # slabs is ~nq-fold fewer MXU passes, but Mosaic's
+                # remote compiler CRASHES on any sublane concatenate
+                # feeding dot_general (tools/exp_r4_mxu_bisect.py
+                # 2026-08-18: E/E2 fail, E1/E3/F compile+run) — so each
+                # quantity gets its own dot on the lane-sliced LHS
+                V = [lax.dot_general(
+                        rows[:, 4 * q:4 * (q + 1)], P4,
+                        (((1,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32)
+                     for q in range(nq)]                   # nq x (kcc, P)
                 e0, e1, e2, zz = V[0], V[1], V[2], V[3]
             else:
                 e0 = col(0) * X + col(1) * Y + col(2)

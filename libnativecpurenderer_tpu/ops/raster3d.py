@@ -1017,7 +1017,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  perspective_correct: bool = True,
                                  tex_nw: int = 16,
                                  fb_tile_cap: int = 1024, mxu: int = 0,
-                                 tex_split: bool = False):
+                                 tex_split: bool = True):
     """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
     launch.  The tile kernel fetches texels IN-KERNEL from the
     VMEM-resident packed texture through per-tile UV-footprint windows

@@ -62,6 +62,10 @@ SPLIT_CFGS = [
          tex_split=True),
     dict(tile_w=64, tile_h=16, span_x=3, span_y=6, tex_nw=8, B=12,
          tex_split=True),
+    # MXU walk retest now that the sublane-concat crasher is gone
+    # (per-quantity dots, exp_r4_mxu_bisect)
+    dict(tile_w=64, tile_h=32, span_x=3, span_y=4, tex_nw=16, B=12,
+         tex_split=True, mxu=1),
 ]
 
 
