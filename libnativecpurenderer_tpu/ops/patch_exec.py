@@ -482,23 +482,30 @@ def render_flush(fb, packed, atlas, plan: tuple, nbase: int):
 # small (real workloads repeat frame structures; the persistent compile
 # cache keeps warm starts cheap) and falls back to the loop above.
 
-def _unrolled_body(fb, params, atlas, sig: tuple):
+def _unrolled_body(fb, params, atlas, sig: tuple, barriers: bool = True):
     """sig: tuple of segments; each is ('patch', P, R, ((sel, cnt), ...))
     or ('fullarith', (sels...)).  params: (ncmd, PARAM_W) rows in segment
     order, ncmd = total expanded count.  Patch runs are run-length
     encoded with BUCKETED counts (context._dispatch_group): the rows
     beyond a run's real length are all-zero, which is an exact no-op for
     every bucketable sel (zero AABB -> all-false mask), so churning
-    command counts collapse onto one compiled signature."""
+    command counts collapse onto one compiled signature.
+
+    ``barriers``: a barrier between commands stops XLA fusing one
+    command's math into another's — each command's rounding then
+    matches the loop executor's isolated body bit-for-bit.  The
+    rounding-sensitive PRODUCTS are individually barriered inside the
+    branch bodies already (executor._blend_into, _inv_point/mk_region),
+    so barriers=False is expected bit-equal while letting XLA fuse
+    consecutive full-frame blends into one HBM pass (each full-frame
+    command is otherwise a ~66 MB read+write at 1080p f32 — bandwidth
+    bound); measured on device before flipping any default
+    (tools/exp_r3_barriers.py)."""
     dtype = fb.dtype
     H, W = fb.shape[0], fb.shape[1]
     AW = atlas.shape[1]
     i = 0
     full_branches = None
-    # the barrier between commands stops XLA fusing one command's math
-    # into another's — each command's rounding then matches the loop
-    # executor's isolated body bit-for-bit (the fb chain is sequential
-    # anyway, so no overlap is lost)
     for seg in sig:
         if seg[0] == "patch":
             _, P, R, runs = seg
@@ -506,7 +513,8 @@ def _unrolled_body(fb, params, atlas, sig: tuple):
                 for _ in range(cnt):
                     fb = _patch_step_static(fb, sel, params[i], atlas, P,
                                             R, dtype)
-                    fb = lax.optimization_barrier(fb)
+                    if barriers:
+                        fb = lax.optimization_barrier(fb)
                     i += 1
         else:
             if full_branches is None:
@@ -517,18 +525,21 @@ def _unrolled_body(fb, params, atlas, sig: tuple):
             for sel in seg[1]:
                 mask, rgba, store = full_branches[sel](params[i])
                 fb = executor._blend_into(fb, mask, rgba, store)
-                fb = lax.optimization_barrier(fb)
+                if barriers:
+                    fb = lax.optimization_barrier(fb)
                 i += 1
     return fb
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-def render_flush_unrolled(fb, params, atlas, sig: tuple):
-    return _unrolled_body(fb, params, atlas, sig)
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3, 4))
+def render_flush_unrolled(fb, params, atlas, sig: tuple,
+                          barriers: bool = True):
+    return _unrolled_body(fb, params, atlas, sig, barriers)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def frame_step_unrolled(fb0, params, atlas, sig: tuple):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def frame_step_unrolled(fb0, params, atlas, sig: tuple,
+                        barriers: bool = True):
     """One whole pipeline frame in ONE device program: start from the
     shared (NON-donated) initial framebuffer, run the unrolled flush,
     quantise to u8.  Replaces the eager fb0.copy -> flush -> quantize
@@ -537,7 +548,7 @@ def frame_step_unrolled(fb0, params, atlas, sig: tuple):
     quantise fuse into the command chain.  Bit-exact vs the eager
     chain: commands stay barrier-isolated, and quantize is a single
     rounding (mul by 255 + C-cast truncation) on the barriered fb."""
-    fb = _unrolled_body(fb0, params, atlas, sig)
+    fb = _unrolled_body(fb0, params, atlas, sig, barriers)
     return executor.quantize_u8(fb)
 
 
