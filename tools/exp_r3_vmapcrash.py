@@ -29,9 +29,30 @@ def probe(h, w, n, wrap, kinds):
 
     B = 2
     rng = np.random.default_rng(0)
-    karr = np.zeros((B, n), np.int32)
-    parr = np.zeros((B, n, C.PARAM_W), np.float32)
-    for b in range(B):
+    if kinds == "tex":
+        # the round-2 pipeline actually batched SAMPLING commands (full
+        # -frame atlas gathers in the scan executor) — record real
+        # draw_texture/draw_splitted_texture commands via a context
+        import libnativecpurenderer_tpu as R
+        ctx = R.RenderContext(w, h, True)
+        texs = [R.Texture._from_array(rng.random((128, 128, 4)), True)
+                for _ in range(4)]
+        for i in range(n):
+            x = float(rng.uniform(0, w - 140))
+            y = float(rng.uniform(0, h - 140))
+            if i % 2:
+                ctx.draw_texture(texs[i % 4], x, y, 80.0, 80.0)
+            else:
+                ctx.draw_splitted_texture(texs[i % 4], x, y, 100.0,
+                                          50.0, 0.1, 0.9, 0.0, 1.0)
+        k1, p1 = ctx._cmds.snapshot()
+        karr = np.stack([np.asarray(k1)] * B)
+        parr = np.stack([np.asarray(p1, np.float32)] * B)
+        n = karr.shape[1]
+    else:
+        karr = np.zeros((B, n), np.int32)
+        parr = np.zeros((B, n, C.PARAM_W), np.float32)
+    for b in range(B if kinds != "tex" else 0):
         for i in range(n):
             if kinds == "rect":
                 karr[b, i] = C.KIND_RECT
@@ -71,12 +92,18 @@ def probe(h, w, n, wrap, kinds):
 
 def main():
     grid = []
-    for wrap in ("vmap", "map"):
-        for h, w in ((270, 480), (540, 960), (1080, 1920)):
-            for n in (16, 64):
-                grid.append((h, w, n, wrap, "rect"))
-    grid.append((1080, 1920, 16, "vmap", "mixed"))
-    grid.append((1080, 1920, 16, "loop", "rect"))
+    if "--tex-only" not in sys.argv:
+        for wrap in ("vmap", "map"):
+            for h, w in ((270, 480), (540, 960), (1080, 1920)):
+                for n in (16, 64):
+                    grid.append((h, w, n, wrap, "rect"))
+        grid.append((1080, 1920, 16, "vmap", "mixed"))
+        grid.append((1080, 1920, 16, "loop", "rect"))
+    # sampling commands (full-frame atlas gathers) — the round-2
+    # pipeline's actual batched workload
+    grid.append((1080, 1920, 30, "vmap", "tex"))
+    grid.append((1080, 1920, 30, "map", "tex"))
+    grid.append((540, 960, 30, "vmap", "tex"))
     for h, w, n, wrap, kinds in grid:
         r = subprocess.run(
             [sys.executable, __file__, "one", str(h), str(w), str(n),
