@@ -141,3 +141,62 @@ def test_unroll_signature_canonicalisation():
         outs[n] = got
     # 13, 15 and 16 rects all pad to the 16-bucket -> one signature
     assert sigs[0] == sigs[1] == sigs[2]
+
+
+def test_unrolled_barriers_off_bit_equal():
+    """Dropping the per-command fb optimization barrier must not change
+    output: the rounding-sensitive products are individually barriered
+    inside the branch bodies (executor._blend_into, mk_region snaps).
+    Guarded here so a future branch-body edit that starts relying on
+    the inter-command barrier fails loudly (device A/B:
+    tools/exp_r3_barriers.py)."""
+    from libnativecpurenderer_tpu import config
+    from libnativecpurenderer_tpu.ops import patch_exec
+
+    W, H = 320, 240
+    rng = np.random.default_rng(7)
+    ctx = R.RenderContext(W, H, True)
+    texs = [R.Texture._from_array(rng.random((64, 64, 4)), True)
+            for _ in range(2)]
+    old_min = config.flush_unroll_min_seen()
+    old_k = config.canvas_kernel_enabled()
+    config.set_flush_unroll_min_seen(1)
+    config.set_canvas_kernel(False)
+    caps = []
+    orig = patch_exec.render_flush_unrolled
+
+    def wrapper(fb, rows, atlas, sig, barriers=True):
+        caps.append((np.asarray(rows), np.asarray(atlas), sig))
+        return orig(fb, rows, atlas, sig, barriers)
+
+    patch_exec.render_flush_unrolled = wrapper
+    try:
+        # full-frame arith stack + rotated/split sampling + rects
+        ctx.fill_color(0.05, 0.05, 0.08, 0.25)
+        ctx.draw_vertical_grd(0, 0, W, H, 0.3, 0, 0, 0.2, 0, 0.1, 0, 0.8)
+        ctx.fill_color(0.2, 0.1, 0.0, 0.1)
+        ctx.save_state()
+        ctx.translate(80.0, 60.0)
+        ctx.rotate(0.37)
+        ctx.draw_texture(texs[0], -20, -10, 40, 20)
+        ctx.restore_state()
+        for i in range(6):
+            ctx.draw_splitted_texture(texs[i % 2], 10.0 + 30 * i,
+                                      20.0 + 11 * i, 50.0, 25.0,
+                                      0.1, 0.9, 0.0, 1.0)
+            ctx.draw_rect(5.0 + 17 * i, 40.0 + 13 * i, 30.0, 18.0,
+                          0.2, 0.8, 0.4, 0.7)
+        ctx.flush()
+    finally:
+        patch_exec.render_flush_unrolled = orig
+        config.set_flush_unroll_min_seen(old_min)
+        config.set_canvas_kernel(old_k)
+    assert caps, "scene did not reach the unrolled executor"
+    for rows_np, atlas_np, sig in caps:
+        fb0 = jnp.zeros((H, W, 4), jnp.float32)
+        a = np.asarray(patch_exec.frame_step_unrolled(
+            fb0, jnp.asarray(rows_np), jnp.asarray(atlas_np), sig, True))
+        b = np.asarray(patch_exec.frame_step_unrolled(
+            fb0, jnp.asarray(rows_np), jnp.asarray(atlas_np), sig, False))
+        assert a.any()
+        np.testing.assert_array_equal(a, b)
