@@ -82,35 +82,22 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         # beats the 12-frame vmap-prep batch per frame (1.62 vs ~2.0 —
         # vmap'd prep pays layout/copy overhead the single-frame prep
         # fuses away).
-        # race group: the champion shape and its round-3 kernel variants
-        # (MXU chunk walk, whole-frame resident out) are ALL warmed and
-        # short-timed, fastest wins — new variants can't lose the
-        # headline to ladder order, and a variant that fails to compile
-        # just drops out of the race (tools/exp_r4_mxu.py,
-        # exp_r3_resident.py)
+        # race group: the champion shape and surviving kernel variants
+        # are ALL warmed and short-timed, fastest wins — new variants
+        # can't lose the headline to ladder order, and a variant that
+        # fails to compile just drops out of the race.
+        # MEASURED OUT of the race (2026-08-18 TPU ladders): every
+        # mxu=1 config 2.74-2.79 ms/frame vs 1.63 FMA control (the
+        # 6-pass bf16 HIGHEST emulation costs more than the VPU FMAs it
+        # replaces; even the unshippable single-pass bf16 bound is only
+        # 1.47 — tools/exp_r4_mxu.py), and (16,16) small tiles 3.4
+        # (per-program fixed cost dominates — exp_r3_resident.py).
         dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
              flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
              fused_loop=True, race=True),
         dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
              flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
-             fused_loop=True, race=True, mxu=1),
-        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
-             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
              fused_loop=True, race=True, resident_out=True),
-        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
-             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
-             fused_loop=True, race=True, mxu=1, resident_out=True),
-        # small tiles: ~2x fewer walked pair-pixels, viable only with
-        # the resident whole-frame out amortising 4x programs
-        # (tools/exp_r3_resident.py ladder shapes)
-        dict(tile_w=16, tile_h=16, span_x=10, span_y=5, capacity=256,
-             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
-             wide_split=True, fused_loop=True, race=True,
-             resident_out=True),
-        dict(tile_w=16, tile_h=16, span_x=10, span_y=5, capacity=256,
-             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
-             wide_split=True, fused_loop=True, race=True,
-             resident_out=True, mxu=1),
         dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=384,
              flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
              fused_loop=True),
