@@ -1103,29 +1103,41 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
 
     # tile-compacted fallback: the footprint misses cluster in a few
     # high-UV-frequency tiles (~13% on the rotating bench mesh,
-    # tools/exp_fp_hist.py), so gather ONLY those tiles' pixels —
-    # nonzero(size=CAP) keeps shapes static; if more than CAP tiles
-    # miss, a lax.cond falls back to the whole-plane gather
+    # tools/exp_fp_hist.py; a handful with tex_split), so gather ONLY
+    # those tiles' pixels — nonzero(size=CAP) keeps shapes static.
+    # The compacted branch's cost scales with its STATIC cap, not with
+    # n_bad (exp_texprof2: ~0.3 ms/frame of lax.cond even at ~6% bad),
+    # so a SMALL-cap tier handles the common few-misses case and the
+    # big cap / whole-plane gather remain as escapes: lax.switch on
+    # (none, <=cap_s, <=cap, full).
     tile_bad = jnp.any(fb2 >= 0, axis=1)               # (B*NT,)
     n_bad = jnp.sum(tile_bad)
     cap = min(fb_tile_cap, Bn * nt)
+    cap_s = min(128, cap)
     tids = jnp.nonzero(tile_bad, size=cap, fill_value=0)[0]
 
-    def compacted(_):
-        sel_fb = jnp.take(fb2, tids, axis=0)           # (cap, P)
-        gi = gather_rows(sel_fb)
-        merged = jnp.where(sel_fb >= 0, gi,
-                           jnp.take(pk2, tids, axis=0))
-        # duplicate fill ids all write tile `tids[k]`'s own merged row,
-        # so .at[].set collisions are value-identical
-        return pk2.at[tids].set(merged)
+    def compacted_k(csize):
+        def br(_):
+            sel = tids[:csize]
+            sel_fb = jnp.take(fb2, sel, axis=0)        # (csize, P)
+            gi = gather_rows(sel_fb)
+            merged = jnp.where(sel_fb >= 0, gi,
+                               jnp.take(pk2, sel, axis=0))
+            # duplicate fill ids all write tile sel[k]'s own merged
+            # row, so .at[].set collisions are value-identical
+            return pk2.at[sel].set(merged)
+        return br
 
     def full(_):
         return jnp.where(fb2 >= 0, gather_rows(fb2), pk2)
 
-    final = lax.cond(
-        n_bad == 0, lambda _: pk2,
-        lambda _: lax.cond(n_bad <= cap, compacted, full, None), None)
+    tier = (jnp.int32(0)
+            + (n_bad > 0).astype(jnp.int32)
+            + (n_bad > cap_s).astype(jnp.int32)
+            + (n_bad > cap).astype(jnp.int32))
+    final = lax.switch(
+        tier, [lambda _: pk2, compacted_k(cap_s), compacted_k(cap),
+               full], None)
 
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
