@@ -455,35 +455,20 @@ def bench_textured(frames: int = 24, batch: int = 12):
         grouped = [jnp.stack(mvps[i:i + batch])
                    for i in range(0, frames, batch)]
 
-        def make_run_batch(mxu):
-            def run_batch(_mxu=mxu):
-                outs = [bfn(verts, faces, uvs, tex_u8, width, height, m,
-                            mxu=_mxu)[0]
-                        for m in grouped]
-                return float(jnp.sum(jnp.stack(
-                    [jnp.sum(o.astype(jnp.float32)) for o in outs])))
-            return run_batch
+        # mxu=1 measured out 2026-08-18: 5.77 vs ~3.3 ms/frame at the
+        # champion shape (tools/exp_r3_texladder --split) — same 6-pass
+        # bf16 HIGHEST tax as the color path (exp_r4_mxu)
+        def run_batch():
+            outs = [bfn(verts, faces, uvs, tex_u8, width, height, m)[0]
+                    for m in grouped]
+            return float(jnp.sum(jnp.stack(
+                [jnp.sum(o.astype(jnp.float32)) for o in outs])))
 
-        # race the batched path with and without the MXU chunk walk
-        # (exp_r4_mxu rationale); a variant that fails just drops out
-        dt_b = None
-        run_batch = None
-        for mxu in (0, 1):
-            try:
-                cand = make_run_batch(mxu)
-                cand()                           # warm + compile check
-                t0 = time.perf_counter()
-                cand()
-                dt_c = time.perf_counter() - t0
-                log(f"textured: batched mxu={mxu} "
-                    f"{dt_c / frames * 1e3:.2f} ms/frame")
-                if dt_b is None or dt_c < dt_b:
-                    dt_b, run_batch = dt_c, cand
-            except Exception as e:
-                log(f"textured batched mxu={mxu} failed "
-                    f"({type(e).__name__})")
-        if run_batch is None:
-            raise RuntimeError("no batched textured variant compiled")
+        run_batch()                              # warm + compile check
+        t0 = time.perf_counter()
+        run_batch()
+        dt_b = time.perf_counter() - t0
+        log(f"textured: batched {dt_b / frames * 1e3:.2f} ms/frame")
         run_f32()                                # warm
         t0 = time.perf_counter()
         run_f32()
