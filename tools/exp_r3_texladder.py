@@ -73,6 +73,10 @@ def main():
     global CFGS
     if "--split" in sys.argv:
         CFGS = SPLIT_CFGS
+    elif "--champ" in sys.argv:
+        # champion only — quick re-measure after an internal change
+        # (e.g. the small-cap fallback tier)
+        CFGS = SPLIT_CFGS[:1]
     verts_np, faces_np, _ = mesh.mesh_10k()
     verts = jnp.asarray(verts_np, jnp.float32)
     faces = jnp.asarray(faces_np, jnp.int32)
