@@ -446,6 +446,11 @@ def bench_textured(frames: int = 24, batch: int = 12):
         return float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))
 
     run_all = None
+    run_batch = None
+    # reps: queue several whole-sequence passes, sync ONCE — the ~30 ms
+    # tunnel sync over only 24 frames would otherwise add ~1.3 ms/frame
+    # (ladder measures 3.2-3.4, bench saw 4.7)
+    REPS_B = 5
     try:
         # defaults: (64, 32) tiles + 16 footprint windows + compacted
         # fallback — measured 3.29 ms/frame vs 9.0 for the f32 path on
@@ -458,16 +463,18 @@ def bench_textured(frames: int = 24, batch: int = 12):
         # mxu=1 measured out 2026-08-18: 5.77 vs ~3.3 ms/frame at the
         # champion shape (tools/exp_r3_texladder --split) — same 6-pass
         # bf16 HIGHEST tax as the color path (exp_r4_mxu)
-        def run_batch():
-            outs = [bfn(verts, faces, uvs, tex_u8, width, height, m)[0]
-                    for m in grouped]
+        def run_batch(reps=REPS_B):
+            outs = []
+            for _ in range(reps):
+                outs.extend(bfn(verts, faces, uvs, tex_u8, width,
+                                height, m)[0] for m in grouped)
             return float(jnp.sum(jnp.stack(
                 [jnp.sum(o.astype(jnp.float32)) for o in outs])))
 
-        run_batch()                              # warm + compile check
+        run_batch(1)                             # warm + compile check
         t0 = time.perf_counter()
         run_batch()
-        dt_b = time.perf_counter() - t0
+        dt_b = (time.perf_counter() - t0) / REPS_B
         log(f"textured: batched {dt_b / frames * 1e3:.2f} ms/frame")
         run_f32()                                # warm
         t0 = time.perf_counter()
@@ -487,12 +494,13 @@ def bench_textured(frames: int = 24, batch: int = 12):
             "per-frame f32 fallback")
         run_all = run_f32
         run_all()                                # warm
+    frames_per_call = frames * (REPS_B if run_all is run_batch else 1)
     best = None
     for _ in range(3):
         with TIMER.phase("textured_render"):
             t0 = time.perf_counter()
             run_all()
-            dt = (time.perf_counter() - t0) / frames
+            dt = (time.perf_counter() - t0) / frames_per_call
         best = dt if best is None else min(best, dt)
     log(f"textured: {frames} frames -> {best * 1e3:.2f} ms/frame "
         f"({1 / best:.1f} fps)")
