@@ -69,10 +69,34 @@ SPLIT_CFGS = [
 ]
 
 
+MICRO_CFGS = [
+    # neighbourhood of the champion (64,32)/(3,4)/nw16/B=12 = 3.156
+    # ms/frame — knobs the earlier ladders never varied:
+    #  * B: prep batch size (12 was inherited from the color path; a
+    #    smaller batch shrinks the vmapped prep's working set)
+    #  * tighter spans: at (64,32) the bench mesh may fit (2,4)/(3,3)
+    #    (span histograms were measured at 32 px tiles only) — the
+    #    harness's overflow flag arbitrates
+    #  * nw24: higher window count -> fewer fallback-gather tiles
+    dict(tile_w=64, tile_h=32, span_x=3, span_y=4, tex_nw=16, B=6,
+         tex_split=True),
+    dict(tile_w=64, tile_h=32, span_x=3, span_y=4, tex_nw=16, B=8,
+         tex_split=True),
+    dict(tile_w=64, tile_h=32, span_x=2, span_y=4, tex_nw=16, B=12,
+         tex_split=True),
+    dict(tile_w=64, tile_h=32, span_x=3, span_y=3, tex_nw=16, B=12,
+         tex_split=True),
+    dict(tile_w=64, tile_h=32, span_x=3, span_y=4, tex_nw=24, B=12,
+         tex_split=True),
+]
+
+
 def main():
     global CFGS
     if "--split" in sys.argv:
         CFGS = SPLIT_CFGS
+    elif "--micro" in sys.argv:
+        CFGS = MICRO_CFGS
     elif "--champ" in sys.argv:
         # champion only — quick re-measure after an internal change
         # (e.g. the small-cap fallback tier)
