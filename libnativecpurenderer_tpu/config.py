@@ -126,3 +126,24 @@ def set_flush_unroll_compile_cap(n: int) -> None:
 
 def flush_unroll_compile_cap() -> int:
     return _flush_unroll_compile_cap
+
+
+# Batched pipeline frame step: when every frame in a pipeline batch
+# collapses to the unrolled flush with ONE shared signature (the common
+# case — a scene repeats its command structure frame over frame), render
+# the whole batch in a single vmapped device program instead of B
+# per-frame dispatches (each dispatch costs ~0.5 ms host through the dev
+# tunnel).  Default OFF: the round-1 "vmap at 1080p crashes the TPU
+# worker" fault is unreproducible (ROADMAP 2026-08-18), but the vmapped
+# program's XLA schedule must still beat the pipelined per-frame queue
+# on device (tools/exp_r3_pipevmap.py) before this flips.
+_pipeline_vmap = False
+
+
+def set_pipeline_vmap(enabled: bool) -> None:
+    global _pipeline_vmap
+    _pipeline_vmap = bool(enabled)
+
+
+def pipeline_vmap() -> bool:
+    return _pipeline_vmap

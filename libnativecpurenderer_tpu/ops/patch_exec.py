@@ -552,6 +552,23 @@ def frame_step_unrolled(fb0, params, atlas, sig: tuple,
     return executor.quantize_u8(fb)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def frame_step_unrolled_batch(fb0, params_b, atlas, sig: tuple,
+                              barriers: bool = True):
+    """A whole pipeline batch in ONE device program: vmap of the
+    frame-step body over the stacked (B, rows, PARAM_W) params, with
+    fb0/atlas broadcast and one shared signature.  Collapses B
+    per-frame dispatches into a single one (~0.5 ms host each through
+    the dev tunnel).  Bit-exact vs the per-frame step on CPU
+    (tests/test_pipeline.py); gated by config.pipeline_vmap() until the
+    device A/B (tools/exp_r3_pipevmap.py) confirms the vmapped XLA
+    schedule also wins on TPU."""
+    def one(params):
+        fb = _unrolled_body(fb0, params, atlas, sig, barriers)
+        return executor.quantize_u8(fb)
+    return jax.vmap(one)(params_b)
+
+
 # --------------------------------------------------------------------- #
 # host-side flush planning
 # --------------------------------------------------------------------- #

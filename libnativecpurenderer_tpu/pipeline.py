@@ -90,6 +90,7 @@ class BatchedVideoPipeline:
         structure hit one compiled unrolled program.  Dispatches stay
         async — frames pipeline on the device queue and sync only at the
         batch's host fetch, so the batch still amortises the transfer."""
+        from . import config
         from .ops import patch_exec
 
         if self._exec_ctx is None:
@@ -98,23 +99,35 @@ class BatchedVideoPipeline:
                                            dtype=self._dtype)
         ctx = self._exec_ctx
         atlas = self._store.device
-        outs = []
+        # Plan every frame first: frames whose plan collapses to one
+        # patch/fullarith group with a warm signature take the fused
+        # fast path — the whole frame as ONE device program (fb0 ->
+        # unrolled flush -> u8, patch_exec.frame_step_unrolled).
+        plans = []
         for k, p in pending:
-            # Fused fast path: when the frame's plan collapses to one
-            # patch/fullarith group (the common frame mix) and its
-            # signature is warm, the whole frame runs as ONE device
-            # program (fb0 -> unrolled flush -> u8), with no explicit
-            # fb copy and no separate quantize dispatch
-            # (patch_exec.frame_step_unrolled).
             segs = patch_exec.plan_segments(k, p, self.width, self.height,
                                             atlas.shape)
+            packed = None
             if all(s[0] in ("patch", "fullarith") for s in segs):
-                packed_sig = ctx._unroll_pack(segs, k, p)
-                if packed_sig is not None:
-                    sig, rows = packed_sig
-                    outs.append(patch_exec.frame_step_unrolled(
-                        self._fb0, jnp.asarray(rows), atlas, sig))
-                    continue
+                packed = ctx._unroll_pack(segs, k, p)
+            plans.append((k, p, segs, packed))
+        # Batch fast path (opt-in, config.pipeline_vmap): every frame
+        # fused AND one shared signature -> the whole batch as a single
+        # vmapped device program (B dispatches -> 1).
+        if (config.pipeline_vmap() and len(plans) > 1
+                and all(pk is not None for _, _, _, pk in plans)):
+            sig0 = plans[0][3][0]
+            if all(pk[0] == sig0 for _, _, _, pk in plans):
+                rows_b = np.stack([pk[1] for _, _, _, pk in plans])
+                return patch_exec.frame_step_unrolled_batch(
+                    self._fb0, jnp.asarray(rows_b), atlas, sig0)
+        outs = []
+        for k, p, segs, packed in plans:
+            if packed is not None:
+                sig, rows = packed
+                outs.append(patch_exec.frame_step_unrolled(
+                    self._fb0, jnp.asarray(rows), atlas, sig))
+                continue
             # copy: the flush executors donate their fb argument, and
             # _fb0 must survive for the next frame
             ctx._fb = self._fb0.copy()

@@ -109,3 +109,57 @@ def test_fused_frame_step_fires_and_matches():
     # the repeating structure must warm the signature cache and route
     # at least the later frames through the fused program
     assert len(calls) >= 2, "fused frame step never fired"
+
+
+def test_pipeline_vmap_batch_fires_and_matches():
+    """With config.set_pipeline_vmap(True), a batch whose frames all
+    share one warm unrolled signature renders as a SINGLE vmapped
+    device program (patch_exec.frame_step_unrolled_batch) and stays
+    bit-equal to the per-frame fused path."""
+    from libnativecpurenderer_tpu import config
+    from libnativecpurenderer_tpu.ops import patch_exec
+
+    W, H, N = 192, 160, 9
+    rng = np.random.default_rng(7)
+    tex = R.Texture._from_array(rng.random((16, 16, 4)), True)
+
+    def draw(ctx, i):
+        ctx.fill_color(0.1, 0.1, 0.2, 0.3)
+        ctx.draw_texture(tex, 4.0 + i, 6.0, 12.0, 12.0)
+        ctx.draw_rect(20.0, 8.0 + i, 10.0, 6.0, 0.9, 0.4, 0.2, 0.8)
+
+    def render(vmap_on):
+        sink = FrameSink()
+        pipe = BatchedVideoPipeline(sink, W, H, batch=3)
+        ctx = R.RenderContext(W, H, True)
+        config.set_pipeline_vmap(vmap_on)
+        try:
+            for i in range(N):
+                draw(ctx, i)
+                k, p = ctx._cmds.snapshot()
+                pipe.submit(k, p)
+                ctx._cmds.clear()
+            pipe.finish()
+        finally:
+            config.set_pipeline_vmap(False)
+        return sink.frames
+
+    base = render(False)                 # also warms the signature cache
+
+    calls = []
+    orig = patch_exec.frame_step_unrolled_batch
+
+    def spy(fb0, rows_b, atlas, sig):
+        calls.append(rows_b.shape[0])
+        return orig(fb0, rows_b, atlas, sig)
+
+    patch_exec.frame_step_unrolled_batch = spy
+    try:
+        vm = render(True)
+    finally:
+        patch_exec.frame_step_unrolled_batch = orig
+
+    assert calls and max(calls) == 3, f"vmapped batch never fired: {calls}"
+    assert len(vm) == N
+    for a, b in zip(base, vm):
+        np.testing.assert_array_equal(a, b)

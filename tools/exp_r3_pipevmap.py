@@ -74,13 +74,9 @@ def build_scene():
     return rec, snaps
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def frame_step_batch(fb0, params_b, atlas, sig):
-    def one(params):
-        fb = patch_exec._unrolled_body(fb0, params, atlas, sig, True)
-        from libnativecpurenderer_tpu.ops import executor
-        return executor.quantize_u8(fb)
-    return jax.vmap(one)(params_b)
+# the shipped batch path (ops/patch_exec.py), gated in production by
+# config.pipeline_vmap() — this A/B is the gate's evidence
+frame_step_batch = patch_exec.frame_step_unrolled_batch
 
 
 def main():
