@@ -133,11 +133,12 @@ def flush_unroll_compile_cap() -> int:
 # case — a scene repeats its command structure frame over frame), render
 # the whole batch in a single vmapped device program instead of B
 # per-frame dispatches (each dispatch costs ~0.5 ms host through the dev
-# tunnel).  Default OFF: the round-1 "vmap at 1080p crashes the TPU
-# worker" fault is unreproducible (ROADMAP 2026-08-18), but the vmapped
-# program's XLA schedule must still beat the pipelined per-frame queue
-# on device (tools/exp_r3_pipevmap.py) before this flips.
-_pipeline_vmap = False
+# tunnel).  Default ON: measured 2.19 vs 5.66 ms/frame (2.6x) on device,
+# bit-equal (tools/exp_r3_pipevmap.py, 2026-08-18) — the round-1 "vmap
+# at 1080p crashes the TPU worker" fault is unreproducible and the
+# vmapped schedule beats the pipelined per-frame queue.  Mixed-signature
+# batches fall back to per-frame dispatches automatically.
+_pipeline_vmap = True
 
 
 def set_pipeline_vmap(enabled: bool) -> None:

@@ -93,6 +93,11 @@ def test_fused_frame_step_fires_and_matches():
     pipe = BatchedVideoPipeline(sink, W, H, batch=3)
     ctx2 = R.RenderContext(W, H, True)
     patch_exec.frame_step_unrolled = spy
+    # pin the PER-FRAME fused path: with pipeline_vmap on (the default),
+    # same-signature batches take frame_step_unrolled_batch instead
+    # (covered by test_pipeline_vmap_batch_fires_and_matches below)
+    from libnativecpurenderer_tpu import config
+    config.set_pipeline_vmap(False)
     try:
         for i in range(N):
             draw(ctx2, i)
@@ -102,6 +107,7 @@ def test_fused_frame_step_fires_and_matches():
         pipe.finish()
     finally:
         patch_exec.frame_step_unrolled = orig
+        config.set_pipeline_vmap(True)
 
     assert len(sink.frames) == N
     for a, b in zip(seq, sink.frames):
@@ -132,6 +138,7 @@ def test_pipeline_vmap_batch_fires_and_matches():
         sink = FrameSink()
         pipe = BatchedVideoPipeline(sink, W, H, batch=3)
         ctx = R.RenderContext(W, H, True)
+        prior = config.pipeline_vmap()
         config.set_pipeline_vmap(vmap_on)
         try:
             for i in range(N):
@@ -141,7 +148,7 @@ def test_pipeline_vmap_batch_fires_and_matches():
                 ctx._cmds.clear()
             pipe.finish()
         finally:
-            config.set_pipeline_vmap(False)
+            config.set_pipeline_vmap(prior)
         return sink.frames
 
     base = render(False)                 # also warms the signature cache
