@@ -47,7 +47,17 @@ from libnativecpurenderer_tpu.ops.raster3d import (         # noqa: E402
     IDX_BITS, SKY_KEY, Z_LEVELS)
 
 W, H = 1920, 1080
-TW, TH = 128, 8
+# --t32: retarget at the CHAMPION tile shape (32,32)/(5,3) — at that
+# shape the per-program fixed cost is ~0.29 us x 2040 programs ≈ 0.58
+# ms/frame (from the (16,16) ladder point), so g=2 frame-grouping has
+# ~0.29 ms of headroom IF the max-coupled chunk walk stays cheap (it
+# did not at (64,8): exp_r3_ff64).  g=1 runs as the in-harness control.
+if "--t32" in sys.argv:
+    TW, TH = 32, 32
+    SPX, SPY = 5, 3
+else:
+    TW, TH = 128, 8
+    SPX, SPY = 2, 10
 P = TH * TW
 KB = 512
 FRAMES = 24
@@ -226,7 +236,7 @@ def main():
             tri["sxy"], tri["z"], tri["valid"])
         zsc = tri["z"] * ia[:, None]
         sp, st, ct, ovf = raster3d.bin_triangles_flat(
-            tri["sxy"], vl, W, H, TW, TH, KB, 2, 10,
+            tri["sxy"], vl, W, H, TW, TH, KB, SPX, SPY,
             edges=(A, Bc, C, sg))
         tb = pallas_raster.build_table(A, Bc, C, zsc, ia, sg, vl, attrs)
         return sp, st, ct, tb, ovf
@@ -254,8 +264,12 @@ def main():
                   flush=True)
             return None
 
-    for tag, g, kcc in [("FF_g2_kcc8", 2, 8), ("FF_g2_kcc16", 2, 16),
-                        ("FF_g4_kcc8", 4, 8)]:
+    cfgs = [("FF_g2_kcc8", 2, 8), ("FF_g2_kcc16", 2, 16),
+            ("FF_g4_kcc8", 4, 8)]
+    if "--t32" in sys.argv:
+        cfgs = [("FF_g1_kcc16", 1, 16), ("FF_g2_kcc16", 2, 16),
+                ("FF_g2_kcc8", 2, 8)]
+    for tag, g, kcc in cfgs:
         groups = []
         for gi in range(FRAMES // BATCH):
             ps = preps[gi * BATCH:(gi + 1) * BATCH]
