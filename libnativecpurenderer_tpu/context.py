@@ -28,6 +28,16 @@ from .core.state import RenderState
 from .ops import canvas_kernel
 from .ops import commands as C
 from .ops import executor
+
+
+def _trunc_clamp(v: float) -> int:
+    """int(v) with the +-9e17 infinity clamp of transform.aabb's native
+    convention; NaN raises ValueError like int(nan)."""
+    if v > 9.0e17:
+        v = 9.0e17
+    elif v < -9.0e17:
+        v = -9.0e17
+    return int(v)
 from .ops import patch_exec
 from .texture import HitEffectTexture, Texture
 
@@ -78,6 +88,59 @@ class RenderContext:
         if extent > self._max_sampling_extent:
             self._max_sampling_extent = extent
         self._record(kind, box, specific)
+
+    # box modes of the fused native record (fastrec.c record_draw)
+    _BOX_AABB, _BOX_FAST, _BOX_QUAD, _BOX_FULL = 0, 1, 2, 3
+
+    def _record_draw(self, kind, mode, gx, gy, gw, gh, spec,
+                     sampling=False):
+        """One fused native call per draw — inverse + command box + row
+        store (native/fastrec.c record_draw) instead of the aabb +
+        inverse + append chain (three C crossings plus tuple glue on the
+        host-critical record path).  The branch below is the bit-parity
+        pure-Python oracle when the extension is absent
+        (tests/test_fastrec.py fuzzes the two against each other)."""
+        self._seq += 1
+        st = self._state
+        if C._fast is not None:
+            ext = self._cmds.append_draw(
+                kind, st.matrix, st.color, mode, gx, gy, gw, gh, spec,
+                float(self.width), float(self.height))
+            if sampling and ext > self._max_sampling_extent:
+                self._max_sampling_extent = ext
+            return
+        if mode == self._BOX_AABB:
+            box = self._aabb(gx, gy, gw, gh)
+        elif mode == self._BOX_FAST:
+            # DrawTexture fast path (cpp:731-752): float(int(x)) box,
+            # unclamped.  Infinities clamp at +-9e17 before the cast —
+            # the same defined-behaviour convention transform.aabb
+            # adopted for the native core (a box that far out is
+            # empty/out-of-window either way); NaN raises like int(nan)
+            box = (float(_trunc_clamp(gx)), gx + gw,
+                   float(_trunc_clamp(gy)), gy + gh)
+        elif mode == self._BOX_QUAD:
+            # draw_line: transformed-quad AABB superset (corners in
+            # spec[0:8]); see draw_line for why this is exact coverage
+            m = st.matrix
+            cs = [xf.transform_point(m, spec[i], spec[i + 1])
+                  for i in range(0, 8, 2)]
+            tx = [c[0] for c in cs]
+            ty = [c[1] for c in cs]
+            box = (max(0.0, min(float(self.width),
+                                math.floor(min(tx)))),
+                   max(0.0, min(float(self.width), max(tx) + 1.0)),
+                   max(0.0, min(float(self.height),
+                                math.floor(min(ty)))),
+                   max(0.0, min(float(self.height), max(ty) + 1.0)))
+        else:                                   # _BOX_FULL
+            box = self._full_box()
+        if sampling:
+            extent = max(box[1] - box[0], box[3] - box[2])
+            if extent > self._max_sampling_extent:
+                self._max_sampling_extent = extent
+        self._cmds.append(kind, (xf.inverse(st.matrix), box, st.color),
+                          spec)
 
     def _patch_buckets(self):
         """(small, big) window classes for the executor — small covers the
@@ -350,23 +413,26 @@ class RenderContext:
     # ------------------------------------------------------------------ #
     def set_color(self, r, g, b, a):
         # SetColor: raw store everywhere, no blend/ct (cpp:643-657).
-        self._record(C.KIND_SET_COLOR, self._full_box(), [r, g, b, a])
+        self._record_draw(C.KIND_SET_COLOR, self._BOX_FULL, 0.0, 0.0, 0.0,
+                          0.0, [r, g, b, a])
 
     def fill_color(self, r, g, b, a):
         # FillColor: blended full-screen fill with ct (cpp:682-691).
-        self._record(C.KIND_FILL, self._full_box(), [r, g, b, a])
+        self._record_draw(C.KIND_FILL, self._BOX_FULL, 0.0, 0.0, 0.0, 0.0,
+                          [r, g, b, a])
 
     def draw_rect(self, x, y, width, height, r, g, b, a):
         if width <= 0 or height <= 0:  # cpp:853
             return
-        box = self._aabb(x, y, width, height)
-        self._record(C.KIND_RECT, box, [x, y, x + width, y + height, r, g, b, a])
+        self._record_draw(C.KIND_RECT, self._BOX_AABB, x, y, width, height,
+                          [x, y, x + width, y + height, r, g, b, a])
 
     def draw_circle(self, x, y, radius, r, g, b, a):
         if radius <= 0:  # cpp:926
             return
-        box = self._aabb(x - radius, y - radius, 2 * radius, 2 * radius)
-        self._record(C.KIND_CIRCLE, box, [x, y, radius, 0.0, r, g, b, a])
+        self._record_draw(C.KIND_CIRCLE, self._BOX_AABB, x - radius,
+                          y - radius, 2 * radius, 2 * radius,
+                          [x, y, radius, 0.0, r, g, b, a])
 
     def draw_line(self, x0, y0, x1, y1, width, r, g, b, a):
         # Quad construction per cpp:876-906.
@@ -389,28 +455,20 @@ class RenderContext:
         # iff its inverse-mapped point lies in the quad, i.e. iff the pixel
         # lies in the forward-transformed quad — so the transformed
         # corners' AABB (with a 1 px guard on the open ends) is an *exact*
-        # coverage superset, which keeps small lines on the patch executor.
-        m = self._state.matrix
-        cs = [xf.transform_point(m, pts[i], pts[i + 1])
-              for i in range(0, 8, 2)]
-        tx = [c[0] for c in cs]
-        ty = [c[1] for c in cs]
-        box = (max(0.0, min(float(self.width), math.floor(min(tx)))),
-               max(0.0, min(float(self.width), max(tx) + 1.0)),
-               max(0.0, min(float(self.height), math.floor(min(ty)))),
-               max(0.0, min(float(self.height), max(ty) + 1.0)))
-        self._record(C.KIND_LINE, box, pts + [r, g, b, a])
+        # coverage superset, which keeps small lines on the patch executor
+        # (box mode _BOX_QUAD: corners ride in spec[0:8]).
+        self._record_draw(C.KIND_LINE, self._BOX_QUAD, 0.0, 0.0, 0.0, 0.0,
+                          pts + [r, g, b, a])
 
     def draw_vertical_grd(self, x, y, width, height,
                           top_r, top_g, top_b, top_a,
                           bottom_r, bottom_g, bottom_b, bottom_a):
         if width <= 0 or height <= 0:  # cpp:1291
             return
-        box = self._aabb(x, y, width, height)
-        self._record(C.KIND_VGRD, box,
-                     [x, y, x + width, y + height, y, height,
-                      top_r, top_g, top_b, top_a,
-                      bottom_r, bottom_g, bottom_b, bottom_a])
+        self._record_draw(C.KIND_VGRD, self._BOX_AABB, x, y, width, height,
+                          [x, y, x + width, y + height, y, height,
+                           top_r, top_g, top_b, top_a,
+                           bottom_r, bottom_g, bottom_b, bottom_a])
 
     def draw_vertical_mut_grd(self, x, y, width, height, steps):
         # Multi-stop gradient built from N two-stop calls (pybind:272-280).
@@ -481,30 +539,28 @@ class RenderContext:
         if isinstance(tex, HitEffectTexture):
             spec = self._tex_specific(tex, x, y, w, h)
             spec += [tex.seed, tex.t, *tex.rgb, float(fast)]
-            if fast:
-                box = (float(int(x)), x + w, float(int(y)), y + h)
-            else:
-                box = self._aabb(x, y, w, h)
-            self._record_sampling(C.KIND_HITEFFECT, box, spec)
+            self._record_draw(C.KIND_HITEFFECT,
+                              self._BOX_FAST if fast else self._BOX_AABB,
+                              x, y, w, h, spec, sampling=True)
             return
         spec = self._tex_specific(tex, x, y, w, h)
         if fast:
             # Fast path (cpp:731-752): loop range [trunc(x), x+w), raw
             # pixel coords, no membership test.
-            box = (float(int(x)), x + w, float(int(y)), y + h)
-            self._record_sampling(C.KIND_TEX_FAST, box, spec)
+            self._record_draw(C.KIND_TEX_FAST, self._BOX_FAST, x, y, w, h,
+                              spec, sampling=True)
         else:
-            box = self._aabb(x, y, w, h)
-            self._record_sampling(C.KIND_TEX, box, spec)
+            self._record_draw(C.KIND_TEX, self._BOX_AABB, x, y, w, h,
+                              spec, sampling=True)
 
     def draw_splitted_texture(self, tex: Texture, x, y, width, height,
                               u_start, u_end, v_start, v_end):
         if width == 0 or height == 0:  # cpp:789
             return
-        box = self._aabb(x, y, width, height)
         spec = self._tex_specific(tex, x, y, width, height)
         spec += [u_start, u_end, v_start, v_end]
-        self._record_sampling(C.KIND_SPLIT_TEX, box, spec)
+        self._record_draw(C.KIND_SPLIT_TEX, self._BOX_AABB, x, y, width,
+                          height, spec, sampling=True)
 
     def _pixel_box(self, xi: int, yi: int):
         # single-pixel AABB (clamped like SetPixel's bounds check,

@@ -130,6 +130,20 @@ class CommandBuffer:
         p[n_head:] = 0.0
         self.n = i + 1
 
+    def append_draw(self, kind, m, ct, mode, gx, gy, gw, gh, spec,
+                    mw, mh):
+        """Fused native record: inverse + box(mode) + row store in ONE C
+        call (native/fastrec.c record_draw).  Returns the box extent
+        max(r-l, b-t).  Callers must check ``_fast`` first — the
+        pure-Python oracle lives in context._record_draw."""
+        if self.n == self.kinds.shape[0]:
+            self._grow()
+        ext = _fast.record_draw(self.kinds, self.params, self.n, kind,
+                                m, ct, mode, gx, gy, gw, gh,
+                                spec if spec else None, mw, mh)
+        self.n += 1
+        return ext
+
     def clear(self) -> None:
         self.n = 0
         self.gen += 1

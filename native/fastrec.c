@@ -720,12 +720,223 @@ done:
     return result;
 }
 
+/* record_draw(kinds, params, i, kind, m6, ct4, mode, gx, gy, gw, gh,
+ *             spec, mw, mh) -> extent (float)
+ *
+ * Fused per-draw record: inverse transform + command box + row store in
+ * ONE call (the Python path pays aabb + inverse + append, three calls
+ * plus tuple glue, per draw — context.py _record_draw's fallback is the
+ * bit-parity oracle).  Box modes:
+ *   0  aabb(m, gx, gy, gw, gh) clamped to [0,mw]x[0,mh]
+ *      (rect/circle/vgrd/tex/splitted; reference GetBoarder cpp:693-718)
+ *   1  (trunc(gx), gx+gw, trunc(gy), gy+gh) UNclamped — DrawTexture's
+ *      no-transform fast path (float(int(x)) semantics, cpp:731-752)
+ *   2  transformed-quad AABB superset (draw_line): corners spec[0..7]
+ *      mapped through m, floor(min)/max+1, clamped to [0,mw]x[0,mh]
+ *      in the double domain (context.py draw_line)
+ *   3  full box (0, mw, 0, mh) (fill_color)
+ * Row layout matches record(): inv6 + box4 + ct4 + spec, zero-padded.
+ * Returns max(r-l, b-t) so the caller can track _max_sampling_extent.
+ * NaN box math raises ValueError exactly like the Python int()/floor()
+ * it replaces. */
+static PyObject *fastrec_record_draw(PyObject *self, PyObject *args) {
+    PyObject *kinds_o, *params_o, *m_o, *ct_o, *spec_o;
+    Py_ssize_t i;
+    long kind;
+    int mode;
+    double gx, gy, gw, gh, mw, mh;
+    if (!PyArg_ParseTuple(args, "OOnlOOiddddOdd", &kinds_o, &params_o, &i,
+                          &kind, &m_o, &ct_o, &mode, &gx, &gy, &gw, &gh,
+                          &spec_o, &mw, &mh))
+        return NULL;
+    double m[6];
+    if (parse6(m_o, m) < 0) return NULL;
+
+    double row[64];
+    Py_ssize_t nrow = 0;
+
+    /* inverse (core/transform.inverse; det==0 -> inv_det=1e9 quirk) */
+    {
+        double a = m[0], b = m[1], c = m[2], d = m[3], e = m[4], f = m[5];
+        double det = a * d - b * c;
+        double inv_det = det != 0.0 ? 1.0 / det : 1e9;
+        row[0] = d * inv_det;
+        row[1] = -b * inv_det;
+        row[2] = -c * inv_det;
+        row[3] = a * inv_det;
+        row[4] = (c * f - d * e) * inv_det;
+        row[5] = (b * e - a * f) * inv_det;
+        nrow = 6;
+    }
+
+    /* box */
+    double bl, br, bt, bb;
+    if (mode == 0) {
+        double a = m[0], b = m[1], c = m[2], d = m[3], e = m[4], f = m[5];
+        double xw = gx + gw, yh = gy + gh;
+        double ltx = a * gx + c * gy + e,  lty = b * gx + d * gy + f;
+        double rtx = a * xw + c * gy + e,  rty = b * xw + d * gy + f;
+        double lbx = a * gx + c * yh + e,  lby = b * gx + d * yh + f;
+        double rbx = a * xw + c * yh + e,  rby = b * xw + d * yh + f;
+        double lf = mn(mn(ltx, rtx), mn(lbx, rbx));
+        double rf = mx(mx(ltx, rtx), mx(lbx, rbx));
+        double tf = mn(mn(lty, rty), mn(lby, rby));
+        double bf = mx(mx(lty, rty), mx(lby, rby));
+        if (lf != lf || rf != rf || tf != tf || bf != bf) {
+            PyErr_SetString(PyExc_ValueError,
+                            "cannot convert float NaN to integer");
+            return NULL;
+        }
+        long long left = trunc_ll(lf), right = trunc_ll(rf);
+        long long top = trunc_ll(tf), bottom = trunc_ll(bf);
+        long long mwi = (long long)mw, mhi = (long long)mh;
+        if (left < 0) left = 0; else if (left > mwi) left = mwi;
+        if (right < 0) right = 0; else if (right > mwi) right = mwi;
+        if (top < 0) top = 0; else if (top > mhi) top = mhi;
+        if (bottom < 0) bottom = 0; else if (bottom > mhi) bottom = mhi;
+        bl = (double)left; br = (double)right;
+        bt = (double)top;  bb = (double)bottom;
+    } else if (mode == 1) {
+        if (gx != gx || gy != gy) {
+            PyErr_SetString(PyExc_ValueError,
+                            "cannot convert float NaN to integer");
+            return NULL;
+        }
+        bl = (double)trunc_ll(gx); br = gx + gw;
+        bt = (double)trunc_ll(gy); bb = gy + gh;
+    } else if (mode == 2) {
+        PyObject *fast = PySequence_Fast(spec_o, "expected sequence");
+        if (!fast) return NULL;
+        if (PySequence_Fast_GET_SIZE(fast) < 8) {
+            Py_DECREF(fast);
+            PyErr_SetString(PyExc_ValueError, "line spec needs 8 corners");
+            return NULL;
+        }
+        double a = m[0], b = m[1], c = m[2], d = m[3], e = m[4], f = m[5];
+        double txl = 0, txh = 0, tyl = 0, tyh = 0;
+        for (int k = 0; k < 4; k++) {
+            double px = PyFloat_AsDouble(
+                PySequence_Fast_GET_ITEM(fast, 2 * k));
+            double py = PyFloat_AsDouble(
+                PySequence_Fast_GET_ITEM(fast, 2 * k + 1));
+            if (PyErr_Occurred()) { Py_DECREF(fast); return NULL; }
+            double cx = a * px + c * py + e;
+            double cy = b * px + d * py + f;
+            if (k == 0) { txl = txh = cx; tyl = tyh = cy; }
+            else {
+                txl = mn(txl, cx); txh = mx(txh, cx);
+                tyl = mn(tyl, cy); tyh = mx(tyh, cy);
+            }
+        }
+        Py_DECREF(fast);
+        if (txl != txl || tyl != tyl) {   /* math.floor(nan) raises */
+            PyErr_SetString(PyExc_ValueError,
+                            "cannot convert float NaN to integer");
+            return NULL;
+        }
+        bl = mx(0.0, mn(mw, floor(txl)));
+        br = mx(0.0, mn(mw, txh + 1.0));
+        bt = mx(0.0, mn(mh, floor(tyl)));
+        bb = mx(0.0, mn(mh, tyh + 1.0));
+    } else {                               /* mode 3: full box */
+        bl = 0.0; br = mw; bt = 0.0; bb = mh;
+    }
+    row[6] = bl; row[7] = br; row[8] = bt; row[9] = bb;
+    nrow = 10;
+
+    /* ct4 + spec */
+    {
+        PyObject *fast = PySequence_Fast(ct_o, "expected sequence");
+        if (!fast) return NULL;
+        if (PySequence_Fast_GET_SIZE(fast) != 4) {
+            Py_DECREF(fast);
+            PyErr_SetString(PyExc_ValueError, "bad color length");
+            return NULL;
+        }
+        for (int k = 0; k < 4; k++) {
+            row[nrow] = PyFloat_AsDouble(PySequence_Fast_GET_ITEM(fast, k));
+            if (row[nrow] == -1.0 && PyErr_Occurred()) {
+                Py_DECREF(fast);
+                return NULL;
+            }
+            nrow++;
+        }
+        Py_DECREF(fast);
+    }
+
+    Py_buffer kb, pb;
+    if (PyObject_GetBuffer(kinds_o, &kb, PyBUF_WRITABLE | PyBUF_FORMAT) < 0)
+        return NULL;
+    if (PyObject_GetBuffer(params_o, &pb,
+                           PyBUF_WRITABLE | PyBUF_FORMAT | PyBUF_STRIDES) < 0) {
+        PyBuffer_Release(&kb);
+        return NULL;
+    }
+    int ok = 0;
+    if (pb.ndim != 2 || pb.strides[1] != pb.itemsize) {
+        PyErr_SetString(PyExc_ValueError, "params must be 2D row-contiguous");
+        goto done;
+    }
+    Py_ssize_t width = pb.shape[1];
+    if (i < 0 || i >= pb.shape[0] ||
+        i >= kb.len / (Py_ssize_t)sizeof(int32_t)) {
+        PyErr_SetString(PyExc_IndexError, "row index out of range");
+        goto done;
+    }
+    if (spec_o != Py_None) {
+        PyObject *fast = PySequence_Fast(spec_o, "expected sequence");
+        if (!fast) goto done;
+        Py_ssize_t ns = PySequence_Fast_GET_SIZE(fast);
+        if (nrow + ns > width || nrow + ns > 64) {
+            Py_DECREF(fast);
+            PyErr_SetString(PyExc_ValueError, "specific overflows row");
+            goto done;
+        }
+        for (Py_ssize_t k = 0; k < ns; k++) {
+            row[nrow] = PyFloat_AsDouble(PySequence_Fast_GET_ITEM(fast, k));
+            if (row[nrow] == -1.0 && PyErr_Occurred()) {
+                Py_DECREF(fast);
+                goto done;
+            }
+            nrow++;
+        }
+        Py_DECREF(fast);
+    }
+
+    ((int32_t *)kb.buf)[i] = (int32_t)kind;
+    {
+        char *base = (char *)pb.buf + i * pb.strides[0];
+        if (pb.itemsize == 8) {
+            double *dst = (double *)base;
+            for (Py_ssize_t k = 0; k < nrow; k++) dst[k] = row[k];
+            for (Py_ssize_t k = nrow; k < width; k++) dst[k] = 0.0;
+        } else if (pb.itemsize == 4) {
+            float *dst = (float *)base;
+            for (Py_ssize_t k = 0; k < nrow; k++) dst[k] = (float)row[k];
+            for (Py_ssize_t k = nrow; k < width; k++) dst[k] = 0.0f;
+        } else {
+            PyErr_SetString(PyExc_ValueError, "params must be f32/f64");
+            goto done;
+        }
+    }
+    ok = 1;
+done:
+    PyBuffer_Release(&kb);
+    PyBuffer_Release(&pb);
+    if (!ok) return NULL;
+    double ew = br - bl, eh = bb - bt;
+    return PyFloat_FromDouble(ew > eh ? ew : eh);
+}
+
 static PyMethodDef methods[] = {
     {"aabb", fastrec_aabb, METH_VARARGS,
      "aabb(m6, x, y, w, h, mw, mh) -> (l, r, t, b)"},
     {"inverse", fastrec_inverse, METH_VARARGS, "inverse(m6) -> m6"},
     {"record", fastrec_record, METH_VARARGS,
      "record(kinds, params, i, kind, inv6, box4, ct4, specific)"},
+    {"record_draw", fastrec_record_draw, METH_VARARGS,
+     "record_draw(kinds, params, i, kind, m6, ct4, mode, gx, gy, gw, gh, "
+     "spec, mw, mh) -> extent"},
     {"note_blit", fastrec_note_blit, METH_VARARGS,
      "note_blit(kinds, params, n, m6, tx, ty, deg, size, ct4, cr, cg, "
      "cb, ca, transp, W, H, can_break, dir_y, fp_zero, ishold, "

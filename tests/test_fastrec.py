@@ -449,3 +449,78 @@ def test_recorded_scene_matches_python_path(monkeypatch):
         snaps.append((k.copy(), p.copy()))
     np.testing.assert_array_equal(snaps[0][0], snaps[1][0])
     np.testing.assert_array_equal(snaps[0][1], snaps[1][1])
+
+
+def test_record_draw_parity_fuzz():
+    """Fused native per-draw record (record_draw: inverse + box mode +
+    row store in one call) is bit-identical to the pure-Python oracle
+    path across every box mode, degenerate matrices (det==0, huge
+    translations), and both buffer dtypes."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    # ONE texture for both passes: the atlas store is process-global, so
+    # a per-pass texture would land at a different region offset and the
+    # recorded (ox, oy) spec slots would differ for non-record reasons
+    tex = R.Texture._from_array(
+        np.random.default_rng(5).random((8, 8, 4)), True)
+
+    def scene(ctx, rng):
+        for t in range(40):
+            mode = int(rng.integers(0, 8))
+            if mode == 0:
+                ctx.set_transform(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+            elif mode == 1:
+                ctx.rotate(float(rng.uniform(-3, 3)))
+            elif mode == 2:
+                # det == 0 (inv_det=1e9 quirk rides through both paths)
+                ctx.set_transform(2.0, 4.0, 1.0, 2.0,
+                                  float(rng.uniform(-9, 9)), 0.0)
+            elif mode == 3:
+                ctx.set_transform(*[float(v)
+                                    for v in rng.uniform(-2, 2, 6)])
+            ctx.set_color(*[float(v) for v in rng.uniform(0, 1, 4)])
+            k = int(rng.integers(0, 7))
+            args = [float(v) for v in rng.uniform(-40, 260, 4)]
+            if k == 0:
+                ctx.fill_color(0.1, 0.2, 0.3, 0.4)
+            elif k == 1:
+                ctx.draw_rect(args[0], args[1], abs(args[2]) + 1,
+                              abs(args[3]) + 1, 0.9, 0.4, 0.2, 0.8)
+            elif k == 2:
+                ctx.draw_circle(args[0], args[1], abs(args[2]) + 1,
+                                0.2, 0.6, 1.0, 0.5)
+            elif k == 3:
+                ctx.draw_line(args[0], args[1], args[2], args[3],
+                              abs(args[0]) % 7 + 0.5, 0.9, 0.9, 1.0, 0.8)
+            elif k == 4:
+                ctx.draw_vertical_grd(args[0], args[1], abs(args[2]) + 1,
+                                      abs(args[3]) + 1, 0, 0, 0, 0,
+                                      1, 1, 1, 0.8)
+            elif k == 5:
+                ctx.draw_texture(tex, args[0], args[1],
+                                 abs(args[2]) + 1, abs(args[3]) + 1)
+            else:
+                ctx.draw_splitted_texture(tex, args[0], args[1],
+                                          abs(args[2]) + 1,
+                                          abs(args[3]) + 1,
+                                          0.1, 0.9, 0.0, 1.0)
+
+    snaps = []
+    exts = []
+    for use_fast in (True, False):
+        saved = C._fast
+        C._fast = fastrec.mod if use_fast else None
+        try:
+            ctx = R.RenderContext(200, 150, True)
+            scene(ctx, np.random.default_rng(31))
+            k, p = ctx._cmds.snapshot()
+            snaps.append((k.copy(), p.copy()))
+            exts.append(ctx._max_sampling_extent)
+        finally:
+            C._fast = saved
+    (k1, p1), (k2, p2) = snaps
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_array_equal(p1, p2)
+    assert exts[0] == exts[1]
