@@ -56,6 +56,11 @@ class BatchedVideoPipeline:
         pipe.finish()
     """
 
+    # (H, W, dtype, B, sig) -> times seen: min-seen gate for the batch
+    # vmap path (see _flush_segmented_frames); class-level like the
+    # context's unrolled-signature cache
+    _batch_sigs: dict = {}
+
     def __init__(self, cap, width: int, height: int, batch: int = 16,
                  dtype=None, fb0=None):
         from . import config
@@ -111,16 +116,29 @@ class BatchedVideoPipeline:
             if all(s[0] in ("patch", "fullarith") for s in segs):
                 packed = ctx._unroll_pack(segs, k, p)
             plans.append((k, p, segs, packed))
-        # Batch fast path (opt-in, config.pipeline_vmap): every frame
+        # Batch fast path (config.pipeline_vmap, default on): every frame
         # fused AND one shared signature -> the whole batch as a single
-        # vmapped device program (B dispatches -> 1).
+        # vmapped device program (B dispatches -> 1; 2.19 vs 5.66
+        # ms/frame on device, tools/exp_r3_pipevmap.py).  Gated like the
+        # unrolled flush itself: the (B, sig) batch program only compiles
+        # once the SAME batch structure repeats, so a churning chart's
+        # one-off batches never pay a remote batch compile on top of the
+        # per-frame programs they fall back to.
         if (config.pipeline_vmap() and len(plans) > 1
                 and all(pk is not None for _, _, _, pk in plans)):
             sig0 = plans[0][3][0]
             if all(pk[0] == sig0 for _, _, _, pk in plans):
-                rows_b = np.stack([pk[1] for _, _, _, pk in plans])
-                return patch_exec.frame_step_unrolled_batch(
-                    self._fb0, jnp.asarray(rows_b), atlas, sig0)
+                key = (self.height, self.width, str(self._dtype),
+                       len(plans), sig0)
+                cache = BatchedVideoPipeline._batch_sigs
+                seen = cache.pop(key, 0)
+                cache[key] = seen + 1            # MRU re-insert
+                if len(cache) > 256:
+                    cache.pop(next(iter(cache)))
+                if seen + 1 >= config.flush_unroll_min_seen():
+                    rows_b = np.stack([pk[1] for _, _, _, pk in plans])
+                    return patch_exec.frame_step_unrolled_batch(
+                        self._fb0, jnp.asarray(rows_b), atlas, sig0)
         outs = []
         for k, p, segs, packed in plans:
             if packed is not None:
