@@ -449,8 +449,9 @@ def bench_textured(frames: int = 24, batch: int = 12):
     run_batch = None
     # reps: queue several whole-sequence passes, sync ONCE — the ~30 ms
     # tunnel sync over only 24 frames would otherwise add ~1.3 ms/frame
-    # (ladder measures 3.2-3.4, bench saw 4.7)
-    REPS_B = 5
+    # (ladder measures 3.2-3.4, bench saw 4.7).  10 reps = 240 frames
+    # per sync (~0.13 ms/frame residual; 5 reps still carried ~0.25)
+    REPS_B = 10
     try:
         # defaults: (64, 32) tiles + 16 footprint windows + compacted
         # fallback — measured 3.29 ms/frame vs 9.0 for the f32 path on
