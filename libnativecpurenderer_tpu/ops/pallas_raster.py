@@ -127,7 +127,8 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                       z_clip: bool = True, tex_dims=None,
                       tex_resolve: bool = False, tex_nw: int = 8,
                       tex_split: bool = False,
-                      resident_out: bool = False, mxu: int = 0):
+                      resident_out: bool = False, mxu: int = 0,
+                      mega: int = 0):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
@@ -184,13 +185,29 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
     quantisation slips vs the FMA walk).  2 = DEFAULT (single bf16
     pass) is a MEASUREMENT-ONLY speed bound: bf16 rounds the pixel
     COORDINATES themselves (spacing 8 at x in [1024, 2048)), moving
-    coverage boundaries by multiple pixels at 1080p — never ship it."""
+    coverage boundaries by multiple pixels at 1080p — never ship it.
+
+    ``mega`` = TPG > 0 (u8 only; forces resident-out stores): each grid
+    program walks TPG CONSECUTIVE tiles with an in-kernel fori — the
+    per-program fixed cost (~0.5 ms/frame at the champion's 2040
+    programs, exp_r3_fatframes zero-counts floor) amortises over TPG
+    tiles.  Consecutive tiles' runs are contiguous in the sorted pair
+    array, so the two scalar-prefetched SMEM id blocks are windowed per
+    PROGRAM (block index of the program's FIRST tile; per-tile offsets
+    made window-relative by the caller) and a program whose TPG runs
+    exceed the 2*Kb window raises the host-side overflow flag
+    (raster3d.mega_window_overflow) -> callers fall back.  Bit-exact vs
+    the grid kernel: same chunk math, same tie order, same stores."""
     P = tile_h * tile_w
 
     def kernel(scal_ref, blk0_ref, blk1_ref, table_ref, keys_ref, rgba_ref,
-               rows_s, tex_ref=None):
-        i = pl.program_id(0)
-        nt = pl.num_programs(0)
+               rows_s, tex_ref=None, tile_i=None, nt_tiles=None):
+        if tile_i is None:
+            i = pl.program_id(0)
+            nt = pl.num_programs(0)
+        else:
+            i = tile_i          # mega mode: tile index from the loop
+            nt = nt_tiles
         count = scal_ref[i]
         nchunks = (count + kcc - 1) // kcc
         ox = scal_ref[nt + i]
@@ -426,6 +443,22 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             return kernel(scal_ref, blk0_ref, blk1_ref, table_ref,
                           packed_ref, fbidx_ref, rows_s, tex_ref=tex_ref)
         return kernel_tex
+    if mega:
+        assert u8 and resident_out and not tex_dims, \
+            "mega loop is wired for the resident-out u8 video path"
+
+        def kernel_mega(scal_ref, blk0_ref, blk1_ref, table_ref,
+                        packed_ref, rows_s):
+            p = pl.program_id(0)
+            nt = pl.num_programs(0) * mega
+
+            def tile_body(t, acc):
+                kernel(scal_ref, blk0_ref, blk1_ref, table_ref,
+                       packed_ref, None, rows_s,
+                       tile_i=p * mega + t, nt_tiles=nt)
+                return acc
+            lax.fori_loop(0, mega, tile_body, jnp.int32(0))
+        return kernel_mega
     if u8 or tex_dims:
         def kernel_u8(scal_ref, blk0_ref, blk1_ref, table_ref, packed_ref,
                       rows_s):
@@ -438,13 +471,14 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
 
 @functools.partial(jax.jit,
                    static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                   15))
+                                   15, 16))
 def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                       tile_w: int, Kb: int, interpret: bool = False,
                       kcc: int = KCC, tiles_per_frame: int = 0,
                       u8: bool = False, opaque: bool = False,
                       z_clip: bool = True, tex_dims=None,
-                      resident_out: bool = False, mxu: int = 0):
+                      resident_out: bool = False, mxu: int = 0,
+                      mega: int = 0):
     """Flat-bins kernel launch.  sorted_pad: (Spad,) i32 packed pairs from
     bin_triangles_flat (multi-frame: frames' arrays concatenated, with the
     scalar block indices made absolute by the caller); scalars: (5*NT,)
@@ -455,21 +489,43 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
     block when batching B frames in one launch (nt = B * tiles_per_frame).
     """
     P = tile_h * tile_w
+    assert mega == 0 or (u8 and not tex_dims), \
+        "mega loop is wired for the u8 video path"
     nblocks = sorted_pad.shape[0] // Kb
     blocks = sorted_pad.reshape(nblocks, 1, Kb)
     if table.ndim == 2:
         table = table[None]
     tpf = tiles_per_frame or nt
+    if mega:
+        # one program per TPG consecutive tiles: id window + table block
+        # selected by the program's FIRST tile (the caller made per-tile
+        # offsets window-relative and checked the 2*Kb window demand)
+        assert nt % mega == 0 and tpf % mega == 0, (nt, tpf, mega)
+        resident_out = True
+        grid = nt // mega
+
+        def blk_map(i, s, d=0, _m=mega, _n=nt):
+            return (s[3 * _n + i * _m] + d, 0, 0)
+
+        def tab_map(i, s, _m=mega, _t=tpf):
+            return (i * _m // _t, 0, 0)
+    else:
+        grid = nt
+
+        def blk_map(i, s, d=0, _n=nt):
+            return (s[3 * _n + i] + d, 0, 0)
+
+        def tab_map(i, s, _t=tpf):
+            return (i // _t, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt,),
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, 1, Kb), lambda i, s: (s[3 * nt + i], 0, 0),
+            pl.BlockSpec((1, 1, Kb), blk_map,
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, Kb), lambda i, s: (s[3 * nt + i] + 1, 0, 0),
+            pl.BlockSpec((1, 1, Kb), functools.partial(blk_map, d=1),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, table.shape[1], ROW_W),
-                         lambda i, s: (i // tpf, 0, 0)),
+            pl.BlockSpec((1, table.shape[1], ROW_W), tab_map),
         ],
         out_specs=(
             [(pl.BlockSpec((nt, 1, P), lambda i, s: (0, 0, 0))
@@ -487,7 +543,8 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
             _make_kernel_flat(tile_h, tile_w, Kb, kcc, u8=u8,
                               opaque=opaque, z_clip=z_clip,
                               tex_dims=tex_dims,
-                              resident_out=resident_out, mxu=mxu),
+                              resident_out=resident_out, mxu=mxu,
+                              mega=mega),
             out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
             grid_spec=grid_spec,
             interpret=interpret,
@@ -609,24 +666,37 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
                                  opaque: bool = False,
                                  z_clip: bool = True,
                                  resident_out: bool = False,
-                                 mxu: int = 0):
+                                 mxu: int = 0, mega: int = 0):
     """Video-path raster: fused u8 quantise in the kernel epilogue, no
     depth output.  Returns rgba (H, W, 4) uint8 — exactly
     clip(rgba_f32 * 255, 0, 255) truncated, with bg quantised the same
-    way for sky pixels."""
+    way for sky pixels.  ``mega`` = tiles per program (see
+    _make_kernel_flat); callers must have checked
+    raster3d.mega_window_overflow first."""
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
     nt = ntx * nty
 
     tids = jnp.arange(nt, dtype=jnp.int32)
+    if mega:
+        # id window anchored at the program's FIRST tile: per-tile
+        # offsets are window-relative (the blk slots of non-first tiles
+        # are never read by the block specs but keep the layout uniform)
+        prog_first = starts.reshape(-1, mega)[:, :1]        # (NP, 1)
+        blk = jnp.broadcast_to(prog_first // Kb,
+                               (nt // mega, mega)).reshape(-1)
+        woff = starts - blk * Kb
+    else:
+        blk = starts // Kb
+        woff = starts % Kb
     scalars = jnp.concatenate(
         [counts.astype(jnp.int32), tids % ntx * tile_w,
-         tids // ntx * tile_h, starts // Kb, starts % Kb,
+         tids // ntx * tile_h, blk, woff,
          _pack_bg(bg)[None]])
 
     packed = raster_tiles_flat(sorted_pad, table, scalars, nt, tile_h,
                                tile_w, Kb, interpret, kcc, 0, True, opaque,
-                               z_clip, None, resident_out, mxu)
+                               z_clip, None, resident_out, mxu, mega)
     return _detile_packed(packed.reshape(nt, -1), nty, ntx, tile_h,
                           tile_w, height, width)
 

@@ -597,6 +597,16 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
     return sorted_pad, starts[:-1].astype(jnp.int32), counts, overflow
 
 
+def mega_window_overflow(starts, counts, Kb: int, mega: int):
+    """Overflow test for the mega-loop kernel's per-program id window
+    (pallas_raster._make_kernel_flat mega): a program covers ``mega``
+    consecutive tiles whose runs must all fit the 2*Kb SMEM window
+    anchored at the FIRST tile's block.  starts/counts: (NT,)."""
+    s2 = starts.reshape(-1, mega)
+    ends = s2[:, -1] + counts.reshape(-1, mega)[:, -1]
+    return jnp.any(ends - (s2[:, 0] // Kb) * Kb > 2 * Kb)
+
+
 def raster_binned_fused(bins, A, B, C, zplane_scaled, inv_area, sign, valid,
                         attrs, bg, width: int, height: int,
                         tile_w: int, tile_h: int, batch_tiles: int = 128):
@@ -736,7 +746,7 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-                    19, 20, 21))
+                    19, 20, 21, 22))
 def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 512, bg=None, span_x: int = 8,
@@ -745,7 +755,8 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           near_clip: bool = False, u8: bool = False,
                           opaque: bool = False, z_clip: bool = True,
                           wide_split: bool = False,
-                          resident_out: bool = False, mxu: int = 0):
+                          resident_out: bool = False, mxu: int = 0,
+                          mega: int = 0):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned.
@@ -806,10 +817,13 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
             table = pallas_raster.build_table(A, B, C, zsc, inv_area, sign,
                                               valid, attrs)
         if u8:
+            if mega:
+                overflow = overflow | mega_window_overflow(
+                    starts, counts, capacity, mega)
             rgba8 = pallas_raster.render_binned_pallas_flat_u8(
                 sorted_pad, starts, counts, table, bg, width, height,
                 tile_w, tile_h, capacity, interpret, kcc, opaque, z_clip,
-                resident_out, mxu)
+                resident_out, mxu, mega)
             return rgba8, None, overflow
         keys, rgba = pallas_raster.render_binned_pallas_flat(
             sorted_pad, starts, counts, table, bg, width, height,

@@ -200,6 +200,41 @@ def test_u8_resident_out_matches():
         np.testing.assert_array_equal(np.asarray(res), np.asarray(base))
 
 
+def test_u8_mega_loop_matches():
+    # mega: TPG consecutive tiles per grid program via an in-kernel fori
+    # (per-program id window anchored at the first tile) == the
+    # one-program-per-tile grid kernel, bit-exact
+    v, f, c, m = _scene()
+    bg = jnp.asarray([0.12, 0.34, 0.56, 1.0], jnp.float32)
+    base, _, ovf = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=1024, bg=bg,
+        span_x=8, span_y=8, interpret=True, flat=True, u8=True)
+    assert not bool(ovf)
+    for mega in (2, 8):   # NT = 8 tiles at 32x8
+        got, _, ovf_m = raster3d.render_gouraud_pallas(
+            v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=1024, bg=bg,
+            span_x=8, span_y=8, interpret=True, flat=True, u8=True,
+            mega=mega)
+        assert not bool(ovf_m), mega
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+def test_u8_mega_window_overflow_flag():
+    # a program whose TPG runs exceed the 2*Kb id window must raise the
+    # overflow flag (callers fall back to the grid kernel)
+    v, f, c, m = _scene()
+    _, _, ovf = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96,
+        span_x=8, span_y=8, interpret=True, flat=True, u8=True, mega=8)
+    assert bool(ovf)
+    # same capacity without mega does NOT overflow: the demand is the
+    # per-program window, not per-tile runs
+    _, _, ovf0 = raster3d.render_gouraud_pallas(
+        v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=96,
+        span_x=8, span_y=8, interpret=True, flat=True, u8=True)
+    assert not bool(ovf0)
+
+
 def test_u8_mxu_walk_matches():
     """The MXU chunk walk (one (q*kcc, 4) x (4, P) matmul over the
     affine-plane table, pallas_raster.build_table_mxu) vs the FMA walk.
