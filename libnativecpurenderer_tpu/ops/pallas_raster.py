@@ -201,13 +201,18 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
     P = tile_h * tile_w
 
     def kernel(scal_ref, blk0_ref, blk1_ref, table_ref, keys_ref, rgba_ref,
-               rows_s, tex_ref=None, tile_i=None, nt_tiles=None):
+               rows_s, tex_ref=None, tile_i=None, nt_tiles=None,
+               store_i=None):
         if tile_i is None:
             i = pl.program_id(0)
             nt = pl.num_programs(0)
         else:
             i = tile_i          # mega mode: tile index from the loop
             nt = nt_tiles
+        # mega tex mode stores into a per-program (mega, 1, P) out block
+        # at the LOCAL tile index (the u8 mega path stores into the
+        # whole-frame resident block at the GLOBAL index instead)
+        si = store_i
         count = scal_ref[i]
         nchunks = (count + kcc - 1) // kcc
         ox = scal_ref[nt + i]
@@ -319,8 +324,12 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             vi = jnp.clip((rs[1] / safe * th_t).astype(jnp.int32),
                           0, th_t - 1)
             if not tex_resolve:
-                keys_ref[0] = jnp.where(kacc != jnp.int32(SKY_KEY),
-                                        vi * tw_t + ui, jnp.int32(-1))
+                idx_out = jnp.where(kacc != jnp.int32(SKY_KEY),
+                                    vi * tw_t + ui, jnp.int32(-1))
+                if si is None:
+                    keys_ref[0] = idx_out
+                else:
+                    keys_ref[pl.ds(si, 1), 0] = idx_out
                 return
             bpr = (tw_t + 127) // 128
             n_sub = P // 128
@@ -408,12 +417,17 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             acc1 = from_sub(acc)
             res1 = from_sub(resolved.astype(jnp.int32)) != 0
             bgp = scal_ref[5 * nt]
-            keys_ref[0] = jnp.where(
-                hit1, jnp.where(res1, acc1, 0), bgp)
-            rgba_ref[0] = jnp.where(
+            packed_out = jnp.where(hit1, jnp.where(res1, acc1, 0), bgp)
+            fbidx_out = jnp.where(
                 hit1, jnp.where(res1, jnp.int32(-2),
                                 vi * (bpr * 128) + ui),
                 jnp.int32(-1))
+            if si is None:
+                keys_ref[0] = packed_out
+                rgba_ref[0] = fbidx_out
+            else:
+                keys_ref[pl.ds(si, 1), 0] = packed_out
+                rgba_ref[pl.ds(si, 1), 0] = fbidx_out
         elif u8:
             bgp = scal_ref[5 * nt]
 
@@ -438,6 +452,20 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             rgba_ref[0] = jnp.concatenate(list(rs), axis=0)
 
     if tex_resolve:
+        if mega:
+            def kernel_tex_mega(scal_ref, blk0_ref, blk1_ref, table_ref,
+                                tex_ref, packed_ref, fbidx_ref, rows_s):
+                p = pl.program_id(0)
+                nt = pl.num_programs(0) * mega
+
+                def tile_body(t, acc):
+                    kernel(scal_ref, blk0_ref, blk1_ref, table_ref,
+                           packed_ref, fbidx_ref, rows_s, tex_ref=tex_ref,
+                           tile_i=p * mega + t, nt_tiles=nt, store_i=t)
+                    return acc
+                lax.fori_loop(0, mega, tile_body, jnp.int32(0))
+            return kernel_tex_mega
+
         def kernel_tex(scal_ref, blk0_ref, blk1_ref, table_ref, tex_ref,
                        packed_ref, fbidx_ref, rows_s):
             return kernel(scal_ref, blk0_ref, blk1_ref, table_ref,
@@ -563,17 +591,22 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+                   static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                                   15))
 def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                      tile_h: int, tile_w: int, Kb: int,
                      interpret: bool = False, kcc: int = KCC,
                      tiles_per_frame: int = 0, tex_dims=None,
                      tex_nw: int = 8, mxu: int = 0,
-                     tex_split: bool = False):
+                     tex_split: bool = False, mega: int = 0):
     """tex_resolve kernel launch (see _make_kernel_flat): tex_l is the
     packed-i32 texture in (th*bpr, 128) window layout, VMEM-resident
     across all programs.  scalars: (5*NT+1,) with the packed background
     in the last slot (read as scal_ref[5*nt], same as the u8 path).
+    ``mega`` loops TPG consecutive tiles per program; the two output
+    planes ride per-program (mega, 1, P) blocks stored at the LOCAL
+    tile index (two whole-frame resident planes would exceed the 16 MB
+    scoped-VMEM default at 1080p).
     Returns (packed (NT, 1, P) i32, fbidx (NT, 1, P) i32)."""
     P = tile_h * tile_w
     if P % 128 or P < 256:
@@ -585,20 +618,43 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
         table = table[None]
     tpf = tiles_per_frame or nt
     tr, tc = tex_l.shape
+    if mega:
+        assert nt % mega == 0 and tpf % mega == 0, (nt, tpf, mega)
+        grid = nt // mega
+
+        def blk_map(i, s, d=0, _m=mega, _n=nt):
+            return (s[3 * _n + i * _m] + d, 0, 0)
+
+        def tab_map(i, s, _m=mega, _t=tpf):
+            return (i * _m // _t, 0, 0)
+        out_specs = [pl.BlockSpec((mega, 1, P), lambda i, s: (i, 0, 0)),
+                     pl.BlockSpec((mega, 1, P), lambda i, s: (i, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
+                     jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)]
+    else:
+        grid = nt
+
+        def blk_map(i, s, d=0, _n=nt):
+            return (s[3 * _n + i] + d, 0, 0)
+
+        def tab_map(i, s, _t=tpf):
+            return (i // _t, 0, 0)
+        out_specs = [pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)),
+                     pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
+                     jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt,),
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, 1, Kb), lambda i, s: (s[3 * nt + i], 0, 0),
+            pl.BlockSpec((1, 1, Kb), blk_map,
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, Kb), lambda i, s: (s[3 * nt + i] + 1, 0, 0),
+            pl.BlockSpec((1, 1, Kb), functools.partial(blk_map, d=1),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, table.shape[1], ROW_W),
-                         lambda i, s: (i // tpf, 0, 0)),
+            pl.BlockSpec((1, table.shape[1], ROW_W), tab_map),
             pl.BlockSpec((tr, tc), lambda i, s: (0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)),
-                   pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0))],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((kcc, ROW_W), jnp.float32),
         ],
@@ -606,9 +662,9 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
     packed, fbidx = pl.pallas_call(
         _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=True,
                           tex_dims=tuple(tex_dims), tex_resolve=True,
-                          tex_nw=tex_nw, tex_split=tex_split, mxu=mxu),
-        out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
-                   jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
+                          tex_nw=tex_nw, tex_split=tex_split, mxu=mxu,
+                          mega=mega),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(scalars, blocks, blocks, table, tex_l)
@@ -778,7 +834,8 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
                                     tex_dims, interpret: bool = False,
                                     kcc: int = KCC, tex_nw: int = 8,
                                     detile: bool = True, mxu: int = 0,
-                                    tex_split: bool = False):
+                                    tex_split: bool = False,
+                                    mega: int = 0):
     """Batched in-kernel-texel raster: B frames in one launch through the
     tex_resolve kernel (texels fetched from the VMEM-resident packed
     texture via per-tile footprint windows).  Returns
@@ -796,19 +853,33 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
 
     tids = jnp.arange(nt, dtype=jnp.int32)
     frame_base = (jnp.arange(Bn, dtype=jnp.int32) * nblk)[:, None]
+    if mega:
+        # per-program id window anchored at the program's first tile
+        # (frame-absolute block); per-tile offsets window-relative.
+        # mega must divide nt, so programs never straddle frames.
+        first = starts.reshape(Bn, nt // mega, mega)[:, :, :1]
+        blk = frame_base[:, :, None] + first // Kb        # (B, NP, 1)
+        blk = jnp.broadcast_to(blk, (Bn, nt // mega, mega))
+        woff = starts - jnp.broadcast_to(
+            (first // Kb) * Kb, (Bn, nt // mega, mega)).reshape(Bn, nt)
+        blk_col = blk.reshape(-1)
+        woff_col = woff.reshape(-1)
+    else:
+        blk_col = (frame_base + starts // Kb).reshape(-1)
+        woff_col = (starts % Kb).reshape(-1)
     scalars = jnp.concatenate([
         counts.reshape(-1).astype(jnp.int32),
         jnp.tile(tids % ntx * tile_w, Bn),
         jnp.tile(tids // ntx * tile_h, Bn),
-        (frame_base + starts // Kb).reshape(-1),
-        (starts % Kb).reshape(-1),
+        blk_col,
+        woff_col,
         _pack_bg(bg)[None],
     ])
 
     packed, fbidx = raster_tiles_tex(
         sorted_pads.reshape(-1), tables, scalars, tex_l, Bn * nt,
         tile_h, tile_w, Kb, interpret, kcc, nt, tuple(tex_dims), tex_nw,
-        mxu, tex_split)
+        mxu, tex_split, mega)
 
     if not detile:
         return packed.reshape(Bn, nt, -1), fbidx.reshape(Bn, nt, -1)

@@ -1021,7 +1021,8 @@ def pack_texture_u8(tex_u8):
 
 @functools.partial(
     jax.jit,
-    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19))
+    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+                    20))
 def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  height: int, mvps=None,
                                  tile_w: int = 64, tile_h: int = 32,
@@ -1031,7 +1032,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  perspective_correct: bool = True,
                                  tex_nw: int = 16,
                                  fb_tile_cap: int = 1024, mxu: int = 0,
-                                 tex_split: bool = True):
+                                 tex_split: bool = True, mega: int = 0):
     """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
     launch.  The tile kernel fetches texels IN-KERNEL from the
     VMEM-resident packed texture through per-tile UV-footprint windows
@@ -1090,6 +1091,10 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
         return sorted_pad, starts, counts, table, ovf
 
     sps, starts, counts, tables, ovfs = jax.vmap(prep)(mvps)
+    if mega:
+        ovfs = ovfs | jax.vmap(
+            lambda s, c: mega_window_overflow(s, c, capacity, mega)
+        )(starts, counts)
     bpr = (tw_t + 127) // 128
     packed_tex = pack_texture_u8(tex_u8).reshape(th_t, tw_t)
     tex_pad = jnp.pad(packed_tex, ((0, 0), (0, bpr * 128 - tw_t)))
@@ -1097,7 +1102,8 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
     pk, fb = pallas_raster.render_binned_tex_resolve_batch(
         sps, starts, counts, tables, tex_l, bg, width, height, tile_w,
         tile_h, capacity, (th_t, tw_t), interpret, kcc, tex_nw,
-        detile=False, mxu=mxu, tex_split=tex_split)   # (B, NT, P) each
+        detile=False, mxu=mxu, tex_split=tex_split,
+        mega=mega)                                    # (B, NT, P) each
     Bn, nt, P = pk.shape
     pk2 = pk.reshape(Bn * nt, P)
     fb2 = fb.reshape(Bn * nt, P)

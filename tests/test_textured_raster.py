@@ -157,6 +157,28 @@ def test_tex_idx_batch_matches_single():
         assert same.mean() > 0.995, same.mean()
 
 
+def test_tex_mega_loop_matches():
+    # mega: TPG consecutive tiles per grid program (per-program id
+    # window + (mega, 1, P) out blocks stored at the local index) ==
+    # the grid tex kernel, bit-exact
+    rng = np.random.default_rng(3)
+    verts, faces, uvs = mesh.quad_batch(12, seed=3)
+    tex_u8 = rng.integers(0, 256, (32, 32, 4), np.uint8)
+    mvp = np.eye(4, dtype=np.float32)
+    args = (jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
+            jnp.asarray(np.stack([mvp, mvp])))
+    kw = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
+              interpret=True)
+    base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
+    assert not bool(ovf)
+    for mega in (2, 8):   # NT = 8 tiles at 32x8
+        got, ovf_m = raster3d.render_textured_pallas_batch(
+            *args, mega=mega, **kw)
+        assert not bool(ovf_m), mega
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
 def test_tex_resolve_footprint_fallback():
     # a quad whose v-UV sweeps the whole 256-row texture within a few
     # screen tiles overflows the per-tile footprint (fh rows max), so
