@@ -92,6 +92,20 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         # replaces; even the unshippable single-pass bf16 bound is only
         # 1.47 — tools/exp_r4_mxu.py), and (16,16) small tiles 3.4
         # (per-program fixed cost dominates — exp_r3_resident.py).
+        # mega-loop (r4): TPG consecutive tiles per grid program with
+        # per-program SMEM id windows — robust ~0.10-0.15 ms/frame win
+        # over the grid champion (exp_r4_megaprod/megatune 2026-08-19:
+        # mega=8/Kb=1024 1.48-1.55, mega=12/Kb=2048 1.51, control
+        # 1.64).  The whole-frame single-program design (wf mode,
+        # in-kernel id DMA) measured 1.52-1.54 at EVERY program count
+        # (exp_r4_wf) — per-program fixed cost is NOT the residual
+        # bottleneck; wf stays out of the race.
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=1024,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             fused_loop=True, race=True, resident_out=True, mega=8),
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=2048,
+             flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+             fused_loop=True, race=True, resident_out=True, mega=12),
         dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=512,
              flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
              fused_loop=True, race=True),

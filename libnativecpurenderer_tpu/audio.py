@@ -41,6 +41,11 @@ class AudioClip:
         self._sample_rate = int(sample_rate)
         self._channels = int(channels)
         self._num_frames = int(arr.shape[0])
+        # Python-side rate snapshot, refreshed only at construction/wrap
+        # time like the reference binding's _update_props (pybind:512-526);
+        # cut()'s second->frame conversion reads it (stale after
+        # resample/apply_speed — parity, see cut()).
+        self._cached_rate = int(sample_rate)
         self._buf = jnp.asarray(arr, dtype=config.default_dtype())
 
     # ------------------------------------------------------------------ #
@@ -58,6 +63,7 @@ class AudioClip:
         clip._sample_rate = int(sample_rate)
         clip._channels = int(channels)
         clip._num_frames = int(buf.shape[0])
+        clip._cached_rate = int(sample_rate)
         clip._buf = buf
         return clip
 
@@ -69,6 +75,7 @@ class AudioClip:
         clip._sample_rate = int(sample_rate)
         clip._channels = int(channels)
         clip._num_frames = int(num_frames)
+        clip._cached_rate = int(sample_rate)
         clip._buf = jnp.zeros((int(num_frames), int(channels)),
                               config.default_dtype())
         return clip
@@ -204,12 +211,19 @@ class AudioClip:
 
     def cut(self, start, end, *, time_unit: str = "frame") -> None:
         """ApplyCutAudioClip (cpp:1265-1279) with the binding's second/frame
-        conversion (pybind:614-629)."""
+        conversion (pybind:614-629).
+
+        Parity quirk: the reference binding converts seconds with the
+        Python-CACHED sample rate (``_update_props`` runs only at clip
+        construction/wrap, pybind:512-526), so after ``resample`` or
+        ``apply_speed`` the conversion uses the STALE pre-change rate.
+        Verified against the compiled reference
+        (tests/test_cross_engine.py audio_script 'chain')."""
         if time_unit not in ("frame", "second"):
             raise ValueError("time_unit must be 'frame' or 'second'")
         if time_unit == "second":
-            start = int(start * self._sample_rate)
-            end = int(end * self._sample_rate)
+            start = int(start * self._cached_rate)
+            end = int(end * self._cached_rate)
         else:
             start = int(start)
             end = int(end)
@@ -253,3 +267,5 @@ class PtrCreatedAudioClip(AudioClip):
 
     def __init__(self, clip: AudioClip):
         self.__dict__.update(clip.__dict__)
+        # wrapping runs _update_props in the reference (pybind:658-659)
+        self._cached_rate = self._sample_rate

@@ -415,6 +415,19 @@ class RenderContext:
         # SetColor: raw store everywhere, no blend/ct (cpp:643-657).
         self._record_draw(C.KIND_SET_COLOR, self._BOX_FULL, 0.0, 0.0, 0.0,
                           0.0, [r, g, b, a])
+        # RGB-mode corruption parity: off the r==g==b==a std::fill fast
+        # path (cpp:647-650), SetColor loops SetPixel COLUMN-major, and
+        # SetPixel writes buffer[index+3] even when enableAlpha is false
+        # (cpp:504-510) — pixel (W-1, y)'s alpha lands in pixel (0, y+1)'s
+        # R and survives because column 0 was filled first.  Net result:
+        # R = a at (0, 1..H-1).  Recorded as a column-box SET_COLOR with
+        # the known G/B fill values (the final heap write one past the
+        # buffer is UB, not buffer state — not replicated).
+        if (not self.enable_alpha and self.width > 1 and self.height > 1
+                and not (r == g and g == b and b == a)):
+            self._record(C.KIND_SET_COLOR,
+                         (0.0, 1.0, 1.0, float(self.height)),
+                         [a, g, b, a])
 
     def fill_color(self, r, g, b, a):
         # FillColor: blended full-screen fill with ct (cpp:682-691).

@@ -63,12 +63,17 @@ class GoldenContext:
 
     @staticmethod
     def _inv_pt(inv, i, j):
-        """Inverse-map a pixel center and snap to the 1/256 subpixel
+        """Inverse-map a pixel center and snap to the 2^-20 subpixel
         grid — the executors snap identically (ops/executor._snap), so
-        membership tests agree bit-for-bit across executor structures
-        despite LLVM-level fma contraction (ROADMAP 'FP contraction')."""
+        membership AND shading agree bit-for-bit across executor
+        structures despite LLVM-level fma contraction (ROADMAP 'FP
+        contraction').  The grid is fine enough that u8 output still
+        matches the C++ reference's raw-coordinate shading bit-exactly
+        on real scenes (tests/test_cross_engine.py): the divergence
+        band is half a cell, 2^-21 px."""
         ix, iy = xf.transform_point(inv, float(i), float(j))
-        return (round(ix * 256.0) / 256.0, round(iy * 256.0) / 256.0)
+        s = 1048576.0  # 2^20; MUST equal ops/executor.SNAP_SCALE
+        return (round(ix * s) / s, round(iy * s) / s)
 
     def __init__(self, width: int, height: int, enable_alpha: bool):
         self.width = width
@@ -147,6 +152,13 @@ class GoldenContext:
         self.buf[..., 1] = g
         self.buf[..., 2] = b
         self.buf[..., 3] = a
+        # RGB-mode SetColor corruption (cpp:643-657 + 504-510): off the
+        # r==g==b==a std::fill fast path, the column-major SetPixel loop
+        # writes each pixel's a into buffer[index+3]; with ipp=3 the
+        # last column's writes land in pixel (0, y+1)'s R and survive.
+        if (not self.enable_alpha and self.width > 1 and self.height > 1
+                and not (r == g and g == b and b == a)):
+            self.buf[1:, 0, 0] = a
 
     def fill_color(self, r, g, b, a):
         for i in range(self.width):

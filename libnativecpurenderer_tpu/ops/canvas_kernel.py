@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import commands as C
+from . import executor
 
 # kinds this kernel can execute (everything that never reads the atlas)
 KERNEL_KINDS = frozenset((
@@ -82,14 +83,15 @@ def _make_kernel(tile_h, tile_w, ncmd, dtype):
                         & (Y >= p(8)) & (Y < p(9)))
 
             def inv_point():
-                # SAME 1/256 subpixel snap as executor._snap: without
-                # it, knife-edge membership can flip vs the scan/
-                # unrolled executors (caught by extended fuzz, seed
+                # SAME subpixel snap as executor._snap: without it,
+                # knife-edge membership (and shading) can flip vs the
+                # scan/unrolled executors (caught by extended fuzz, seed
                 # 7023/7025 of test_fuzz_kernel_route_vs_scan)
+                s = executor.SNAP_SCALE
                 ix = p(0) * X + p(2) * Y + p(4)
                 iy = p(1) * X + p(3) * Y + p(5)
-                return (jnp.round(ix * 256.0) * (1.0 / 256.0),
-                        jnp.round(iy * 256.0) * (1.0 / 256.0))
+                return (jnp.round(ix * s) * (1.0 / s),
+                        jnp.round(iy * s) * (1.0 / s))
 
             def ct(r, g, b, a):
                 return r * p(10), g * p(11), b * p(12), a * p(13)
@@ -105,8 +107,10 @@ def _make_kernel(tile_h, tile_w, ncmd, dtype):
                 emit(fmask, zeros, zeros, zeros, zeros, zeros)
 
             @pl.when(kind == C.KIND_SET_COLOR)
-            def _():  # raw store everywhere, no ct, no blend (cpp:643-657)
-                emit(ones > 0.0, p(14) * ones, p(15) * ones,
+            def _():  # raw AABB-masked store, no ct, no blend
+                # (cpp:643-657; box is full-frame except the RGB-mode
+                # SetPixel-corruption column — see executor.b_set_color)
+                emit(aabb(), p(14) * ones, p(15) * ones,
                      p(16) * ones, p(17) * ones, ones)
 
             @pl.when(kind == C.KIND_FILL)

@@ -39,28 +39,47 @@ def _aabb_mask(p, X, Y):
     return (X >= p[6]) & (X < p[7]) & (Y >= p[8]) & (Y < p[9])
 
 
+# Membership snap grid: 2^-20 px.  Fine enough that the divergence band
+# vs the C++ reference's raw comparisons (half a cell, 2^-21 px) is
+# negligible — tests/test_cross_engine.py drives real scenes bit-exact —
+# yet coarse enough to absorb the few-ulp structure differences the snap
+# exists for (see _snap).  Adversarial integer-coordinate scene values
+# (rotated rect corner on a pixel center) are dyadic rationals, exactly
+# on this grid just as they were on the round-1 1/256 grid.
+SNAP_SCALE = 1048576.0
+
+
 def _snap(v):
-    """Snap an inverse-mapped coordinate to the 1/256 subpixel grid.
+    """Snap an inverse-mapped coordinate to the 2^-20 subpixel grid.
 
     Same device as ops/raster3d._snap: XLA:CPU fma-contracts mul+add
     chains at LLVM level regardless of HLO barriers, so two executor
-    STRUCTURES (scan loop / unrolled flush / batched vmap) can disagree
-    by 1 ulp on a membership quantity.  Snapping the canonical
-    inverse-mapped point makes every downstream membership test and
-    texel index a function of grid values — a 1-ulp pre-snap difference
-    only survives if the exact value sits within an ulp of a half-cell
-    boundary (vs of ANY representable float before), so
-    integer-coordinate adversarial scenes (rotated rect corner on a
-    pixel center) are deterministic across executors.  The NumPy oracle
-    (golden/cpu_reference.py) snaps identically."""
-    return jnp.round(v * 256.0) * (1.0 / 256.0)
+    STRUCTURES (scan loop / unrolled flush / batched vmap / Pallas
+    canvas kernel) can disagree by 1 ulp on a membership quantity.
+    Snapping the canonical inverse-mapped point makes every downstream
+    membership test a function of grid values — a 1-ulp pre-snap
+    difference only survives if the exact value sits within an ulp of a
+    half-cell boundary (vs of ANY representable float before), so
+    integer-coordinate adversarial scenes are deterministic across
+    executors.  The NumPy oracle (golden/cpu_reference.py) snaps
+    identically.  Shading quantities (vgrd t, texture u/v) are snapped
+    too — raw coords are NOT structure-stable, see _inv_point."""
+    return jnp.round(v * SNAP_SCALE) * (1.0 / SNAP_SCALE)
 
 
 def _inv_point(p, X, Y):
     # TransformPointFromMatrix with the inverse matrix (cpp:446-453,
     # 754-763).  Barriers keep the expression shape stable across
-    # executor structures; the 1/256 snap (see _snap) makes membership
-    # agree across structures even where LLVM fma-contraction differs.
+    # executor structures; the snap (see _snap) makes membership AND
+    # shading agree across structures even where LLVM fma-contraction
+    # differs.  RAW (unsnapped) coords CANNOT be used for shading:
+    # optimization_barrier does not survive into LLVM codegen, so
+    # bar(a*X) + bar(b*Y) still contracts differently between a
+    # constant-folded (unrolled) and a dynamic-param (scan) program —
+    # verified 2026-08-19 (746/1024 elements, 1-ulp).  The 2^-20 snap
+    # is what keeps u8 output bit-exact vs the C++ reference's raw
+    # shading (tests/test_cross_engine.py): the divergence band is
+    # half a cell, 2^-21 px.
     bar = jax.lax.optimization_barrier
     inv_x = bar(bar(p[0] * X) + bar(p[2] * Y) + p[4])
     inv_y = bar(bar(p[1] * X) + bar(p[3] * Y) + p[5])
@@ -129,10 +148,13 @@ def _build_branches(X, Y, atlas_flat, atlas_w, dtype, no_sampling=False,
         return false_mask, zeros_rgba, t_false
 
     def b_set_color(p):
-        # SetColor stores raw rgba everywhere — no blend, no color transform
+        # SetColor stores raw rgba — no blend, no color transform
         # (cpp:643-657; the r==g==b==a std::fill fast path is equivalent).
+        # Masked by the command AABB (full-frame for the public call):
+        # context.set_color also records a column-0 box carrying the
+        # reference's RGB-mode SetPixel index+3 corruption (cpp:504-510).
         r, g, b, a = _rgba_const(p, 14)
-        return jnp.ones(X.shape, bool), pack(r, g, b, a), t_true
+        return _aabb_mask(p, X, Y), pack(r, g, b, a), t_true
 
     def b_fill(p):
         # FillColor = ApplyPixel over every pixel (cpp:682-691): ct + blend.

@@ -128,7 +128,7 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                       tex_resolve: bool = False, tex_nw: int = 8,
                       tex_split: bool = False,
                       resident_out: bool = False, mxu: int = 0,
-                      mega: int = 0):
+                      mega: int = 0, wf: int = 0):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
@@ -197,7 +197,20 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
     made window-relative by the caller) and a program whose TPG runs
     exceed the 2*Kb window raises the host-side overflow flag
     (raster3d.mega_window_overflow) -> callers fall back.  Bit-exact vs
-    the grid kernel: same chunk math, same tie order, same stores."""
+    the grid kernel: same chunk math, same tie order, same stores.
+
+    ``wf`` = tiles per program for the WHOLE-FRAME DMA design (u8 only;
+    forces resident-out): like mega, each program fori-loops ``wf``
+    consecutive tiles, but the two id blocks are fetched by an explicit
+    in-kernel async copy from the HBM-resident sorted array into SMEM
+    scratch, re-issued only when the tile's block index advances.  This
+    removes the mega design's per-PROGRAM window constraint entirely
+    (each tile sees the 2-block window anchored at its OWN start block,
+    the grid kernel's invariant) — so wf carries NO extra overflow
+    condition and Kb stays at the grid champion's value while the
+    program count drops arbitrarily.  Motivation: exp_r4_megaprod
+    measured the SMEM window blowup eating the mega win beyond TPG=8
+    (mega=120/Kb=8192: 1.499 ms vs mega=8/Kb=1024: 1.480)."""
     P = tile_h * tile_w
 
     def kernel(scal_ref, blk0_ref, blk1_ref, table_ref, keys_ref, rgba_ref,
@@ -471,6 +484,38 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             return kernel(scal_ref, blk0_ref, blk1_ref, table_ref,
                           packed_ref, fbidx_ref, rows_s, tex_ref=tex_ref)
         return kernel_tex
+    if wf:
+        assert u8 and resident_out and not tex_dims and not mega, \
+            "whole-frame DMA loop is wired for the resident-out u8 path"
+
+        def kernel_wf(scal_ref, ids_any, table_ref, packed_ref,
+                      rows_s, id0, id1, sem0, sem1):
+            p = pl.program_id(0)
+            nt = pl.num_programs(0) * wf
+
+            def tile_body(t, cur_blk):
+                ti = p * wf + t
+                blk = scal_ref[3 * nt + ti]
+
+                @pl.when(blk != cur_blk)
+                def _():
+                    # window advanced: refresh both SMEM id blocks from
+                    # the HBM-resident sorted array (~once per
+                    # Kb/mean_count tiles; the BlockSpec machinery this
+                    # replaces skipped unchanged indices the same way)
+                    c0 = pltpu.make_async_copy(
+                        ids_any.at[pl.ds(blk, 1)], id0, sem0)
+                    c1 = pltpu.make_async_copy(
+                        ids_any.at[pl.ds(blk + 1, 1)], id1, sem1)
+                    c0.start()
+                    c1.start()
+                    c0.wait()
+                    c1.wait()
+                kernel(scal_ref, id0, id1, table_ref, packed_ref, None,
+                       rows_s, tile_i=ti, nt_tiles=nt)
+                return blk
+            lax.fori_loop(0, wf, tile_body, jnp.int32(-1))
+        return kernel_wf
     if mega:
         assert u8 and resident_out and not tex_dims, \
             "mega loop is wired for the resident-out u8 video path"
@@ -499,14 +544,14 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
 
 @functools.partial(jax.jit,
                    static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                   15, 16))
+                                   15, 16, 17))
 def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                       tile_w: int, Kb: int, interpret: bool = False,
                       kcc: int = KCC, tiles_per_frame: int = 0,
                       u8: bool = False, opaque: bool = False,
                       z_clip: bool = True, tex_dims=None,
                       resident_out: bool = False, mxu: int = 0,
-                      mega: int = 0):
+                      mega: int = 0, wf: int = 0):
     """Flat-bins kernel launch.  sorted_pad: (Spad,) i32 packed pairs from
     bin_triangles_flat (multi-frame: frames' arrays concatenated, with the
     scalar block indices made absolute by the caller); scalars: (5*NT,)
@@ -524,6 +569,41 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
     if table.ndim == 2:
         table = table[None]
     tpf = tiles_per_frame or nt
+    if wf:
+        # whole-frame DMA design (see _make_kernel_flat wf): ids stay in
+        # HBM (ANY) and each tile DMAs its 2-block window into SMEM
+        # scratch on demand — no BlockSpec id windows, grid collapses to
+        # nt // wf programs with the GRID kernel's scalar layout and
+        # overflow conditions (none beyond counts <= Kb).
+        assert u8 and not mega and not tex_dims
+        assert nt % wf == 0 and tpf % wf == 0, (nt, tpf, wf)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt // wf,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, table.shape[1], ROW_W),
+                             lambda i, s, _m=wf, _t=tpf:
+                             (i * _m // _t, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((nt, 1, P), lambda i, s: (0, 0, 0))],
+            scratch_shapes=[
+                pltpu.VMEM((kcc, ROW_W), jnp.float32),
+                pltpu.SMEM((1, 1, Kb), jnp.int32),
+                pltpu.SMEM((1, 1, Kb), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        packed = pl.pallas_call(
+            _make_kernel_flat(tile_h, tile_w, Kb, kcc, u8=True,
+                              opaque=opaque, z_clip=z_clip,
+                              resident_out=True, mxu=mxu, wf=wf),
+            out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(scalars, blocks, table)[0]
+        return packed
     if mega:
         # one program per TPG consecutive tiles: id window + table block
         # selected by the program's FIRST tile (the caller made per-tile
@@ -722,13 +802,15 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
                                  opaque: bool = False,
                                  z_clip: bool = True,
                                  resident_out: bool = False,
-                                 mxu: int = 0, mega: int = 0):
+                                 mxu: int = 0, mega: int = 0,
+                                 wf: int = 0):
     """Video-path raster: fused u8 quantise in the kernel epilogue, no
     depth output.  Returns rgba (H, W, 4) uint8 — exactly
     clip(rgba_f32 * 255, 0, 255) truncated, with bg quantised the same
     way for sky pixels.  ``mega`` = tiles per program (see
     _make_kernel_flat); callers must have checked
-    raster3d.mega_window_overflow first."""
+    raster3d.mega_window_overflow first.  ``wf`` = tiles per program
+    with in-kernel id DMA (no window constraint; see _make_kernel_flat)."""
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
     nt = ntx * nty
@@ -752,7 +834,7 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
 
     packed = raster_tiles_flat(sorted_pad, table, scalars, nt, tile_h,
                                tile_w, Kb, interpret, kcc, 0, True, opaque,
-                               z_clip, None, resident_out, mxu, mega)
+                               z_clip, None, resident_out, mxu, mega, wf)
     return _detile_packed(packed.reshape(nt, -1), nty, ntx, tile_h,
                           tile_w, height, width)
 

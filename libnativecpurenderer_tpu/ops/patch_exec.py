@@ -91,7 +91,9 @@ def _clamp_uv(u, size):
 def _kind_uv(p, kind, ix_raw, iy_raw, ivx, ivy):
     """Shared uv math for a sampling ``kind``: membership + clamped texel
     coords, given raw pixel coords and inverse-mapped coords (any shape).
-    Mirrors ops/executor.py's branches exactly."""
+    Mirrors ops/executor.py's branches exactly (snapped coords for both
+    membership and uv — raw coords are not structure-stable, see
+    executor._inv_point)."""
     if kind == C.KIND_TEX_FAST:
         ix, iy = ix_raw, iy_raw
         member = None  # all-true
@@ -164,7 +166,7 @@ def _build_region_branches(P, R, px0, py0, Xp, Yp, dtype):
     def mk_mxu(kind):
         def br(args):
             p, region, u0, v0 = args
-            # bar + 1/256 snap, matching the scan executor's _inv_point
+            # bar + snap, matching the scan executor's _inv_point
             # (see its contraction note)
             ivx = executor._snap(lax.optimization_barrier(p[0] * xs1)
                                  + p[4])

@@ -597,11 +597,30 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
     return sorted_pad, starts[:-1].astype(jnp.int32), counts, overflow
 
 
+def clamp_mega(mega: int, tiles_per_frame: int) -> int:
+    """Largest divisor of ``tiles_per_frame`` that is <= ``mega`` (0 if
+    mega is 0).  The mega-loop kernel requires mega | NT (its grid is
+    NT // mega programs, each looping mega consecutive tiles), and NT
+    depends on width/height/tile dims — callers pick mega per-workload,
+    so entry points clamp instead of crashing on indivisible combos."""
+    if mega <= 0:
+        return 0
+    m = min(int(mega), int(tiles_per_frame))
+    while tiles_per_frame % m:
+        m -= 1
+    return m
+
+
 def mega_window_overflow(starts, counts, Kb: int, mega: int):
     """Overflow test for the mega-loop kernel's per-program id window
     (pallas_raster._make_kernel_flat mega): a program covers ``mega``
     consecutive tiles whose runs must all fit the 2*Kb SMEM window
     anchored at the FIRST tile's block.  starts/counts: (NT,)."""
+    nt = int(starts.shape[0])
+    if nt % mega:
+        raise ValueError(
+            f"mega={mega} must divide the tile count NT={nt} "
+            f"(use raster3d.clamp_mega)")
     s2 = starts.reshape(-1, mega)
     ends = s2[:, -1] + counts.reshape(-1, mega)[:, -1]
     return jnp.any(ends - (s2[:, 0] // Kb) * Kb > 2 * Kb)
@@ -746,7 +765,7 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-                    19, 20, 21, 22))
+                    19, 20, 21, 22, 23))
 def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 512, bg=None, span_x: int = 8,
@@ -756,7 +775,7 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           opaque: bool = False, z_clip: bool = True,
                           wide_split: bool = False,
                           resident_out: bool = False, mxu: int = 0,
-                          mega: int = 0):
+                          mega: int = 0, wf: int = 0):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned.
@@ -816,6 +835,13 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
         else:
             table = pallas_raster.build_table(A, B, C, zsc, inv_area, sign,
                                               valid, attrs)
+        if mega or wf:
+            assert u8, "mega/wf loops are wired for the u8 video path"
+            assert not (mega and wf), "mega and wf are exclusive"
+            ntx = (width + tile_w - 1) // tile_w
+            nty = (height + tile_h - 1) // tile_h
+            mega = clamp_mega(mega, ntx * nty)
+            wf = clamp_mega(wf, ntx * nty)
         if u8:
             if mega:
                 overflow = overflow | mega_window_overflow(
@@ -823,7 +849,7 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
             rgba8 = pallas_raster.render_binned_pallas_flat_u8(
                 sorted_pad, starts, counts, table, bg, width, height,
                 tile_w, tile_h, capacity, interpret, kcc, opaque, z_clip,
-                resident_out, mxu, mega)
+                resident_out, mxu, mega, wf)
             return rgba8, None, overflow
         keys, rgba = pallas_raster.render_binned_pallas_flat(
             sorted_pad, starts, counts, table, bg, width, height,
@@ -1091,6 +1117,10 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
         return sorted_pad, starts, counts, table, ovf
 
     sps, starts, counts, tables, ovfs = jax.vmap(prep)(mvps)
+    if mega:
+        ntx = (width + tile_w - 1) // tile_w
+        nty = (height + tile_h - 1) // tile_h
+        mega = clamp_mega(mega, ntx * nty)
     if mega:
         ovfs = ovfs | jax.vmap(
             lambda s, c: mega_window_overflow(s, c, capacity, mega)

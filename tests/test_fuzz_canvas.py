@@ -239,7 +239,7 @@ def test_fuzz_kernel_route_vs_scan(seed):
     # seeds 23/25: extended-sweep regressions — knife-edge pixels where
     # the kernel route's unsnapped inverse mapping flipped membership
     # vs the scan executor (canvas_kernel inv_point now snaps to the
-    # same 1/256 grid as executor._snap)
+    # same 2^-20 grid as executor._snap)
     """Arith-heavy streams (stacked full-frame fills force plan_segments'
     kernel fold) through the tile kernel must be bit-exact with the scan
     executor."""
@@ -316,7 +316,7 @@ def test_adversarial_knife_edge_across_executors(ang_deg):
     edges landing exactly on pixel centers, circles with lattice boundary
     points, 45-degree lines through lattice points) must render
     bit-identically across the scan, segmented-patch and unrolled-flush
-    executors AND match the f64 oracle: the 1/256 snap of inverse-mapped
+    executors AND match the f64 oracle: the 2^-20 snap of inverse-mapped
     coordinates (ops/executor._snap) makes membership canonical even
     where LLVM fma-contraction differs per compiled structure (VERDICT
     r2 item 6)."""

@@ -219,6 +219,23 @@ def test_u8_mega_loop_matches():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
 
 
+def test_clamp_mega():
+    # the kernel needs mega | NT; entry points clamp a user mega down
+    # to the largest divisor instead of crashing (advisor r3, raster3d
+    # mega_window_overflow reshape TypeError at NT % mega != 0)
+    assert raster3d.clamp_mega(0, 12) == 0
+    assert raster3d.clamp_mega(8, 12) == 6
+    assert raster3d.clamp_mega(8, 8) == 8
+    assert raster3d.clamp_mega(5, 12) == 4
+    assert raster3d.clamp_mega(7, 13) == 1
+    assert raster3d.clamp_mega(64, 12) == 12
+    # indivisible mega reaching the overflow test is a clear error now
+    import pytest
+    with pytest.raises(ValueError, match="clamp_mega"):
+        raster3d.mega_window_overflow(
+            jnp.zeros(12, jnp.int32), jnp.zeros(12, jnp.int32), 512, 8)
+
+
 def test_u8_mega_window_overflow_flag():
     # a program whose TPG runs exceed the 2*Kb id window must raise the
     # overflow flag (callers fall back to the grid kernel)

@@ -172,7 +172,9 @@ def test_tex_mega_loop_matches():
               interpret=True)
     base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
     assert not bool(ovf)
-    for mega in (2, 8):   # NT = 8 tiles at 32x8
+    # NT = 12 tiles at 32x8 (W=64, H=48): mega=2|3 divide, mega=8 is
+    # clamped to 6 by raster3d.clamp_mega — exercising both paths
+    for mega in (2, 3, 8):
         got, ovf_m = raster3d.render_textured_pallas_batch(
             *args, mega=mega, **kw)
         assert not bool(ovf_m), mega
