@@ -14,6 +14,15 @@ from __future__ import annotations
 import math
 import typing
 
+import numpy as np
+
+try:
+    from ..fastrec import mod as _fast
+    if _fast is not None and not hasattr(_fast, "anim_eval"):
+        _fast = None        # stale build without the evaluator
+except ImportError:         # standalone import of models.chart
+    _fast = None
+
 
 # ---------------------------------------------------------------------------
 # easing table: 3 modes (in/out/inout) x 11 kinds (reference :71-111)
@@ -148,6 +157,15 @@ EASINGS = [
      lambda t: 16 * t ** 5 if t < 0.5 else 1 - (-2 * t + 2) ** 5 / 2,
      _io_expo, _io_circ, _io_back, _io_elastic, _io_bounce],
 ]
+
+
+# reverse map: easing function object -> (mode, kind) code for the native
+# evaluator (fastrec.anim_eval).  _linear appears in every mode at kind 0;
+# any of its codes evaluates identically.
+_EASE_CODE: dict = {}
+for _m, _row in enumerate(EASINGS):
+    for _k, _fn in enumerate(_row):
+        _EASE_CODE.setdefault(id(_fn), (_m, _k))
 
 
 # ---------------------------------------------------------------------------
@@ -405,6 +423,78 @@ class AnimationCollection:
         return AnimationCollection(sel, _DEFAULTS[bearer_type])
 
 
+class _AnimArena:
+    """Flattened event tables for every AnimationCollection of a chart,
+    evaluated per frame by ONE native call (fastrec.anim_eval) instead of
+    a Python loop over collections (the dominant host record cost at
+    draw_frame time — VERDICT r3 item 5).  Only the actually-updated
+    values are boxed back into each collection's ``values`` list, so
+    ``get_value`` stays a plain list read.  Bit-parity with the Python
+    ``AnimationCollection.update`` path is fuzz-enforced
+    (tests/test_chart.py)."""
+
+    def __init__(self, colls: list):
+        self.colls = colls
+        nc = len(colls)
+        nk = MAX_ANIMKEY + 1
+        ev_start: list = []
+        ev_end: list = []
+        v_start: list = []
+        v_end: list = []
+        ev_ease: list = []
+        ev_floor: list = []
+        grp_off = np.zeros(nc * nk, np.int32)
+        grp_cnt = np.zeros(nc * nk, np.int32)
+        act_keys: list = []
+        act_off = np.zeros(nc + 1, np.int32)
+        sp_empty = np.zeros(nc, np.uint8)
+        def_speed = np.zeros(nc, np.float64)
+        for ci, c in enumerate(colls):
+            sp_empty[ci] = c._speed_empty
+            def_speed[ci] = c.defaults[AnimationKey.Speed]
+            for key in c._active:
+                grp_off[ci * nk + key] = len(ev_start)
+                es = c.anim_groups[key]
+                grp_cnt[ci * nk + key] = len(es)
+                for a in es:
+                    ev_start.append(a.startTime)
+                    ev_end.append(a.endTime)
+                    v_start.append(float(a.start))
+                    v_end.append(float(a.end))
+                    m, k = _EASE_CODE.get(id(a.ease.doease), (0, 0))
+                    ev_ease.append(m * 16 + k)
+                    ev_floor.append(a.floorPosition)
+                act_keys.append(key)
+            act_off[ci + 1] = len(act_keys)
+        # one pad event keeps the buffers non-empty for the C side
+        if not ev_start:
+            ev_start = ev_end = v_start = v_end = ev_floor = [0.0]
+            ev_ease = [0]
+        self.ev_start = np.asarray(ev_start, np.float64)
+        self.ev_end = np.asarray(ev_end, np.float64)
+        self.v_start = np.asarray(v_start, np.float64)
+        self.v_end = np.asarray(v_end, np.float64)
+        self.ev_ease = np.asarray(ev_ease, np.int32)
+        self.ev_floor = np.asarray(ev_floor, np.float64)
+        self.grp_off = grp_off
+        self.grp_cnt = grp_cnt
+        self.act_off = act_off
+        self.act_keys = np.asarray(act_keys or [0], np.uint8)
+        self.cursors = np.zeros(nc * nk, np.int32)
+        self.last_t = np.full(nc, -np.inf)
+        self.sp_empty = sp_empty
+        self.def_speed = def_speed
+        self.values_lists = [c.values for c in colls]
+
+    def eval(self, t: float) -> None:
+        _fast.anim_eval(self.ev_start, self.ev_end, self.v_start,
+                        self.v_end, self.ev_ease, self.ev_floor,
+                        self.grp_off, self.grp_cnt, self.act_off,
+                        self.act_keys, self.cursors, self.last_t,
+                        self.sp_empty, self.def_speed,
+                        self.values_lists, t)
+
+
 class Note:
     def __init__(self, data: dict, master_anims: list, timing: Timing):
         self.time = timing.tosec(data["time"])
@@ -479,6 +569,7 @@ class Chart:
         self.timing = Timing(self.meta.offset, self.bpms)
         self.lines = sorted((Line(ln, self.timing) for ln in data["lines"]),
                             key=lambda ln: ln.index)
+        self._arena: typing.Optional[_AnimArena] = None
         self._init()
 
     def _init(self):
@@ -495,7 +586,18 @@ class Chart:
                     n.morebets = True
             ln.init()
 
+    # class-level switch so tests can force the Python path
+    use_native_anim = True
+
     def update(self, t: float):
+        if self.use_native_anim and _fast is not None:
+            if self._arena is None:
+                colls = [ln.acollection for ln in self.lines]
+                colls += [n.acollection for ln in self.lines
+                          for n in ln.notes]
+                self._arena = _AnimArena(colls)
+            self._arena.eval(float(t))
+            return
         for ln in self.lines:
             ln.update(t)
 

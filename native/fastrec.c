@@ -17,6 +17,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <math.h>
 #include <stdint.h>
 #include <string.h>
 
@@ -508,6 +509,138 @@ static inline void emit_row(int32_t *kinds, char *pbase,
 #define KIND_TEX_FAST_C 8
 #define KIND_SPLIT_TEX_C 9
 
+/* Shared core of note_blit/notes_frame: compose, cull, break test, row
+ * emission.  Returns 0 on success (-1 = NaN box -> ValueError set).
+ * Caller guarantees row capacity for up to 3 rows at n. */
+static int note_core(int32_t *kd, char *pbase, Py_ssize_t stride,
+                     Py_ssize_t widthp, Py_ssize_t n,
+                     const double *base, double tx, double ty, double deg,
+                     double size, const double *ctb, double cr, double cg,
+                     double cb2, double ca, double transp, double W,
+                     double H, int can_break, double dir_y, int fp_zero,
+                     int ishold, double width_px, double height_px,
+                     double hold_len, double u0, double u1, double ox,
+                     double oy, double tw, double th,
+                     long *nrec_out, long *brk_out, double *extent_out,
+                     double *m_out) {
+    /* transform: translate -> rotate_degree -> scale, via the shared
+     * compose so zero/one products round exactly like the Python path */
+    double m1[6], m2[6], m[6];
+    compose6(base, 1.0, 0.0, 0.0, 1.0, tx, ty, m1);
+    {
+        double ang = deg * M_PI / 180.0;
+        double s = sin(ang), c = cos(ang);
+        compose6(m1, c, s, -s, c, 0.0, 0.0, m2);
+    }
+    compose6(m2, size, 0.0, 0.0, size, 0.0, 0.0, m);
+    for (int k = 0; k < 6; k++) m_out[k] = m[k];
+
+    /* color: apply(col/255) then apply(1,1,1,transp) */
+    double ct[4] = {ctb[0] * cr * 1.0, ctb[1] * cg * 1.0,
+                    ctb[2] * cb2 * 1.0, ctb[3] * ca * transp};
+
+    /* cull polygon: getCRectPoints order (lt, rt, rb, lb) */
+    double cxq = ishold ? hold_len / 2.0 : 0.0;
+    double pw = ishold
+        ? hold_len + width_px / 2.0 + width_px / 2.0
+        : height_px;
+    double ph = width_px;
+    double qx0 = cxq - pw / 2.0, qy0 = 0.0 - ph / 2.0;
+    double px[4], py[4];
+    tpoint(m, qx0, qy0, &px[0], &py[0]);
+    tpoint(m, qx0 + pw, qy0, &px[1], &py[1]);
+    tpoint(m, qx0 + pw, qy0 + ph, &px[2], &py[2]);
+    tpoint(m, qx0, qy0 + ph, &px[3], &py[3]);
+
+    *nrec_out = 0;
+    *brk_out = 0;
+    *extent_out = 0.0;
+    if (!poly_in_screen(W, H, px, py) && can_break) {
+        if (fp_zero) { *brk_out = 1; return 0; }
+        double ax, ay, bx, by;
+        tpoint(m, 0.0, dir_y, &ax, &ay);
+        tpoint(m, 0.0, 0.0, &bx, &by);
+        if (line_len(W / 2.0, H / 2.0, ax, ay)
+                - line_len(W / 2.0, H / 2.0, bx, by) > 0.0) {
+            *brk_out = 1;
+            return 0;
+        }
+    }
+
+    /* inverse (core/transform.inverse incl. det==0 -> 1e9 quirk) */
+    double inv[6];
+    {
+        double a = m[0], b = m[1], c = m[2], d = m[3], e = m[4], f = m[5];
+        double det = a * d - b * c;
+        double inv_det = det != 0.0 ? 1.0 / det : 1e9;
+        inv[0] = d * inv_det; inv[1] = -b * inv_det;
+        inv[2] = -c * inv_det; inv[3] = a * inv_det;
+        inv[4] = (c * f - d * e) * inv_det;
+        inv[5] = (b * e - a * f) * inv_det;
+    }
+    /* IsNoTransform sum test, exact left-to-right order */
+    int fastpath =
+        (m[0] - 1.0 + m[1] + m[2] + m[3] - 1.0 + m[4] + m[5]) < 1e-5;
+
+    long nrec = 0;
+    double extent = 0.0;
+    if (!ishold) {
+        /* draw_texture(tex, -h/2, -w/2, height_px, width_px) */
+        double x = -height_px / 2.0, y = -width_px / 2.0;
+        double w = height_px, h = width_px;
+        if (w != 0.0 && h != 0.0) {
+            double box[4], spec[10];
+            long kind;
+            if (fastpath) {
+                if (x != x || y != y) return -2;
+                box[0] = trunc(x); box[1] = x + w;
+                box[2] = trunc(y); box[3] = y + h;
+                kind = KIND_TEX_FAST_C;
+            } else {
+                if (aabb_core(m, x, y, w, h, W, H, box) < 0) return -2;
+                kind = KIND_TEX_C;
+            }
+            spec[0] = x; spec[1] = y; spec[2] = x + w; spec[3] = y + h;
+            spec[4] = tw / w; spec[5] = th / h;
+            spec[6] = ox; spec[7] = oy; spec[8] = tw; spec[9] = th;
+            emit_row(kd, pbase, stride, widthp, n, kind, inv, box, ct,
+                     spec, 10);
+            extent = mx(box[1] - box[0], box[3] - box[2]);
+            nrec = 1;
+        }
+    } else {
+        /* three split blits: head, body, tail (same transform) */
+        double head = width_px / 2.0;
+        double xs[3] = {-head, 0.0, hold_len};
+        double ws[3] = {head + 1.0, hold_len + 1.0, head + 1.0};
+        double us[3] = {0.0, u0, u1};
+        double ue[3] = {u0, u1, 1.0};
+        double y = -width_px / 2.0, h = width_px;
+        for (int k = 0; k < 3; k++) {
+            if (ws[k] == 0.0 || h == 0.0) continue;
+            double box[4], spec[14];
+            if (aabb_core(m, xs[k], y, ws[k], h, W, H, box) < 0)
+                return -2;
+            spec[0] = xs[k]; spec[1] = y;
+            spec[2] = xs[k] + ws[k]; spec[3] = y + h;
+            spec[4] = tw / ws[k]; spec[5] = th / h;
+            spec[6] = ox; spec[7] = oy; spec[8] = tw; spec[9] = th;
+            spec[10] = us[k]; spec[11] = ue[k];
+            spec[12] = 0.0; spec[13] = 1.0;
+            emit_row(kd, pbase, stride, widthp, n + nrec,
+                     KIND_SPLIT_TEX_C, inv, box, ct, spec, 14);
+            {
+                double e2 = mx(box[1] - box[0], box[3] - box[2]);
+                if (e2 > extent) extent = e2;
+            }
+            nrec++;
+        }
+    }
+    *nrec_out = nrec;
+    *extent_out = extent;
+    return 0;
+}
+
 /* note_blit(kinds, params, n, m6base, tx, ty, deg, size, ct4,
  *           cr, cg, cb, ca, transp, W, H,
  *           can_break, dir_y, fp_zero, ishold,
@@ -928,6 +1061,241 @@ done:
     return PyFloat_FromDouble(ew > eh ? ew : eh);
 }
 
+/* ------------------------------------------------------------------ *
+ * anim_eval: per-frame animation-cursor evaluation for ALL collections
+ * of a chart in one call (models/chart.py AnimationCollection.update,
+ * reference milrenderer.py:353-407).  The Python loop costs ~2-6 us per
+ * note per frame and dominates draw_frame's host record budget; here
+ * the flattened event tables (built once at first Chart.update) are
+ * walked in C and only the ACTUALLY UPDATED values are boxed back into
+ * each collection's Python ``values`` list, so get_value stays a plain
+ * list read.
+ *
+ * Bit-parity contract (same as the rest of this module): compiled with
+ * -ffp-contract=off; every easing transcribed from chart.py with the
+ * exact operation order and CPython semantics (x ** k -> pow(x, k);
+ * (1-t)*(1-t) stays a multiply; min/max second-operand-wins-on-strict
+ * comparison).  Fuzzed against the Python path in tests/test_chart.py.
+ * ------------------------------------------------------------------ */
+
+static const double B1C = 1.70158;
+static const double B2C = 1.70158 * 1.525;
+
+static double bounce_c(double t) {
+    double n1 = 7.5625, d1 = 2.75;
+    if (t < 1.0 / d1) return n1 * t * t;
+    if (t < 2.0 / d1) return n1 * (t - 1.5 / d1) * (t - 1.5 / d1) + 0.75;
+    if (t < 2.5 / d1)
+        return n1 * (t - 2.25 / d1) * (t - 2.25 / d1) + 0.9375;
+    return n1 * (t - 2.625 / d1) * (t - 2.625 / d1) + 0.984375;
+}
+
+static double ease_c(int mode, int kind, double t) {
+    switch (mode * 16 + kind) {
+    /* EASINGS[0]: in */
+    case 0x00: return t;
+    case 0x01: return 1.0 - cos(t * M_PI / 2.0);
+    case 0x02: return pow(t, 2.0);
+    case 0x03: return pow(t, 3.0);
+    case 0x04: return pow(t, 4.0);
+    case 0x05: return pow(t, 5.0);
+    case 0x06: return t == 0.0 ? 0.0 : pow(2.0, 10.0 * t - 10.0);
+    case 0x07: return 1.0 - pow(1.0 - pow(t, 2.0), 0.5);
+    case 0x08: return (B1C + 1.0) * pow(t, 3.0) - B1C * pow(t, 2.0);
+    case 0x09:
+        if (t == 0.0) return 0.0;
+        if (t == 1.0) return 1.0;
+        return -pow(2.0, 10.0 * t - 10.0)
+               * sin((t * 10.0 - 10.75) * (2.0 * M_PI / 3.0));
+    case 0x0a: return 1.0 - bounce_c(1.0 - t);
+    /* EASINGS[1]: out */
+    case 0x10: return t;
+    case 0x11: return sin(t * M_PI / 2.0);
+    case 0x12: return 1.0 - (1.0 - t) * (1.0 - t);
+    case 0x13: return 1.0 - pow(1.0 - t, 3.0);
+    case 0x14: return 1.0 - pow(1.0 - t, 4.0);
+    case 0x15: return 1.0 - pow(1.0 - t, 5.0);
+    case 0x16: return t == 1.0 ? 1.0 : 1.0 - pow(2.0, -10.0 * t);
+    case 0x17: return pow(1.0 - pow(t - 1.0, 2.0), 0.5);
+    case 0x18:
+        return 1.0 + (B1C + 1.0) * pow(t - 1.0, 3.0)
+               + B1C * pow(t - 1.0, 2.0);
+    case 0x19:
+        if (t == 0.0) return 0.0;
+        if (t == 1.0) return 1.0;
+        return pow(2.0, -10.0 * t)
+               * sin((t * 10.0 - 0.75) * (2.0 * M_PI / 3.0)) + 1.0;
+    case 0x1a: return bounce_c(t);
+    /* EASINGS[2]: inout */
+    case 0x20: return t;
+    case 0x21: return -(cos(M_PI * t) - 1.0) / 2.0;
+    case 0x22:
+        return t < 0.5 ? 2.0 * pow(t, 2.0)
+                       : 1.0 - pow(-2.0 * t + 2.0, 2.0) / 2.0;
+    case 0x23:
+        return t < 0.5 ? 4.0 * pow(t, 3.0)
+                       : 1.0 - pow(-2.0 * t + 2.0, 3.0) / 2.0;
+    case 0x24:
+        return t < 0.5 ? 8.0 * pow(t, 4.0)
+                       : 1.0 - pow(-2.0 * t + 2.0, 4.0) / 2.0;
+    case 0x25:
+        return t < 0.5 ? 16.0 * pow(t, 5.0)
+                       : 1.0 - pow(-2.0 * t + 2.0, 5.0) / 2.0;
+    case 0x26:
+        if (t == 0.0) return 0.0;
+        if (t == 1.0) return 1.0;
+        return (t < 0.5 ? pow(2.0, 20.0 * t - 10.0)
+                        : 2.0 - pow(2.0, -20.0 * t + 10.0)) / 2.0;
+    case 0x27:
+        if (t < 0.5)
+            return (1.0 - pow(1.0 - pow(2.0 * t, 2.0), 0.5)) / 2.0;
+        return (pow(1.0 - pow(-2.0 * t + 2.0, 2.0), 0.5) + 1.0) / 2.0;
+    case 0x28:
+        if (t < 0.5)
+            return (pow(2.0 * t, 2.0) * ((B2C + 1.0) * 2.0 * t - B2C))
+                   / 2.0;
+        return (pow(2.0 * t - 2.0, 2.0)
+                * ((B2C + 1.0) * (t * 2.0 - 2.0) + B2C) + 2.0) / 2.0;
+    case 0x29:
+        if (t == 0.0) return 0.0;
+        if (t < 0.5)
+            return -(pow(2.0, 20.0 * t - 10.0)
+                     * sin((20.0 * t - 11.125) * (2.0 * M_PI / 4.5)))
+                   / 2.0;
+        return pow(2.0, -20.0 * t + 10.0)
+               * sin((20.0 * t - 11.125) * (2.0 * M_PI / 4.5)) / 2.0 + 1.0;
+    case 0x2a:
+        if (t < 0.5) return (1.0 - bounce_c(1.0 - 2.0 * t)) / 2.0;
+        return (1.0 + bounce_c(2.0 * t - 1.0)) / 2.0;
+    default: return t;
+    }
+}
+
+#define ANIM_NKEYS 24
+#define ANIM_SPEED 12
+#define ANIM_COLOR 22
+
+/* anim_eval(ev_start, ev_end, v_start, v_end, ev_ease, ev_floor,
+ *           grp_off, grp_cnt, act_off, act_keys, cursors, last_t,
+ *           sp_empty, def_speed, values_lists, t)
+ *
+ * ev_* : f64/i32 flat event arrays (all (coll,key) groups concatenated)
+ * grp_off/grp_cnt : (NC*24,) i32 per-(coll,key) slice of ev_*
+ * act_off : (NC+1,) i32; act_keys : (sum,) u8 active keys per coll
+ * cursors : (NC*24,) i32 monotonic cursor state (C-owned)
+ * last_t : (NC,) f64; sp_empty : (NC,) u8; def_speed : (NC,) f64
+ * values_lists : Python list of each collection's ``values`` list
+ */
+static PyObject *fastrec_anim_eval(PyObject *self, PyObject *args) {
+    PyObject *o[14];
+    PyObject *vals_o;
+    double t;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOOOOOOd",
+                          &o[0], &o[1], &o[2], &o[3], &o[4], &o[5],
+                          &o[6], &o[7], &o[8], &o[9], &o[10], &o[11],
+                          &o[12], &o[13], &vals_o, &t))
+        return NULL;
+    Py_buffer pb[14];
+    int flags[14];
+    for (int i = 0; i < 14; i++) {
+        /* cursors (10) and last_t (11) are written */
+        flags[i] = (i == 10 || i == 11) ? PyBUF_WRITABLE : PyBUF_SIMPLE;
+        if (PyObject_GetBuffer(o[i], &pb[i], flags[i]) < 0) {
+            for (int j = 0; j < i; j++) PyBuffer_Release(&pb[j]);
+            return NULL;
+        }
+    }
+    const double *ev_start = (const double *)pb[0].buf;
+    const double *ev_end = (const double *)pb[1].buf;
+    const double *v_start = (const double *)pb[2].buf;
+    const double *v_end = (const double *)pb[3].buf;
+    const int32_t *ev_ease = (const int32_t *)pb[4].buf;
+    const double *ev_floor = (const double *)pb[5].buf;
+    const int32_t *grp_off = (const int32_t *)pb[6].buf;
+    const int32_t *grp_cnt = (const int32_t *)pb[7].buf;
+    const int32_t *act_off = (const int32_t *)pb[8].buf;
+    const uint8_t *act_keys = (const uint8_t *)pb[9].buf;
+    int32_t *cursors = (int32_t *)pb[10].buf;
+    double *last_t = (double *)pb[11].buf;
+    const uint8_t *sp_empty = (const uint8_t *)pb[12].buf;
+    const double *def_speed = (const double *)pb[13].buf;
+    Py_ssize_t nc = pb[11].len / (Py_ssize_t)sizeof(double);
+
+    int ok = 1;
+    if (!PyList_Check(vals_o) || PyList_GET_SIZE(vals_o) != nc) {
+        PyErr_SetString(PyExc_ValueError, "values_lists length mismatch");
+        ok = 0;
+    }
+    for (Py_ssize_t c = 0; ok && c < nc; c++) {
+        PyObject *vals = PyList_GET_ITEM(vals_o, c);
+        if (t < last_t[c])
+            memset(cursors + c * ANIM_NKEYS, 0,
+                   ANIM_NKEYS * sizeof(int32_t));
+        last_t[c] = t;
+        if (sp_empty[c]) {
+            PyObject *f = PyFloat_FromDouble(t * def_speed[c]);
+            if (!f || PyList_SetItem(vals, ANIM_SPEED, f) < 0) {
+                ok = 0;
+                break;
+            }
+        }
+        for (int32_t a = act_off[c]; ok && a < act_off[c + 1]; a++) {
+            int key = act_keys[a];
+            Py_ssize_t g = c * ANIM_NKEYS + key;
+            int32_t off = grp_off[g], cnt = grp_cnt[g];
+            int32_t cur = cursors[g];
+            while (cur < cnt - 1 && ev_start[off + cur + 1] <= t) cur++;
+            cursors[g] = cur;
+            Py_ssize_t e = off + cur;
+            double st = ev_start[e], et = ev_end[e];
+            double p = (st == et) ? 1.0 : (t - st) / (et - st);
+            /* max(0.0, min(1.0, p)) with Python's first-wins-on-tie/NaN */
+            double pm = (p < 1.0) ? p : 1.0;
+            p = (pm > 0.0) ? pm : 0.0;
+            int code = ev_ease[e];
+            p = ease_c(code >> 4, code & 15, p);
+            if (key == ANIM_COLOR) {
+                long long s = (long long)v_start[e];
+                long long en = (long long)v_end[e];
+                double ch[4];
+                for (int k = 0; k < 4; k++) {
+                    int sh = 24 - 8 * k;
+                    double s0 = (double)((s >> sh) & 0xFF);
+                    double e0 = (double)((en >> sh) & 0xFF);
+                    ch[k] = s0 + (e0 - s0) * p;
+                }
+                PyObject *tup = Py_BuildValue("(dddd)", ch[0], ch[1],
+                                              ch[2], ch[3]);
+                if (!tup || PyList_SetItem(vals, ANIM_COLOR, tup) < 0) {
+                    ok = 0;
+                    break;
+                }
+                continue;
+            }
+            double v = v_start[e] + (v_end[e] - v_start[e]) * p;
+            if (key == ANIM_SPEED) {
+                /* integrated floor position (chart.py update :383-394) */
+                if (t < st)
+                    v = t * v_start[e];
+                else if (st < t && t < et)
+                    v = ev_floor[e] + (t - st) * (v + v_start[e]) / 2.0;
+                else
+                    v = ev_floor[e]
+                        + (et - st) * (v_start[e] + v_end[e]) / 2.0
+                        + (t - et) * v_end[e];
+            }
+            PyObject *f = PyFloat_FromDouble(v);
+            if (!f || PyList_SetItem(vals, key, f) < 0) {
+                ok = 0;
+                break;
+            }
+        }
+    }
+    for (int i = 0; i < 14; i++) PyBuffer_Release(&pb[i]);
+    if (!ok) return NULL;
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef methods[] = {
     {"aabb", fastrec_aabb, METH_VARARGS,
      "aabb(m6, x, y, w, h, mw, mh) -> (l, r, t, b)"},
@@ -942,6 +1310,10 @@ static PyMethodDef methods[] = {
      "cb, ca, transp, W, H, can_break, dir_y, fp_zero, ishold, "
      "width_px, height_px, hold_len, u0, u1, ox, oy, tw, th) -> "
      "(nrec, brk, extent, m6)"},
+    {"anim_eval", fastrec_anim_eval, METH_VARARGS,
+     "anim_eval(ev_start, ev_end, v_start, v_end, ev_ease, ev_floor, "
+     "grp_off, grp_cnt, act_off, act_keys, cursors, last_t, sp_empty, "
+     "def_speed, values_lists, t)"},
     {"routes_for_size", fastrec_routes, METH_VARARGS,
      "routes_for_size(params, fast, sep, split, sampling, P, W, H, "
      "margin, rchoices, mxu, region, full) -> (routes, rneeds)"},
