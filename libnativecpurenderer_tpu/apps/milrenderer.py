@@ -215,6 +215,9 @@ class Renderer:
         self.note_size = self.line_head_size
         self.ctx = RenderContext(width, height, enable_alpha=False)
         self.cap = VideoCap(width, height, fps)
+        # full-C note loop state (fastrec.notes_frame), built lazily per
+        # chart in draw_frame
+        self._nf = None
 
     # -- coordinate mapping (reference :151-161) -------------------------
     def milpos2scrpos(self, x, y):
@@ -309,11 +312,91 @@ class Renderer:
     def draw_frame(self, chart: chart_mod.Chart, t: float,
                    hit_effects: list, include_static: bool = True) -> None:
         chart.update(t)
+        nf = self._nf
+        if nf is not None and nf["chart"] is not chart:
+            nf = self._nf = None
+        if (nf is None and _fastrec is not None
+                and hasattr(_fastrec, "notes_frame")
+                and getattr(self, "_notes_native_ok", False)
+                and getattr(chart, "_arena", None) is not None):
+            nf = self._nf_build(chart)
+        if nf is not None:
+            # per-frame refresh: texel regions can move on atlas recycle
+            nf["frame"] += 1
+            store = self.ctx._store
+            texes = nf["texes"]
+            for k, nm in enumerate(nf["texnames"]):
+                tex = self.game_res[nm]
+                ox, oy = tex.region_for(store)
+                texes[k, 0] = ox
+                texes[k, 1] = oy
+                texes[k, 2] = tex.width
+                texes[k, 3] = tex.height
         if include_static:
             self.draw_static(chart)
         for line in chart.lines:
             self._draw_line(line, t, hit_effects)
+        if nf is not None:
+            # the Python loop stores each drawn note's transform (read by
+            # its hit effect, and part of the note's visible state); the
+            # C loop stamps note_m/mstamp instead — box the drawn notes'
+            # rows back as plain-float tuples (.tolist())
+            note_m, notes_l = nf["note_m"], nf["notes"]
+            for nid in np.nonzero(nf["mstamp"] == nf["frame"])[0].tolist():
+                notes_l[nid].transform = tuple(note_m[nid].tolist())
         self._draw_hit_effects(t, hit_effects)
+
+    def _nf_build(self, chart):
+        """Flatten per-note static chart state for fastrec.notes_frame
+        (the full-C note-group loop).  Built once per (renderer, chart);
+        animated values ride chart._arena.values_flat."""
+        arena = chart._arena
+        coll_index = arena.coll_index
+        notes = [n for ln in chart.lines for n in ln.notes]
+        n_total = len(notes)
+        stat = np.zeros((n_total, 7), np.float64)
+        istat = np.zeros((n_total, 5), np.int32)
+        clicked = np.zeros(n_total, np.uint8)
+        meta = self.game_res["meta"]
+        width_px = (self.w + self.h) * self.note_size
+        texnames = sorted({n.texname for n in notes}) or ["tap"]
+        tex_idx = {nm: i for i, nm in enumerate(texnames)}
+        for i, n in enumerate(notes):
+            n._nid = i
+            tex = self.game_res[n.texname]
+            if not n.ishold:
+                height_px = width_px / tex.width * tex.height
+                u0 = u1 = 0.0
+            else:
+                atlas = meta["holdDoubleAtlas" if n.morebets
+                             else "holdAtlas"]
+                u0 = atlas[0] / tex.width
+                u1 = 1.0 - atlas[1] / tex.width
+                height_px = 0.0
+            stat[i] = (n.time, n.endTime, n.floorPosition,
+                       n.endFloorPosition, u0, u1, height_px)
+            ag = n.acollection.anim_groups
+            istat[i] = (tex_idx[n.texname],
+                        coll_index[id(n.acollection)],
+                        1 if n.ishold else 0,
+                        1 if ag[chart_mod.AnimationKey.PositionX] else 0,
+                        1 if ag[chart_mod.AnimationKey.PositionY] else 0)
+            clicked[i] = 1 if n.clicked else 0
+        groups = {}
+        for ln in chart.lines:
+            for grp in (ln.effect_notes, ln.plain_notes):
+                ids = np.asarray([n._nid for n in grp] or [], np.int32)
+                groups[id(grp)] = [ids, len(grp)]
+        nf = dict(chart=chart, notes=notes, stat=stat, istat=istat,
+                  clicked=clicked,
+                  note_m=np.zeros((n_total, 6), np.float64),
+                  mstamp=np.full(max(n_total, 1), -1, np.int32),
+                  newly=np.zeros(max(n_total, 1), np.int32),
+                  texnames=texnames, groups=groups,
+                  texes=np.zeros((len(texnames), 4), np.float64),
+                  vflat=arena.values_flat, width_px=width_px, frame=0)
+        self._nf = nf
+        return nf
 
     def _draw_line(self, line, t, hit_effects):
         ctx, w, h = self.ctx, self.w, self.h
@@ -370,6 +453,11 @@ class Renderer:
 
     def _draw_note_group(self, notes, can_break, t, line_fsp, line_fp,
                          line_visa, hit_effects):
+        nf = self._nf
+        if nf is not None and id(notes) in nf["groups"]:
+            return self._draw_note_group_c(
+                notes, can_break, t, line_fsp, line_fp, line_visa,
+                hit_effects)
         if _fastrec is not None and getattr(self, "_notes_native_ok", False):
             return self._draw_note_group_native(
                 notes, can_break, t, line_fsp, line_fp, line_visa,
@@ -377,6 +465,48 @@ class Renderer:
         return self._draw_note_group_py(
             notes, can_break, t, line_fsp, line_fp, line_visa,
             hit_effects)
+
+    def _draw_note_group_c(self, notes, can_break, t, line_fsp, line_fp,
+                           line_visa, hit_effects):
+        """Full-C note-group loop: fastrec.notes_frame runs the entire
+        per-note body (click/removal/cull/value reads/compose/record) in
+        one call; Python only boxes the rare events back (new hit
+        effects, removals).  Bit-parity with _draw_note_group_py is
+        fuzz-enforced (tests/test_fastrec.py)."""
+        nf = self._nf
+        gstate = nf["groups"][id(notes)]
+        ids, count = gstate
+        if count == 0:
+            return
+        ctx, h = self.ctx, self.h
+        cmds = ctx._cmds
+        while cmds.n + 3 * count > cmds.kinds.shape[0]:
+            cmds._grow()
+        fp_base = SPEED_UNIT / MIL_SCRH * h * self.flow_speed
+        visa_px = line_visa / MIL_SCRH * h
+        new_count, nrec, brk, extent, n_new = _fastrec.notes_frame(
+            cmds.kinds, cmds.params, cmds.n, ids, count,
+            nf["stat"], nf["istat"], nf["clicked"], nf["vflat"],
+            nf["texes"], nf["note_m"], nf["mstamp"], nf["newly"],
+            ctx._state.matrix, ctx._state.color,
+            t, line_fsp, line_fp, visa_px, fp_base, nf["width_px"],
+            float(self.w), float(h), 1 if can_break else 0, nf["frame"])
+        cmds.n += nrec
+        ctx._seq += nrec
+        if extent > ctx._max_sampling_extent:
+            ctx._max_sampling_extent = extent
+        if n_new:
+            notes_l = nf["notes"]
+            for nid in nf["newly"][:n_new].tolist():
+                note = notes_l[nid]
+                note.clicked = True
+                hit_effects.append(HitEffect(note, note.time))
+        if new_count != count:
+            # keep the Python list in sync (removal events are rare)
+            gstate[1] = new_count
+            notes_l = nf["notes"]
+            del notes[:]
+            notes.extend(notes_l[i] for i in ids[:new_count].tolist())
 
     def _draw_note_group_native(self, notes, can_break, t, line_fsp,
                                 line_fp, line_visa, hit_effects):

@@ -18,7 +18,7 @@ import numpy as np
 
 try:
     from ..fastrec import mod as _fast
-    if _fast is not None and not hasattr(_fast, "anim_eval"):
+    if _fast is not None and not hasattr(_fast, "notes_frame"):
         _fast = None        # stale build without the evaluator
 except ImportError:         # standalone import of models.chart
     _fast = None
@@ -485,6 +485,19 @@ class _AnimArena:
         self.sp_empty = sp_empty
         self.def_speed = def_speed
         self.values_lists = [c.values for c in colls]
+        # flat mirror of the boxed values, consumed natively by
+        # fastrec.notes_frame: scalar keys at their AnimationKey index,
+        # Color expanded to rgba at 24..27.  Seeded from the current
+        # (default) values so never-animated keys read correctly.
+        vflat = np.zeros((nc, 28), np.float64)
+        for ci, c in enumerate(colls):
+            for key, v in enumerate(c.values):
+                if key == AnimationKey.Color:
+                    vflat[ci, 24:28] = v
+                else:
+                    vflat[ci, key] = v
+        self.values_flat = vflat
+        self.coll_index = {id(c): i for i, c in enumerate(colls)}
 
     def eval(self, t: float) -> None:
         _fast.anim_eval(self.ev_start, self.ev_end, self.v_start,
@@ -492,7 +505,7 @@ class _AnimArena:
                         self.grp_off, self.grp_cnt, self.act_off,
                         self.act_keys, self.cursors, self.last_t,
                         self.sp_empty, self.def_speed,
-                        self.values_lists, t)
+                        self.values_lists, self.values_flat, t)
 
 
 class Note:

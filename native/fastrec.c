@@ -681,82 +681,16 @@ static PyObject *fastrec_note_blit(PyObject *self, PyObject *args) {
         Py_DECREF(fast);
     }
 
-    /* transform: translate -> rotate_degree -> scale, via the shared
-     * compose so zero/one products round exactly like the Python path */
-    double m1[6], m2[6], m[6];
-    compose6(base, 1.0, 0.0, 0.0, 1.0, tx, ty, m1);
-    {
-        double ang = deg * M_PI / 180.0;
-        double s = sin(ang), c = cos(ang);
-        compose6(m1, c, s, -s, c, 0.0, 0.0, m2);
-    }
-    compose6(m2, size, 0.0, 0.0, size, 0.0, 0.0, m);
-
-    /* color: apply(col/255) then apply(1,1,1,transp) */
-    double ct[4] = {ctb[0] * cr * 1.0, ctb[1] * cg * 1.0,
-                    ctb[2] * cb * 1.0, ctb[3] * ca * transp};
-
-    /* cull polygon: getCRectPoints order (lt, rt, rb, lb) */
-    double cxq = ishold ? hold_len / 2.0 : 0.0;
-    double pw = ishold
-        ? hold_len + width_px / 2.0 + width_px / 2.0
-        : height_px;
-    double ph = width_px;
-    double qx0 = cxq - pw / 2.0, qy0 = 0.0 - ph / 2.0;
-    double px[4], py[4];
-    tpoint(m, qx0, qy0, &px[0], &py[0]);
-    tpoint(m, qx0 + pw, qy0, &px[1], &py[1]);
-    tpoint(m, qx0 + pw, qy0 + ph, &px[2], &py[2]);
-    tpoint(m, qx0, qy0 + ph, &px[3], &py[3]);
-
-    long brk = 0;
-    if (!poly_in_screen(W, H, px, py) && can_break) {
-        if (fp_zero) brk = 1;
-        else {
-            double ax, ay, bx, by;
-            tpoint(m, 0.0, dir_y, &ax, &ay);
-            tpoint(m, 0.0, 0.0, &bx, &by);
-            if (line_len(W / 2.0, H / 2.0, ax, ay)
-                    - line_len(W / 2.0, H / 2.0, bx, by) > 0.0)
-                brk = 1;
-        }
-    }
-    PyObject *m_t = Py_BuildValue("(dddddd)", m[0], m[1], m[2], m[3],
-                                  m[4], m[5]);
-    if (!m_t) return NULL;
-    if (brk)
-        return Py_BuildValue("(lldN)", 0L, 1L, 0.0, m_t);
-
-    /* inverse (core/transform.inverse incl. det==0 -> 1e9 quirk) */
-    double inv[6];
-    {
-        double a = m[0], b = m[1], c = m[2], d = m[3], e = m[4], f = m[5];
-        double det = a * d - b * c;
-        double inv_det = det != 0.0 ? 1.0 / det : 1e9;
-        inv[0] = d * inv_det; inv[1] = -b * inv_det;
-        inv[2] = -c * inv_det; inv[3] = a * inv_det;
-        inv[4] = (c * f - d * e) * inv_det;
-        inv[5] = (b * e - a * f) * inv_det;
-    }
-    /* IsNoTransform sum test, exact left-to-right order */
-    int fastpath =
-        (m[0] - 1.0 + m[1] + m[2] + m[3] - 1.0 + m[4] + m[5]) < 1e-5;
-
     Py_buffer kb, pb;
-    if (PyObject_GetBuffer(kinds_o, &kb, PyBUF_WRITABLE | PyBUF_FORMAT) < 0) {
-        Py_DECREF(m_t);
+    if (PyObject_GetBuffer(kinds_o, &kb, PyBUF_WRITABLE | PyBUF_FORMAT) < 0)
         return NULL;
-    }
     if (PyObject_GetBuffer(params_o, &pb,
                            PyBUF_WRITABLE | PyBUF_FORMAT | PyBUF_STRIDES)
             < 0) {
         PyBuffer_Release(&kb);
-        Py_DECREF(m_t);
         return NULL;
     }
     PyObject *result = NULL;
-    long nrec = 0;
-    double extent = 0.0;
     if (pb.ndim != 2 || pb.strides[1] != 8 || pb.itemsize != 8) {
         PyErr_SetString(PyExc_ValueError, "params must be f64 2D "
                         "row-contiguous");
@@ -774,82 +708,241 @@ static PyObject *fastrec_note_blit(PyObject *self, PyObject *args) {
             PyErr_SetString(PyExc_IndexError, "row range out of bounds");
             goto done;
         }
-        int32_t *kd = (int32_t *)kb.buf;
-        char *pbase = (char *)pb.buf;
-        Py_ssize_t stride = pb.strides[0];
-
-        if (!ishold) {
-            /* draw_texture(tex, -h/2, -w/2, height_px, width_px) */
-            double x = -height_px / 2.0, y = -width_px / 2.0;
-            double w = height_px, h = width_px;
-            if (w != 0.0 && h != 0.0) {
-                double box[4], spec[10];
-                long kind;
-                if (fastpath) {
-                    if (x != x || y != y) {
-                        PyErr_SetString(
-                            PyExc_ValueError,
+        long nrec, brk;
+        double extent, m[6];
+        if (note_core((int32_t *)kb.buf, (char *)pb.buf, pb.strides[0],
+                      widthp, n, base, tx, ty, deg, size, ctb,
+                      cr, cg, cb, ca, transp, W, H, can_break, dir_y,
+                      fp_zero, ishold, width_px, height_px, hold_len,
+                      u0, u1, ox, oy, tw, th,
+                      &nrec, &brk, &extent, m) < 0) {
+            PyErr_SetString(PyExc_ValueError,
                             "cannot convert float NaN to integer");
-                        goto done;
-                    }
-                    box[0] = trunc(x); box[1] = x + w;
-                    box[2] = trunc(y); box[3] = y + h;
-                    kind = KIND_TEX_FAST_C;
-                } else {
-                    if (aabb_core(m, x, y, w, h, W, H, box) < 0) {
-                        PyErr_SetString(
-                            PyExc_ValueError,
-                            "cannot convert float NaN to integer");
-                        goto done;
-                    }
-                    kind = KIND_TEX_C;
-                }
-                spec[0] = x; spec[1] = y; spec[2] = x + w; spec[3] = y + h;
-                spec[4] = tw / w; spec[5] = th / h;
-                spec[6] = ox; spec[7] = oy; spec[8] = tw; spec[9] = th;
-                emit_row(kd, pbase, stride, widthp, n, kind, inv, box, ct,
-                         spec, 10);
-                extent = mx(box[1] - box[0], box[3] - box[2]);
-                nrec = 1;
-            }
-        } else {
-            /* three split blits: head, body, tail (same transform) */
-            double head = width_px / 2.0;
-            double xs[3] = {-head, 0.0, hold_len};
-            double ws[3] = {head + 1.0, hold_len + 1.0, head + 1.0};
-            double us[3] = {0.0, u0, u1};
-            double ue[3] = {u0, u1, 1.0};
-            double y = -width_px / 2.0, h = width_px;
-            for (int k = 0; k < 3; k++) {
-                if (ws[k] == 0.0 || h == 0.0) continue;
-                double box[4], spec[14];
-                if (aabb_core(m, xs[k], y, ws[k], h, W, H, box) < 0) {
-                    PyErr_SetString(PyExc_ValueError,
-                                    "cannot convert float NaN to integer");
-                    goto done;
-                }
-                spec[0] = xs[k]; spec[1] = y;
-                spec[2] = xs[k] + ws[k]; spec[3] = y + h;
-                spec[4] = tw / ws[k]; spec[5] = th / h;
-                spec[6] = ox; spec[7] = oy; spec[8] = tw; spec[9] = th;
-                spec[10] = us[k]; spec[11] = ue[k];
-                spec[12] = 0.0; spec[13] = 1.0;
-                emit_row(kd, pbase, stride, widthp, n + nrec,
-                         KIND_SPLIT_TEX_C, inv, box, ct, spec, 14);
-                {
-                    double e2 = mx(box[1] - box[0], box[3] - box[2]);
-                    if (e2 > extent) extent = e2;
-                }
-                nrec++;
-            }
+            goto done;
         }
+        result = Py_BuildValue("(lld(dddddd))", nrec, brk, extent,
+                               m[0], m[1], m[2], m[3], m[4], m[5]);
     }
-    result = Py_BuildValue("(lldN)", nrec, 0L, extent, m_t);
-    m_t = NULL;
 done:
     PyBuffer_Release(&kb);
     PyBuffer_Release(&pb);
-    Py_XDECREF(m_t);
+    return result;
+}
+
+/* ------------------------------------------------------------------ *
+ * notes_frame: the ENTIRE per-note group loop of milrenderer
+ * (_draw_note_group_py, reference milrenderer.py:880-1010) in one call
+ * per (line, group).  Chart state lives in flat arrays built once at
+ * run start (stat/istat/clicked, indexed by global note id); animated
+ * values come from the anim_eval flat table (vflat, one 28-slot row per
+ * collection: scalar keys at their AnimationKey index, Color expanded
+ * to rgba at 24..27).  The loop replicates the Python body exactly:
+ * click detection (newly-clicked ids reported back so Python can build
+ * HitEffects — RNG order preserved), removal (in-place id compaction,
+ * order preserved = list.remove), visibility cull, position/rotation/
+ * size/color/transparency math in the same double op order, hold-length
+ * clamp, then note_core for compose + screen cull + receding break +
+ * record.  Milthm format constants are hardcoded to the same doubles
+ * the Python module computes (milrenderer.py:35-45): MIL_SCRW/H
+ * 1920/1080, NOTE_SCALE 335/185, HOLD_DISAPPEAR_TIME 0.2.
+ *
+ * notes_frame(kinds, params, n, ids, count, stat, istat, clicked,
+ *             vflat, texes, note_m, mstamp, newly, m6, ct4,
+ *             t, line_fsp, line_fp, visa_px, fp_base, width_px, W, H,
+ *             can_break, frame_no)
+ *   -> (new_count, nrec, brk, extent, n_newly)
+ *
+ * stat  f64 [N,7]: time, endTime, floorPosition, endFloorPosition,
+ *                  u0, u1, height_px
+ * istat i32 [N,5]: tex_idx, coll_idx, ishold, has_posx, has_posy
+ * texes f64 [NT,4]: ox, oy, tw, th        (refreshed per frame)
+ * note_m f64 [N,6] + mstamp i32 [N]: last composed transform per note
+ *                  (stamped with frame_no; feeds HitEffect transforms)
+ * ------------------------------------------------------------------ */
+static PyObject *fastrec_notes_frame(PyObject *self, PyObject *args) {
+    PyObject *kinds_o, *params_o, *ids_o, *stat_o, *istat_o, *clicked_o;
+    PyObject *vflat_o, *texes_o, *note_m_o, *mstamp_o, *newly_o;
+    PyObject *m_o, *ct_o;
+    Py_ssize_t n, count;
+    double t, line_fsp, line_fp, visa_px, fp_base, width_px, W, H;
+    int can_break, frame_no;
+    if (!PyArg_ParseTuple(args, "OOnOnOOOOOOOOOOddddddddii",
+                          &kinds_o, &params_o, &n, &ids_o, &count,
+                          &stat_o, &istat_o, &clicked_o, &vflat_o,
+                          &texes_o, &note_m_o, &mstamp_o, &newly_o,
+                          &m_o, &ct_o, &t, &line_fsp, &line_fp, &visa_px,
+                          &fp_base, &width_px, &W, &H, &can_break,
+                          &frame_no))
+        return NULL;
+    double base[6], base_ct[4];
+    if (parse6(m_o, base) < 0) return NULL;
+    {
+        PyObject *fast = PySequence_Fast(ct_o, "ct must be a 4-sequence");
+        if (!fast) return NULL;
+        if (PySequence_Fast_GET_SIZE(fast) != 4) {
+            Py_DECREF(fast);
+            PyErr_SetString(PyExc_ValueError, "ct must have 4 entries");
+            return NULL;
+        }
+        for (int i = 0; i < 4; i++) {
+            base_ct[i] = PyFloat_AsDouble(PySequence_Fast_GET_ITEM(fast, i));
+            if (base_ct[i] == -1.0 && PyErr_Occurred()) {
+                Py_DECREF(fast);
+                return NULL;
+            }
+        }
+        Py_DECREF(fast);
+    }
+    /* buffers: 0 kinds(w) 1 params(w,strided) 2 ids(w) 3 stat 4 istat
+     * 5 clicked(w) 6 vflat 7 texes 8 note_m(w) 9 mstamp(w) 10 newly(w) */
+    PyObject *objs[11] = {kinds_o, params_o, ids_o, stat_o, istat_o,
+                          clicked_o, vflat_o, texes_o, note_m_o,
+                          mstamp_o, newly_o};
+    Py_buffer b[11];
+    for (int i = 0; i < 11; i++) {
+        int fl = (i == 3 || i == 4 || i == 6 || i == 7)
+                     ? PyBUF_SIMPLE
+                     : PyBUF_WRITABLE;
+        if (i == 1) fl |= PyBUF_FORMAT | PyBUF_STRIDES;
+        if (PyObject_GetBuffer(objs[i], &b[i], fl) < 0) {
+            for (int j = 0; j < i; j++) PyBuffer_Release(&b[j]);
+            return NULL;
+        }
+    }
+    PyObject *result = NULL;
+    if (b[1].ndim != 2 || b[1].strides[1] != 8 || b[1].itemsize != 8) {
+        PyErr_SetString(PyExc_ValueError,
+                        "params must be f64 2D row-contiguous");
+        goto done;
+    }
+    {
+        int32_t *kd = (int32_t *)b[0].buf;
+        char *pbase = (char *)b[1].buf;
+        Py_ssize_t stride = b[1].strides[0];
+        Py_ssize_t widthp = b[1].shape[1];
+        Py_ssize_t prows = b[1].shape[0];
+        Py_ssize_t krows = b[0].len / (Py_ssize_t)sizeof(int32_t);
+        int32_t *ids = (int32_t *)b[2].buf;
+        const double *stat = (const double *)b[3].buf;
+        const int32_t *istat = (const int32_t *)b[4].buf;
+        uint8_t *clicked_a = (uint8_t *)b[5].buf;
+        const double *vflat = (const double *)b[6].buf;
+        const double *texes = (const double *)b[7].buf;
+        double *note_m = (double *)b[8].buf;
+        int32_t *mstamp = (int32_t *)b[9].buf;
+        int32_t *newly = (int32_t *)b[10].buf;
+        Py_ssize_t nnotes = b[3].len / (Py_ssize_t)(7 * sizeof(double));
+        Py_ssize_t ncoll = b[6].len / (Py_ssize_t)(28 * sizeof(double));
+        Py_ssize_t ntex = b[7].len / (Py_ssize_t)(4 * sizeof(double));
+        if (widthp < 28) {
+            PyErr_SetString(PyExc_ValueError, "param row too narrow");
+            goto done;
+        }
+        if (count < 0 ||
+            count > b[2].len / (Py_ssize_t)sizeof(int32_t) ||
+            count > b[10].len / (Py_ssize_t)sizeof(int32_t)) {
+            PyErr_SetString(PyExc_IndexError, "ids/newly out of bounds");
+            goto done;
+        }
+        long nrec_total = 0, brk = 0, n_new = 0;
+        double extent_max = 0.0;
+        Py_ssize_t wr = 0, i = 0;
+        int err = 0;
+        for (; i < count; i++) {
+            int32_t nid = ids[i];
+            if (nid < 0 || nid >= nnotes) {
+                PyErr_SetString(PyExc_IndexError, "note id out of range");
+                err = 1;
+                break;
+            }
+            const double *st = stat + (Py_ssize_t)nid * 7;
+            const int32_t *is = istat + (Py_ssize_t)nid * 5;
+            int ishold = is[2];
+            int clicked = st[0] <= t;
+            if (clicked && !clicked_a[nid]) {
+                clicked_a[nid] = 1;
+                newly[n_new++] = nid;
+            }
+            if (ishold && st[1] + 0.2 < t) continue;      /* removed */
+            if (!ishold && clicked) continue;             /* removed */
+            if (is[1] < 0 || is[1] >= ncoll ||
+                is[0] < 0 || is[0] >= ntex) {
+                PyErr_SetString(PyExc_IndexError, "coll/tex id range");
+                err = 1;
+                break;
+            }
+            const double *vf = vflat + (Py_ssize_t)is[1] * 28;
+            double note_fsp = line_fsp * vf[5];           /* FlowSpeed */
+            double fp_mult = fp_base * note_fsp;
+            double raw_fp = st[2] - line_fp;
+            double curr_fp = raw_fp * fp_mult;
+            if (curr_fp > visa_px) { ids[wr++] = nid; continue; }
+            double relx = (vf[6] / 1920.0) * W;           /* RelativeX */
+            double rely = (vf[7] / 1080.0) * H * -1.0;    /* RelativeY */
+            double posx = 0.0, posy = -curr_fp;
+            if (ishold && clicked) { posx = 0.0; posy = 0.0; }
+            if (is[3]) posx = vf[0] / 1920.0 * W;         /* PositionX */
+            if (is[4]) posy = vf[1] / 1080.0 * H;         /* PositionY */
+            double size = vf[3] * (335.0 / 185.0);        /* NOTE_SCALE */
+            double transp = vf[2];
+            double rot = -90.0 - vf[4];
+            if (ishold) {
+                /* transp *= 1 - fixorp((t - endTime) / 0.2) */
+                double p = (t - st[1]) / 0.2;
+                double pmn = (1.0 < p) ? 1.0 : p;   /* min(x, 1.0) */
+                double pcl = (pmn > 0.0) ? pmn : 0.0;
+                transp *= 1.0 - pcl;
+            }
+            double hold_len = 0.0;
+            if (ishold) {
+                double hl = (st[3] - (clicked ? line_fp : st[2]))
+                            * fp_mult;
+                hold_len = (hl > 0.0) ? hl : 0.0;   /* max(0.0, hl) */
+            }
+            Py_ssize_t need = ishold ? 3 : 1;
+            Py_ssize_t at = n + nrec_total;
+            if (at < 0 || at + need > prows || at + need > krows) {
+                PyErr_SetString(PyExc_IndexError,
+                                "command buffer capacity exceeded");
+                err = 1;
+                break;
+            }
+            const double *tx4 = texes + (Py_ssize_t)is[0] * 4;
+            long nrec, brk1;
+            double extent, m[6];
+            if (note_core(kd, pbase, stride, widthp, at, base,
+                          posx + relx, posy + rely, rot, size, base_ct,
+                          vf[24] / 255.0, vf[25] / 255.0, vf[26] / 255.0,
+                          vf[27] / 255.0, transp, W, H, can_break,
+                          fp_mult > 0 ? 1.0 : -1.0,
+                          fp_mult == 0.0 ? 1 : 0, ishold, width_px,
+                          st[6], hold_len, st[4], st[5],
+                          tx4[0], tx4[1], tx4[2], tx4[3],
+                          &nrec, &brk1, &extent, m) < 0) {
+                PyErr_SetString(PyExc_ValueError,
+                                "cannot convert float NaN to integer");
+                err = 1;
+                break;
+            }
+            if (brk1) { brk = 1; break; }
+            nrec_total += nrec;
+            if (extent > extent_max) extent_max = extent;
+            double *mrow = note_m + (Py_ssize_t)nid * 6;
+            for (int k = 0; k < 6; k++) mrow[k] = m[k];
+            mstamp[nid] = frame_no;
+            ids[wr++] = nid;
+        }
+        if (err) goto done;
+        if (brk && i < count) {
+            /* the breaking note and everything after it stay alive */
+            memmove(ids + wr, ids + i, (count - i) * sizeof(int32_t));
+            wr += count - i;
+        }
+        result = Py_BuildValue("(nlldl)", wr, nrec_total, brk,
+                               extent_max, n_new);
+    }
+done:
+    for (int i = 0; i < 11; i++) PyBuffer_Release(&b[i]);
     return result;
 }
 
@@ -1188,12 +1281,15 @@ static double ease_c(int mode, int kind, double t) {
  */
 static PyObject *fastrec_anim_eval(PyObject *self, PyObject *args) {
     PyObject *o[14];
-    PyObject *vals_o;
+    PyObject *vals_o, *vflat_o;
     double t;
-    if (!PyArg_ParseTuple(args, "OOOOOOOOOOOOOOOd",
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOOOOOOOd",
                           &o[0], &o[1], &o[2], &o[3], &o[4], &o[5],
                           &o[6], &o[7], &o[8], &o[9], &o[10], &o[11],
-                          &o[12], &o[13], &vals_o, &t))
+                          &o[12], &o[13], &vals_o, &vflat_o, &t))
+        return NULL;
+    Py_buffer vfb;
+    if (PyObject_GetBuffer(vflat_o, &vfb, PyBUF_WRITABLE) < 0)
         return NULL;
     Py_buffer pb[14];
     int flags[14];
@@ -1202,9 +1298,11 @@ static PyObject *fastrec_anim_eval(PyObject *self, PyObject *args) {
         flags[i] = (i == 10 || i == 11) ? PyBUF_WRITABLE : PyBUF_SIMPLE;
         if (PyObject_GetBuffer(o[i], &pb[i], flags[i]) < 0) {
             for (int j = 0; j < i; j++) PyBuffer_Release(&pb[j]);
+            PyBuffer_Release(&vfb);
             return NULL;
         }
     }
+    double *vflat = (double *)vfb.buf;
     const double *ev_start = (const double *)pb[0].buf;
     const double *ev_end = (const double *)pb[1].buf;
     const double *v_start = (const double *)pb[2].buf;
@@ -1226,6 +1324,12 @@ static PyObject *fastrec_anim_eval(PyObject *self, PyObject *args) {
         PyErr_SetString(PyExc_ValueError, "values_lists length mismatch");
         ok = 0;
     }
+    /* flat mirror: [NC,28] f64 — scalar keys at their index, Color rgba
+     * expanded at 24..27 (consumed natively by notes_frame) */
+    if (ok && vfb.len < nc * 28 * (Py_ssize_t)sizeof(double)) {
+        PyErr_SetString(PyExc_ValueError, "values_flat too small");
+        ok = 0;
+    }
     for (Py_ssize_t c = 0; ok && c < nc; c++) {
         PyObject *vals = PyList_GET_ITEM(vals_o, c);
         if (t < last_t[c])
@@ -1233,7 +1337,9 @@ static PyObject *fastrec_anim_eval(PyObject *self, PyObject *args) {
                    ANIM_NKEYS * sizeof(int32_t));
         last_t[c] = t;
         if (sp_empty[c]) {
-            PyObject *f = PyFloat_FromDouble(t * def_speed[c]);
+            double sv = t * def_speed[c];
+            vflat[c * 28 + ANIM_SPEED] = sv;
+            PyObject *f = PyFloat_FromDouble(sv);
             if (!f || PyList_SetItem(vals, ANIM_SPEED, f) < 0) {
                 ok = 0;
                 break;
@@ -1263,6 +1369,7 @@ static PyObject *fastrec_anim_eval(PyObject *self, PyObject *args) {
                     double s0 = (double)((s >> sh) & 0xFF);
                     double e0 = (double)((en >> sh) & 0xFF);
                     ch[k] = s0 + (e0 - s0) * p;
+                    vflat[c * 28 + 24 + k] = ch[k];
                 }
                 PyObject *tup = Py_BuildValue("(dddd)", ch[0], ch[1],
                                               ch[2], ch[3]);
@@ -1284,6 +1391,7 @@ static PyObject *fastrec_anim_eval(PyObject *self, PyObject *args) {
                         + (et - st) * (v_start[e] + v_end[e]) / 2.0
                         + (t - et) * v_end[e];
             }
+            vflat[c * 28 + key] = v;
             PyObject *f = PyFloat_FromDouble(v);
             if (!f || PyList_SetItem(vals, key, f) < 0) {
                 ok = 0;
@@ -1292,6 +1400,7 @@ static PyObject *fastrec_anim_eval(PyObject *self, PyObject *args) {
         }
     }
     for (int i = 0; i < 14; i++) PyBuffer_Release(&pb[i]);
+    PyBuffer_Release(&vfb);
     if (!ok) return NULL;
     Py_RETURN_NONE;
 }
@@ -1313,7 +1422,12 @@ static PyMethodDef methods[] = {
     {"anim_eval", fastrec_anim_eval, METH_VARARGS,
      "anim_eval(ev_start, ev_end, v_start, v_end, ev_ease, ev_floor, "
      "grp_off, grp_cnt, act_off, act_keys, cursors, last_t, sp_empty, "
-     "def_speed, values_lists, t)"},
+     "def_speed, values_lists, values_flat, t)"},
+    {"notes_frame", fastrec_notes_frame, METH_VARARGS,
+     "notes_frame(kinds, params, n, ids, count, stat, istat, clicked, "
+     "vflat, texes, note_m, mstamp, newly, m6, ct4, t, line_fsp, "
+     "line_fp, visa_px, fp_base, width_px, W, H, can_break, frame_no) "
+     "-> (new_count, nrec, brk, extent, n_newly)"},
     {"routes_for_size", fastrec_routes, METH_VARARGS,
      "routes_for_size(params, fast, sep, split, sampling, P, W, H, "
      "margin, rchoices, mxu, region, full) -> (routes, rneeds)"},
