@@ -289,20 +289,24 @@ def _build_branches(X, Y, atlas_flat, atlas_w, dtype, no_sampling=False,
         b_apply_pixel,
     ]
     if vma_taint is not None:
-        target = getattr(jax.typeof(vma_taint), "vma", frozenset())
+        # merge the taint's varying-mesh-axes type into every branch
+        # output by DATA FLOW rather than pcast: jax.typeof hides vma
+        # under vmap batch tracers, so a pcast of "the missing axes"
+        # mispredicts inside vmapped frame batches (sharding.py).  The
+        # select against an always-true varying scalar is exact (no FP
+        # op touches x) and propagates vma through any tracer stack.
+        tz = vma_taint == 0            # True scalar, varying like taint
 
         def _to_varying(x):
-            # pcast exactly the missing axes (jax.typeof carries vma under
-            # shard_map and scan tracers; vmap hides it, so callers unroll
-            # small frame batches instead of vmapping — sharding.py)
-            have = getattr(jax.typeof(x), "vma", frozenset())
-            need = tuple(a for a in target if a not in have)
-            return lax.pcast(x, need, to="varying") if need else x
+            if x.dtype == jnp.bool_:
+                return x & tz
+            return jnp.where(tz, x, jnp.zeros((), x.dtype))
 
         def _vary(fn):
             def g(p):
                 m, rgba, store = fn(p)
-                return _to_varying(m), _to_varying(rgba), store
+                return (_to_varying(m), _to_varying(rgba),
+                        _to_varying(store))
             return g
         branches = [_vary(f) for f in branches]
     return branches

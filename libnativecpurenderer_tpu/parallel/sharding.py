@@ -30,11 +30,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import raster3d
 
-# sharded_canvas_step unrolls its per-device frame batch at trace time
-# (vmap tracers hide varying-mesh-axes types), so compile time grows
-# linearly with the local batch; refuse outright rather than silently
-# compiling for minutes (apps use <= 8).
-MAX_LOCAL_BATCH = 16
 
 
 def make_mesh(devices=None, data: int = None, tile: int = None) -> Mesh:
@@ -169,18 +164,19 @@ def sharded_canvas_step(mesh: Mesh, width: int, height: int,
     sharded into y-bands over 'tile' (milrenderer's pre-composited
     static layers); without it every frame starts from zeros.
 
-    The per-device frame batch is unrolled at trace time (see the note
-    at the stack below), so trace/compile time grows linearly with
-    ``B / mesh.shape['data']`` — keep it small (apps use <= 8; above
-    ``MAX_LOCAL_BATCH`` this raises rather than silently compiling for
-    minutes).  Revisit once vmap propagates varying-mesh-axes types.
+    The per-device frame batch runs under ``lax.scan`` (frames on one
+    device are sequential either way), so trace/compile time is FLAT in
+    ``B / mesh.shape['data']`` — production batch sizes compile in the
+    same time as the dryrun's tiny ones.  vmap is still off the table:
+    its cond/switch batching rule replays the executor's embedded pvary
+    unification with stale axes (verified 2026-08-19); scan is vma-aware
+    and needs no such machinery.
     """
     from ..ops import executor
 
     tile_n = mesh.shape["tile"]
     assert height % tile_n == 0
     band_h = height // tile_n
-    max_local_batch = MAX_LOCAL_BATCH
 
     axes = ("data", "tile")
     in_specs = [P("data"), P("data"), P(None, None, None)]
@@ -215,16 +211,12 @@ def sharded_canvas_step(mesh: Mesh, width: int, height: int,
                                               y0=y0, vma_axes=axes)
             return (fb * 255.0).astype(jnp.int32).astype(jnp.uint8)
 
-        # unrolled over the (small) local frame batch: vmap tracers hide
-        # varying-mesh-axes types from the executor's pcast alignment
-        bl = kinds_local.shape[0]
-        if bl > max_local_batch:
-            raise ValueError(
-                f"per-device frame batch {bl} > MAX_LOCAL_BATCH "
-                f"{max_local_batch}: the batch is unrolled at trace time "
-                "and compile time grows linearly — shard over more "
-                "devices or submit smaller batches")
-        return jnp.stack([one(kinds_local[i], params_local[i])
-                          for i in range(bl)])  # (Bl, band, W, 4)
+        def body(carry, xs):
+            kinds, params = xs
+            return carry, one(kinds, params)
+
+        _, frames = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                 (kinds_local, params_local))
+        return frames  # (Bl, band, W, 4)
 
     return step, band_h

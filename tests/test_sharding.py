@@ -62,6 +62,39 @@ def test_dryrun_entry(devices):
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_sharded_canvas_large_local_batch(devices):
+    """The per-device frame batch runs under lax.scan, so a local batch
+    far beyond the old unroll cap (16) compiles in flat time and stays
+    bit-exact vs the single-device executor."""
+    import libnativecpurenderer_tpu as R
+    from libnativecpurenderer_tpu.ops import commands as C
+
+    dev_mesh = sharding.make_mesh(devices)
+    W, H = 48, 16
+    ctx = R.RenderContext(W, H, True)
+    B = dev_mesh.shape["data"] * 24        # local batch 24 > old cap 16
+    frames_k, frames_p, seq = [], [], []
+    for i in range(B):
+        ctx.set_color(0, 0, 0, 1)
+        ctx.draw_rect(1 + (i % 7), 2, 10, 8, 0.1 * (i % 9), 0.5, 0.8, 0.9)
+        k, p = ctx._cmds.snapshot()
+        b = C.bucket_for(k.shape[0])
+        kp = np.zeros(b, np.int32); kp[: k.shape[0]] = k
+        pp = np.zeros((b, C.PARAM_W), np.float64)
+        pp[: p.shape[0]] = p
+        frames_k.append(kp); frames_p.append(pp)
+        seq.append(ctx.uint8_buffer().copy())
+        ctx._cmds.clear()
+
+    step, _ = sharding.sharded_canvas_step(dev_mesh, W, H)
+    out = jax.jit(step)(jnp.asarray(np.stack(frames_k)),
+                        jnp.asarray(np.stack(frames_p)),
+                        ctx._store.device)
+    assert out.shape == (B, H, W, 4)
+    for i in range(B):
+        np.testing.assert_array_equal(np.asarray(out[i]), seq[i])
+
+
 def test_sharded_canvas_matches_single_device(devices):
     import libnativecpurenderer_tpu as R
     from libnativecpurenderer_tpu.ops import commands as C
