@@ -251,7 +251,13 @@ class RenderContext:
     _UNROLL_SIG_CAP = 512
     _UNROLL_RUN_BUCKETS = (1, 2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
     _unroll_sigs: "dict" = {}            # LRU: key -> seen count
-    _unroll_compiled: set = set()
+    # LRU of compiled signatures (round-3 verdict item 8): when a new
+    # signature compiles past config.flush_unroll_compile_cap, the
+    # least-recently-USED one is evicted and its jitted entries disposed
+    # (patch_exec.evict_unrolled) — a long-lived server rendering many
+    # differently-shaped charts keeps unrolling instead of permanently
+    # regressing to the loop executor once the cap fills.
+    _unroll_compiled: "dict" = {}        # LRU: key -> True
     # dispatch-group counters (process-wide): how often the unrolled
     # executor actually fired vs fell back to the loop executor —
     # milrenderer reports the ratio (VERDICT r2 item 3 acceptance)
@@ -316,14 +322,20 @@ class RenderContext:
         cache[key] = seen + 1            # re-insert = move to MRU end
         if len(cache) > RenderContext._UNROLL_SIG_CAP:
             cache.pop(next(iter(cache)))  # evict LRU
-        ok = key in compiled or (
-            seen + 1 >= config.flush_unroll_min_seen()
-            and len(compiled) < config.flush_unroll_compile_cap())
+        ok = (compiled.pop(key, False)   # popped: re-inserted below (MRU)
+              or seen + 1 >= config.flush_unroll_min_seen())
         if not ok:
             RenderContext._unroll_misses += 1
             return None
         RenderContext._unroll_hits += 1
-        compiled.add(key)
+        compiled[key] = True
+        while len(compiled) > config.flush_unroll_compile_cap():
+            old = next(iter(compiled))
+            del compiled[old]
+            # dispose the evicted signature's jitted entries (key is
+            # (h, w, dtype, sig); same-sig entries of other fb shapes
+            # just recompile on next use)
+            patch_exec.evict_unrolled(old[3])
         total = sum((hi - lo) + pad for lo, hi, pad in slices)
         rows = np.zeros((total, C.PARAM_W), self._dtype)
         at = 0

@@ -37,6 +37,7 @@ runs both paths and compares bit-for-bit
 
 from __future__ import annotations
 
+import collections
 import functools
 
 import jax
@@ -533,13 +534,51 @@ def _unrolled_body(fb, params, atlas, sig: tuple, barriers: bool = True):
     return fb
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3, 4))
+# Per-signature jit entries live in an LRU so a long-lived process can
+# EVICT stale compiled programs instead of saturating the compile cap
+# and regressing to the loop executor forever (round-3 verdict item 8).
+# Each entry holds its own jax.jit closures; dropping the entry releases
+# the underlying executables (jit caches are weakly keyed by the wrapped
+# function).  Eviction policy (what to evict, when) is owned by
+# context.RenderContext._unroll_pack, which calls evict_unrolled().
+_UNROLL_FN_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+
+
+def _unroll_entry(sig: tuple, barriers: bool) -> dict:
+    key = (sig, barriers)
+    ent = _UNROLL_FN_CACHE.pop(key, None)
+    if ent is None:
+        def _flush(fb, params, atlas):
+            return _unrolled_body(fb, params, atlas, sig, barriers)
+
+        def _step(fb0, params, atlas):
+            fb = _unrolled_body(fb0, params, atlas, sig, barriers)
+            return executor.quantize_u8(fb)
+
+        def _step_batch(fb0, params_b, atlas):
+            def one(params):
+                fb = _unrolled_body(fb0, params, atlas, sig, barriers)
+                return executor.quantize_u8(fb)
+            return jax.vmap(one)(params_b)
+
+        ent = {"flush": jax.jit(_flush, donate_argnums=(0,)),
+               "step": jax.jit(_step),
+               "step_batch": jax.jit(_step_batch)}
+    _UNROLL_FN_CACHE[key] = ent          # (re-)insert at MRU end
+    return ent
+
+
+def evict_unrolled(sig: tuple) -> None:
+    """Drop the compiled entries for ``sig`` (both barrier modes)."""
+    for b in (True, False):
+        _UNROLL_FN_CACHE.pop((sig, b), None)
+
+
 def render_flush_unrolled(fb, params, atlas, sig: tuple,
                           barriers: bool = True):
-    return _unrolled_body(fb, params, atlas, sig, barriers)
+    return _unroll_entry(sig, barriers)["flush"](fb, params, atlas)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
 def frame_step_unrolled(fb0, params, atlas, sig: tuple,
                         barriers: bool = True):
     """One whole pipeline frame in ONE device program: start from the
@@ -550,11 +589,9 @@ def frame_step_unrolled(fb0, params, atlas, sig: tuple,
     quantise fuse into the command chain.  Bit-exact vs the eager
     chain: commands stay barrier-isolated, and quantize is a single
     rounding (mul by 255 + C-cast truncation) on the barriered fb."""
-    fb = _unrolled_body(fb0, params, atlas, sig, barriers)
-    return executor.quantize_u8(fb)
+    return _unroll_entry(sig, barriers)["step"](fb0, params, atlas)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
 def frame_step_unrolled_batch(fb0, params_b, atlas, sig: tuple,
                               barriers: bool = True):
     """A whole pipeline batch in ONE device program: vmap of the
@@ -565,10 +602,8 @@ def frame_step_unrolled_batch(fb0, params_b, atlas, sig: tuple,
     (tests/test_pipeline.py); gated by config.pipeline_vmap() until the
     device A/B (tools/exp_r3_pipevmap.py) confirms the vmapped XLA
     schedule also wins on TPU."""
-    def one(params):
-        fb = _unrolled_body(fb0, params, atlas, sig, barriers)
-        return executor.quantize_u8(fb)
-    return jax.vmap(one)(params_b)
+    return _unroll_entry(sig, barriers)["step_batch"](fb0, params_b,
+                                                      atlas)
 
 
 # --------------------------------------------------------------------- #
