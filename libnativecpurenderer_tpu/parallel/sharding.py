@@ -121,6 +121,67 @@ def sharded_render_step(mesh: Mesh, width: int, height: int,
     return step, (data_n, tile_n, band_h)
 
 
+def sharded_raster3d_step(mesh: Mesh, width: int, height: int, faces,
+                          vtx_colors=None, uvs=None, tex=None,
+                          tile_w: int = 32, tile_h: int = 32,
+                          capacity: int = 128, span_x: int = 8,
+                          span_y: int = 8):
+    """Frame-batch data-parallel step of the PRODUCTION binned 3D
+    rasterizer over the whole mesh: B frames' MVPs shard across every
+    device (both axes flattened — video rendering is embarrassingly
+    frame-parallel, so DP over the full mesh is the scaling layout),
+    each device scans its local frames through render_gouraud_binned
+    (or render_textured_binned when ``uvs``/``tex`` are given), and the
+    output sharding reassembles (B, H, W, 4) frames.  Geometry/colors/
+    texture are replicated — they are per-scene constants.
+
+    Bit-exact vs the single-device rasterizer by construction (each
+    frame runs the identical program on one device); asserted on the
+    virtual mesh by __graft_entry__.dryrun_multichip and
+    tests/test_sharding.py.
+
+    Returns a shard_map'd fn (mvps (B, 4, 4), verts (V, 3)) ->
+    frames (B, H, W, 4).  B must divide by the device count.
+    """
+    textured = uvs is not None
+    assert textured == (tex is not None), "uvs and tex come together"
+    faces = jnp.asarray(faces, jnp.int32)
+    if textured:
+        uvs = jnp.asarray(uvs, jnp.float32)
+        tex = jnp.asarray(tex)
+    else:
+        vtx_colors = jnp.asarray(vtx_colors, jnp.float32)
+    axes = ("data", "tile")
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axes), P(None, None)),
+        out_specs=P(axes),
+    )
+    def step(mvps_local, verts):
+        def one(mvp):
+            if textured:
+                fb, _, _ = raster3d.render_textured_binned(
+                    verts, faces, uvs, tex, width, height, mvp,
+                    tile_w=tile_w, tile_h=tile_h, capacity=capacity,
+                    span_x=span_x, span_y=span_y)
+            else:
+                fb, _, _ = raster3d.render_gouraud_binned(
+                    verts, faces, vtx_colors, width, height, mvp,
+                    tile_w=tile_w, tile_h=tile_h, capacity=capacity,
+                    span_x=span_x, span_y=span_y)
+            return fb
+
+        def body(carry, mvp):
+            return carry, one(mvp)
+
+        _, frames = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                 mvps_local)
+        return frames
+
+    return step
+
+
 def sharded_audio_mixdown(mesh: Mesh, target_len: int, channels: int,
                           dtype=jnp.float32):
     """Sharded batched overlay: hit/drag events split across the whole
