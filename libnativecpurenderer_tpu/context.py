@@ -257,7 +257,9 @@ class RenderContext:
     # (patch_exec.evict_unrolled) — a long-lived server rendering many
     # differently-shaped charts keeps unrolling instead of permanently
     # regressing to the loop executor once the cap fills.
-    _unroll_compiled: "dict" = {}        # LRU: key -> True
+    _unroll_compiled: "dict" = {}        # LRU: key -> last-used tick
+    _unroll_tick = 0                     # dispatch-group counter
+    _UNROLL_EVICT_IDLE = 64              # min victim idle (groups)
     # dispatch-group counters (process-wide): how often the unrolled
     # executor actually fired vs fell back to the loop executor —
     # milrenderer reports the ratio (VERDICT r2 item 3 acceptance)
@@ -322,13 +324,31 @@ class RenderContext:
         cache[key] = seen + 1            # re-insert = move to MRU end
         if len(cache) > RenderContext._UNROLL_SIG_CAP:
             cache.pop(next(iter(cache)))  # evict LRU
-        ok = (compiled.pop(key, False)   # popped: re-inserted below (MRU)
-              or seen + 1 >= config.flush_unroll_min_seen())
+        tick = RenderContext._unroll_tick = RenderContext._unroll_tick + 1
+        if key in compiled:
+            ok = True
+        else:
+            ok = seen + 1 >= config.flush_unroll_min_seen()
+            if ok and len(compiled) >= config.flush_unroll_compile_cap():
+                # thrash guard: only evict a victim that has been idle
+                # for a while.  A single workload cycling through MORE
+                # hot signatures than the cap would otherwise evict-and-
+                # recompile every few dispatch groups (each a remote TPU
+                # compile) — for that shape of churn the old saturation
+                # behaviour (loop-executor fallback) is strictly better.
+                # A genuinely new steady workload (next chart in a
+                # server) leaves the old chart's signatures idle, so
+                # eviction proceeds.
+                victim = next(iter(compiled))
+                if tick - compiled[victim] <= \
+                        RenderContext._UNROLL_EVICT_IDLE:
+                    ok = False
         if not ok:
             RenderContext._unroll_misses += 1
             return None
         RenderContext._unroll_hits += 1
-        compiled[key] = True
+        compiled.pop(key, None)          # re-insert = move to MRU end
+        compiled[key] = tick
         while len(compiled) > config.flush_unroll_compile_cap():
             old = next(iter(compiled))
             del compiled[old]

@@ -576,23 +576,27 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
             pieces.append(emit(wy0, wx0, wx1, wy1, wne, wid_, 0,
                                min(SY_A, span_y), wed, SX_A,
                                span_x - SX_A))
-        packed_flat = jnp.concatenate(pieces)
+        pieces_flat = pieces
     else:
-        packed_flat = emit(y0c, x0c, x1c, y1c, nonempty, all_tris, 0,
-                           span_y, edges)
-    packed_sorted = lax.sort(packed_flat)
-    S = packed_sorted.shape[0]
-    tid_sorted = packed_sorted >> IDX_BITS
+        pieces_flat = [emit(y0c, x0c, x1c, y1c, nonempty, all_tris, 0,
+                            span_y, edges)]
+    # guard/padding sentinels ((tile=nt, tri=F): tri F is the table's NaN
+    # row, so guard-block reads shade nothing) are emitted BEFORE the sort
+    # and ride it to the end (pad_val >= every real packed slot), instead
+    # of a post-sort concatenate — one fewer full copy of the pair array
+    # per frame.  Two whole guard blocks keep the kernel's blk+1 SMEM
+    # window in bounds for every possible start; invalid emission slots
+    # already carry tid=nt, so starts/counts are unchanged.
+    S = sum(p.shape[0] for p in pieces_flat)
+    spad = (S // block_k + 3) * block_k
+    pad_val = jnp.int32((nt << IDX_BITS) | F)
+    pieces_flat.append(jnp.full((spad - S,), pad_val, jnp.int32))
+    packed_flat = jnp.concatenate(pieces_flat)
+    sorted_pad = lax.sort(packed_flat)
+    tid_sorted = sorted_pad >> IDX_BITS
 
     starts = _searchsorted_blocked(tid_sorted, nt + 1)
     counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
-    # pad with (tile=nt, tri=F) sentinels: tri F is the table's NaN row, so
-    # guard-block reads shade nothing.  Two whole guard blocks keep the
-    # kernel's blk+1 SMEM window in bounds for every possible start.
-    spad = (S // block_k + 3) * block_k
-    pad_val = jnp.int32((nt << IDX_BITS) | F)
-    sorted_pad = jnp.concatenate(
-        [packed_sorted, jnp.full((spad - S,), pad_val, jnp.int32)])
     overflow = span_overflow | jnp.any(counts > block_k)
     return sorted_pad, starts[:-1].astype(jnp.int32), counts, overflow
 
@@ -1164,6 +1168,11 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
     n_bad = jnp.sum(tile_bad)
     cap = min(fb_tile_cap, Bn * nt)
     cap_s = min(128, cap)
+    # tiny tier: with tex_split on the bench workload only a handful of
+    # tiles miss, and the compacted branch costs its STATIC cap (the
+    # 128-tile tier measured 0.55 ms/frame via exp_r3_texprof) — a
+    # 16-tile tier covers the common case at ~1/8 the gather volume
+    cap_t = min(16, cap_s)
     tids = jnp.nonzero(tile_bad, size=cap, fill_value=0)[0]
 
     def compacted_k(csize):
@@ -1183,11 +1192,12 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
 
     tier = (jnp.int32(0)
             + (n_bad > 0).astype(jnp.int32)
+            + (n_bad > cap_t).astype(jnp.int32)
             + (n_bad > cap_s).astype(jnp.int32)
             + (n_bad > cap).astype(jnp.int32))
     final = lax.switch(
-        tier, [lambda _: pk2, compacted_k(cap_s), compacted_k(cap),
-               full], None)
+        tier, [lambda _: pk2, compacted_k(cap_t), compacted_k(cap_s),
+               compacted_k(cap), full], None)
 
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h

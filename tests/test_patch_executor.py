@@ -168,19 +168,38 @@ def test_unroll_compile_cap_evicts_lru():
                           0.1 * (i % 9), 0.5, 0.3, 0.8)
         return ctx.numpy_buffer()
 
+    def idle():
+        # age every compiled signature past the thrash-guard window
+        # (as a long-lived server moving to the next chart would)
+        RenderContext._unroll_tick += RenderContext._UNROLL_EVICT_IDLE + 1
+
     try:
         # distinct run buckets -> distinct signatures, 6 > cap 3
         counts = (1, 2, 4, 6, 8, 12)
-        first = {n: scene(n) for n in counts}
+        first = {}
+        for n in counts:
+            idle()
+            first[n] = scene(n)
         assert len(RenderContext._unroll_compiled) == 3
         assert len(patch_exec._UNROLL_FN_CACHE) <= 3
         # the earliest signatures were evicted; repeating one must
         # unroll (and recompile) again rather than miss forever
         h0 = RenderContext._unroll_hits
+        idle()
         again = scene(counts[0])
         assert RenderContext._unroll_hits == h0 + 1, \
             "evicted signature no longer unrolls"
         np.testing.assert_array_equal(again, first[counts[0]])
+        # thrash guard: a burst of fresh signatures while the compiled
+        # set is HOT must not evict (loop-executor fallback instead of
+        # an evict-recompile storm) — the compiled set is unchanged
+        for n in (8, 12):
+            scene(n)      # touch: every compiled signature is now hot
+        hot = set(RenderContext._unroll_compiled)
+        scene(3)
+        scene(3)          # seen twice, wants to compile — victims hot
+        assert set(RenderContext._unroll_compiled) == hot, \
+            "hot signature evicted (compile thrash)"
     finally:
         config.set_flush_unroll_compile_cap(old_cap)
         config.set_flush_unroll_min_seen(old_min)
