@@ -1049,6 +1049,101 @@ def pack_texture_u8(tex_u8):
     return lax.bitcast_convert_type(tex_u8, jnp.int32).reshape(-1)
 
 
+def _tex_prep(verts, faces, fuv_all, mvp, width, height, tile_w, tile_h,
+              capacity, span_x, span_y, perspective_correct, mxu):
+    """Per-frame prep for the tex_resolve kernels: projection, edges,
+    gatherless binning, UVW attribute table.  Shared by the vmap-batched
+    and fused-loop entries (identical ops -> identical bits)."""
+    from . import pallas_raster
+    tri = setup_triangles(verts, faces, mvp, width, height)
+    A, B, C, ia, sg, vl = edge_coeffs(tri["sxy"], tri["z"],
+                                      tri["valid"])
+    zsc = tri["z"] * ia[:, None]
+    sorted_pad, starts, counts, ovf = bin_triangles_flat(
+        tri["sxy"], vl, width, height, tile_w, tile_h, capacity,
+        span_x, span_y, edges=(A, B, C, sg))
+    if perspective_correct:
+        iw = tri["inv_w"][..., None]
+        attrs = jnp.concatenate(
+            [fuv_all * iw, iw, jnp.ones_like(iw)], axis=-1)
+    else:
+        attrs = jnp.concatenate(
+            [fuv_all, jnp.ones_like(fuv_all)], axis=-1)
+    if mxu:
+        # affine UVW planes: same MXU chunk walk as the color path
+        # (u/v planes precombine per-edge weights -> texel index
+        # can flip to the neighbouring texel at UV knife edges)
+        table = pallas_raster.build_table_mxu(A, B, C, zsc, ia, sg,
+                                              vl, attrs)
+    else:
+        table = pallas_raster.build_table(A, B, C, zsc, ia, sg, vl,
+                                          attrs)
+    return sorted_pad, starts, counts, table, ovf
+
+
+def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
+                        ntx, nty, tile_h, tile_w, height, width):
+    """Fallback + detile epilogue shared by the tex_resolve entries:
+    finish footprint-missed pixels with a tile-compacted gather ladder
+    and detile the packed planes to (B, H, W, 4) uint8."""
+    from . import pallas_raster
+    Bn, nt, P = pk.shape
+    pk2 = pk.reshape(Bn * nt, P)
+    fb2 = fb.reshape(Bn * nt, P)
+
+    # fallback texel table: f32 4-wide rows gather >4x faster than flat
+    # i32 element gathers on this backend (tools/exp_tex_idx.py); only
+    # column 0 carries data (the packed texel, bitcast)
+    tex_rows = jnp.zeros((th_t * bpr * 128, 4), jnp.float32)
+    tex_rows = tex_rows.at[:, 0].set(
+        lax.bitcast_convert_type(tex_l.reshape(-1), jnp.float32))
+
+    def gather_rows(idx_plane):
+        g = jnp.take(tex_rows, jnp.maximum(idx_plane, 0).reshape(-1),
+                     axis=0)[:, 0]
+        return lax.bitcast_convert_type(g.reshape(idx_plane.shape),
+                                        jnp.int32)
+
+    # tile-compacted fallback: see render_textured_pallas_batch's doc
+    tile_bad = jnp.any(fb2 >= 0, axis=1)               # (B*NT,)
+    n_bad = jnp.sum(tile_bad)
+    cap = min(fb_tile_cap, Bn * nt)
+    cap_s = min(128, cap)
+    cap_t = min(16, cap_s)
+    tids = jnp.nonzero(tile_bad, size=cap, fill_value=0)[0]
+
+    def compacted_k(csize):
+        def br(_):
+            sel = tids[:csize]
+            sel_fb = jnp.take(fb2, sel, axis=0)        # (csize, P)
+            gi = gather_rows(sel_fb)
+            merged = jnp.where(sel_fb >= 0, gi,
+                               jnp.take(pk2, sel, axis=0))
+            # duplicate fill ids all write tile sel[k]'s own merged
+            # row, so .at[].set collisions are value-identical
+            return pk2.at[sel].set(merged)
+        return br
+
+    def full(_):
+        return jnp.where(fb2 >= 0, gather_rows(fb2), pk2)
+
+    tier = (jnp.int32(0)
+            + (n_bad > 0).astype(jnp.int32)
+            + (n_bad > cap_t).astype(jnp.int32)
+            + (n_bad > cap_s).astype(jnp.int32)
+            + (n_bad > cap).astype(jnp.int32))
+    final = lax.switch(
+        tier, [lambda _: pk2, compacted_k(cap_t), compacted_k(cap_s),
+               compacted_k(cap), full], None)
+
+    def det(p):
+        return pallas_raster._detile_plane(p, nty, ntx, tile_h, tile_w,
+                                           height, width)
+
+    final = jax.vmap(det)(final.reshape(Bn, nt, P))
+    return lax.bitcast_convert_type(final, jnp.uint8)  # (B, H, W, 4)
+
+
 @functools.partial(
     jax.jit,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
@@ -1095,30 +1190,9 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
     fuv_all = uvs[faces]                                   # (F, 3, 2)
 
     def prep(mvp):
-        tri = setup_triangles(verts, faces, mvp, width, height)
-        A, B, C, ia, sg, vl = edge_coeffs(tri["sxy"], tri["z"],
-                                          tri["valid"])
-        zsc = tri["z"] * ia[:, None]
-        sorted_pad, starts, counts, ovf = bin_triangles_flat(
-            tri["sxy"], vl, width, height, tile_w, tile_h, capacity,
-            span_x, span_y, edges=(A, B, C, sg))
-        if perspective_correct:
-            iw = tri["inv_w"][..., None]
-            attrs = jnp.concatenate(
-                [fuv_all * iw, iw, jnp.ones_like(iw)], axis=-1)
-        else:
-            attrs = jnp.concatenate(
-                [fuv_all, jnp.ones_like(fuv_all)], axis=-1)
-        if mxu:
-            # affine UVW planes: same MXU chunk walk as the color path
-            # (u/v planes precombine per-edge weights -> texel index
-            # can flip to the neighbouring texel at UV knife edges)
-            table = pallas_raster.build_table_mxu(A, B, C, zsc, ia, sg,
-                                                  vl, attrs)
-        else:
-            table = pallas_raster.build_table(A, B, C, zsc, ia, sg, vl,
-                                              attrs)
-        return sorted_pad, starts, counts, table, ovf
+        return _tex_prep(verts, faces, fuv_all, mvp, width, height,
+                         tile_w, tile_h, capacity, span_x, span_y,
+                         perspective_correct, mxu)
 
     sps, starts, counts, tables, ovfs = jax.vmap(prep)(mvps)
     if mega:
@@ -1138,77 +1212,68 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
         tile_h, capacity, (th_t, tw_t), interpret, kcc, tex_nw,
         detile=False, mxu=mxu, tex_split=tex_split,
         mega=mega)                                    # (B, NT, P) each
-    Bn, nt, P = pk.shape
-    pk2 = pk.reshape(Bn * nt, P)
-    fb2 = fb.reshape(Bn * nt, P)
-
-    # fallback texel table: f32 4-wide rows gather >4x faster than flat
-    # i32 element gathers on this backend (tools/exp_tex_idx.py); only
-    # column 0 carries data (the packed texel, bitcast)
-    tex_rows = jnp.zeros((th_t * bpr * 128, 4), jnp.float32)
-    tex_rows = tex_rows.at[:, 0].set(
-        lax.bitcast_convert_type(tex_l.reshape(-1), jnp.float32))
-
-    def gather_rows(idx_plane):
-        g = jnp.take(tex_rows, jnp.maximum(idx_plane, 0).reshape(-1),
-                     axis=0)[:, 0]
-        return lax.bitcast_convert_type(g.reshape(idx_plane.shape),
-                                        jnp.int32)
-
-    # tile-compacted fallback: the footprint misses cluster in a few
-    # high-UV-frequency tiles (~13% on the rotating bench mesh,
-    # tools/exp_fp_hist.py; a handful with tex_split), so gather ONLY
-    # those tiles' pixels — nonzero(size=CAP) keeps shapes static.
-    # The compacted branch's cost scales with its STATIC cap, not with
-    # n_bad (exp_texprof2: ~0.3 ms/frame of lax.cond even at ~6% bad),
-    # so a SMALL-cap tier handles the common few-misses case and the
-    # big cap / whole-plane gather remain as escapes: lax.switch on
-    # (none, <=cap_s, <=cap, full).
-    tile_bad = jnp.any(fb2 >= 0, axis=1)               # (B*NT,)
-    n_bad = jnp.sum(tile_bad)
-    cap = min(fb_tile_cap, Bn * nt)
-    cap_s = min(128, cap)
-    # tiny tier: with tex_split on the bench workload only a handful of
-    # tiles miss, and the compacted branch costs its STATIC cap (the
-    # 128-tile tier measured 0.55 ms/frame via exp_r3_texprof) — a
-    # 16-tile tier covers the common case at ~1/8 the gather volume
-    cap_t = min(16, cap_s)
-    tids = jnp.nonzero(tile_bad, size=cap, fill_value=0)[0]
-
-    def compacted_k(csize):
-        def br(_):
-            sel = tids[:csize]
-            sel_fb = jnp.take(fb2, sel, axis=0)        # (csize, P)
-            gi = gather_rows(sel_fb)
-            merged = jnp.where(sel_fb >= 0, gi,
-                               jnp.take(pk2, sel, axis=0))
-            # duplicate fill ids all write tile sel[k]'s own merged
-            # row, so .at[].set collisions are value-identical
-            return pk2.at[sel].set(merged)
-        return br
-
-    def full(_):
-        return jnp.where(fb2 >= 0, gather_rows(fb2), pk2)
-
-    tier = (jnp.int32(0)
-            + (n_bad > 0).astype(jnp.int32)
-            + (n_bad > cap_t).astype(jnp.int32)
-            + (n_bad > cap_s).astype(jnp.int32)
-            + (n_bad > cap).astype(jnp.int32))
-    final = lax.switch(
-        tier, [lambda _: pk2, compacted_k(cap_t), compacted_k(cap_s),
-               compacted_k(cap), full], None)
-
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
-
-    def det(p):
-        return pallas_raster._detile_plane(p, nty, ntx, tile_h, tile_w,
-                                           height, width)
-
-    final = jax.vmap(det)(final.reshape(Bn, nt, P))
-    rgba = lax.bitcast_convert_type(final, jnp.uint8)  # (B, H, W, 4)
+    rgba = _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr,
+                               fb_tile_cap, ntx, nty, tile_h, tile_w,
+                               height, width)
     return rgba, jnp.any(ovfs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18))
+def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
+                                height: int, mvps=None,
+                                tile_w: int = 64, tile_h: int = 32,
+                                capacity: int = 512, bg=None,
+                                span_x: int = 3, span_y: int = 4,
+                                interpret: bool = False, kcc: int = 16,
+                                perspective_correct: bool = True,
+                                tex_nw: int = 16,
+                                fb_tile_cap: int = 1024,
+                                tex_split: bool = True):
+    """Fused-loop textured render: B frames in ONE jitted program, a
+    device-side fori_loop running SINGLE-frame prep + tex_resolve kernel
+    + fallback per iteration.  The flat color path measured the vmapped
+    batch prep ~0.4 ms/frame slower than per-frame prep inside a fori
+    (layout/copy overhead the single-frame prep fuses away — bench.py
+    ladder note); this entry gives the textured path the same structure.
+    Output bit-identical to render_textured_pallas_batch (same per-frame
+    ops; asserted in tests/test_textured_raster.py)."""
+    from . import pallas_raster
+    if bg is None:
+        bg = jnp.zeros(4, jnp.float32)
+    th_t, tw_t = int(tex_u8.shape[0]), int(tex_u8.shape[1])
+    fuv_all = uvs[faces]                                   # (F, 3, 2)
+    bpr = (tw_t + 127) // 128
+    packed_tex = pack_texture_u8(tex_u8).reshape(th_t, tw_t)
+    tex_pad = jnp.pad(packed_tex, ((0, 0), (0, bpr * 128 - tw_t)))
+    tex_l = tex_pad.reshape(th_t * bpr, 128)
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    Bn = mvps.shape[0]
+
+    def body(i, carry):
+        acc, ovfa = carry
+        sp, st, cn, tb, ovf = _tex_prep(
+            verts, faces, fuv_all, mvps[i], width, height, tile_w,
+            tile_h, capacity, span_x, span_y, perspective_correct, 0)
+        pk, fbm = pallas_raster.render_binned_tex_resolve_batch(
+            sp[None], st[None], cn[None], tb[None], tex_l, bg, width,
+            height, tile_w, tile_h, capacity, (th_t, tw_t), interpret,
+            kcc, tex_nw, detile=False, mxu=0, tex_split=tex_split,
+            mega=0)
+        rgba = _tex_resolve_finish(pk, fbm, tex_l, th_t, tw_t, bpr,
+                                   fb_tile_cap, ntx, nty, tile_h,
+                                   tile_w, height, width)
+        acc = lax.dynamic_update_slice(acc, rgba, (i, 0, 0, 0))
+        return acc, ovfa | ovf
+
+    acc0 = jnp.zeros((Bn, height, width, 4), jnp.uint8)
+    acc, ovf = lax.fori_loop(0, Bn, body,
+                             (acc0, jnp.asarray(False)))
+    return acc, ovf
 
 
 @functools.partial(jax.jit,

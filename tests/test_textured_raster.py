@@ -181,6 +181,27 @@ def test_tex_mega_loop_matches():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
 
 
+def test_tex_fused_loop_matches_batch():
+    # render_textured_pallas_loop (single-frame prep + kernel inside a
+    # device fori_loop) == the vmap-batched entry, bit-exact — same
+    # per-frame ops, different program structure
+    rng = np.random.default_rng(3)
+    verts, faces, uvs = mesh.quad_batch(12, seed=3)
+    tex_u8 = rng.integers(0, 256, (32, 32, 4), np.uint8)
+    mvps = jnp.asarray(np.stack(
+        [np.eye(4, dtype=np.float32)] * 3))
+    args = (jnp.asarray(verts, jnp.float32),
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
+            mvps)
+    kw = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
+              interpret=True)
+    base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
+    got, ovf_l = raster3d.render_textured_pallas_loop(*args, **kw)
+    assert bool(ovf) == bool(ovf_l)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
 def test_tex_resolve_footprint_fallback():
     # a quad whose v-UV sweeps the whole 256-row texture within a few
     # screen tiles overflows the per-tile footprint (fh rows max), so

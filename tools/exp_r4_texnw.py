@@ -45,27 +45,34 @@ def main():
             jnp.asarray(proj @ view @ mesh.rotation_y(
                 (r * B + i) * 0.03), jnp.float32) for i in range(B)]))
 
-    for nw in (16, 12, 8, 4):
+    cfgs = [("batch", raster3d.render_textured_pallas_batch, nw)
+            for nw in (16, 12, 8, 4)]
+    cfgs += [("loop", raster3d.render_textured_pallas_loop, nw)
+             for nw in (16, 8)]
+    for name, fn, nw in cfgs:
         t0 = time.time()
-        outs = [raster3d.render_textured_pallas_batch(
-            verts, faces, uvs, tex, W, H, mvps=mv, tex_nw=nw)
-            for mv in mvp_sets]
+        try:
+            outs = [fn(verts, faces, uvs, tex, W, H, mvps=mv, tex_nw=nw)
+                    for mv in mvp_sets]
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} nw={nw}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            continue
         chk = int(np.sum([np.asarray(o[0], np.int64).sum()
                           for o in outs]))
         ovf = any(bool(o[1]) for o in outs)
-        print(f"nw={nw}: compile+warm {time.time() - t0:.0f}s "
+        print(f"{name} nw={nw}: compile+warm {time.time() - t0:.0f}s "
               f"chk {chk} ovf {ovf}", flush=True)
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
-            outs = [raster3d.render_textured_pallas_batch(
-                verts, faces, uvs, tex, W, H, mvps=mv, tex_nw=nw)
-                for mv in mvp_sets]
+            outs = [fn(verts, faces, uvs, tex, W, H, mvps=mv, tex_nw=nw)
+                    for mv in mvp_sets]
             s = int(np.asarray(outs[-1][0], np.int64).sum())
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             assert s >= 0
-        print(f"nw={nw}: {best / (B * NREP) * 1e3:.3f} ms/frame",
+        print(f"{name} nw={nw}: {best / (B * NREP) * 1e3:.3f} ms/frame",
               flush=True)
 
 
