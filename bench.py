@@ -491,19 +491,47 @@ def bench_textured(frames: int = 24, batch: int = 12):
         run_batch()
         dt_b = (time.perf_counter() - t0) / REPS_B
         log(f"textured: batched {dt_b / frames * 1e3:.2f} ms/frame")
+
+        # fused-loop racer: per-frame prep inside a device fori (the
+        # structure that won the flat path) — bit-identical output
+        lfn = functools.partial(raster3d.render_textured_pallas_loop,
+                                capacity=512, kcc=16)
+
+        def run_loop(reps=REPS_B):
+            outs = []
+            for _ in range(reps):
+                outs.extend(lfn(verts, faces, uvs, tex_u8, width,
+                                height, mvps=m)[0] for m in grouped)
+            return float(jnp.sum(jnp.stack(
+                [jnp.sum(o.astype(jnp.float32)) for o in outs])))
+
+        dt_l = None
+        try:
+            run_loop(1)                          # warm + compile check
+            t0 = time.perf_counter()
+            run_loop()
+            dt_l = (time.perf_counter() - t0) / REPS_B
+            log(f"textured: fused-loop {dt_l / frames * 1e3:.2f} "
+                "ms/frame")
+        except Exception as e:                   # noqa: BLE001
+            log(f"textured fused-loop failed ({type(e).__name__}); "
+                "racing batch vs f32 only")
         run_f32()                                # warm
         t0 = time.perf_counter()
         run_f32()
         dt_f = time.perf_counter() - t0
-        if dt_b <= dt_f:
-            run_all = run_batch
-            log(f"textured: batched kernel-resolved path "
-                f"({dt_b / frames * 1e3:.2f} vs f32 "
-                f"{dt_f / frames * 1e3:.2f} ms/frame)")
+        racers = [(dt_b, run_batch, "batched"), (dt_f, run_f32, "f32")]
+        if dt_l is not None:
+            racers.append((dt_l, run_loop, "fused-loop"))
+        racers.sort(key=lambda r: r[0])
+        dt_w, run_all, wname = racers[0]
+        if run_all is run_f32:
+            log(f"textured: f32 path wins ({dt_f / frames * 1e3:.2f} "
+                f"vs batched {dt_b / frames * 1e3:.2f} ms/frame)")
         else:
-            run_all = run_f32
-            log(f"textured: f32 path wins ({dt_f / frames * 1e3:.2f} vs "
-                f"batched {dt_b / frames * 1e3:.2f} ms/frame)")
+            run_batch = run_all  # frames_per_call uses the REPS_B scale
+            log(f"textured: {wname} kernel-resolved path wins "
+                f"({dt_w / frames * 1e3:.2f} ms/frame)")
     except Exception as e:
         log(f"textured batched path failed ({type(e).__name__}); "
             "per-frame f32 fallback")
