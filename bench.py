@@ -182,11 +182,18 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
 
                     @_jax.jit
                     def seq(mv, kw=dict(kw)):
+                        # frame-invariant per-face gathers hoisted out of
+                        # the fori body (XLA re-gathers every iteration
+                        # otherwise — exp_r4_champprof2, ~0.07 ms/frame)
+                        pre = (raster3d.pregather_mesh(verts, faces),
+                               colors[faces])
+
                         def step(i, acc):
                             out, _, ovf = \
                                 raster3d.render_gouraud_pallas \
                                 .__wrapped__(verts, faces, colors,
-                                             width, height, mv[i], **kw)
+                                             width, height, mv[i],
+                                             pre=pre, **kw)
                             s = jnp.sum(out, dtype=jnp.uint32) \
                                 .astype(jnp.float32)
                             return (acc[0] + s, acc[1] | ovf)

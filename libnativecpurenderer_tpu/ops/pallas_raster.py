@@ -128,7 +128,8 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                       tex_resolve: bool = False, tex_nw: int = 8,
                       tex_split: bool = False,
                       resident_out: bool = False, mxu: int = 0,
-                      mega: int = 0, wf: int = 0):
+                      mega: int = 0, wf: int = 0,
+                      tex_dyn: bool = False):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
@@ -405,8 +406,8 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                 in_v = (dvA >= 0) & (dvA < fh)
             blk = dv * bw + du
             resolved = hit_s & in_v & (du >= 0) & (du < bw)
-            acc = jnp.zeros((n_sub, 128), jnp.int32)
-            for w in range(NW):
+
+            def wstep(w, acc):
                 wrow = w // bw
                 if tex_split:
                     wv = jnp.where(wrow < fhA, v0 + wrow,
@@ -418,7 +419,24 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                 row = tex_ref[pl.ds(off, 1), :]          # (1, 128)
                 g = jnp.take_along_axis(
                     jnp.broadcast_to(row, (n_sub, 128)), lane, axis=1)
-                acc = jnp.where(blk == w, g, acc)
+                return jnp.where(blk == w, g, acc)
+
+            acc = jnp.zeros((n_sub, 128), jnp.int32)
+            if tex_dyn:
+                # per-tile DYNAMIC window count: w_need is the exact
+                # supremum of windows any resolved pixel reads (blk <
+                # w_need by construction), so iterations w >= w_need
+                # only touch acc at never-consumed positions — skipping
+                # them is bit-exact.  Most tiles' hit-UV bboxes span far
+                # fewer than NW windows (mean ~6 of 16 on the rotating
+                # bench mesh, exp_fp_hist.py), so the static unroll pays
+                # ~NW/w_need more row reads + lane gathers than needed.
+                w_need = jnp.max(jnp.where(resolved, blk,
+                                           jnp.int32(-1))) + 1
+                acc = lax.fori_loop(0, w_need, wstep, acc)
+            else:
+                for w in range(NW):
+                    acc = wstep(jnp.int32(w), acc)
 
             i0 = lax.broadcasted_iota(jnp.int32, (n_sub, 128), 0)
 
@@ -672,13 +690,14 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
 
 @functools.partial(jax.jit,
                    static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                   15))
+                                   15, 16))
 def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                      tile_h: int, tile_w: int, Kb: int,
                      interpret: bool = False, kcc: int = KCC,
                      tiles_per_frame: int = 0, tex_dims=None,
                      tex_nw: int = 8, mxu: int = 0,
-                     tex_split: bool = False, mega: int = 0):
+                     tex_split: bool = False, mega: int = 0,
+                     tex_dyn: bool = False):
     """tex_resolve kernel launch (see _make_kernel_flat): tex_l is the
     packed-i32 texture in (th*bpr, 128) window layout, VMEM-resident
     across all programs.  scalars: (5*NT+1,) with the packed background
@@ -743,7 +762,7 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
         _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=True,
                           tex_dims=tuple(tex_dims), tex_resolve=True,
                           tex_nw=tex_nw, tex_split=tex_split, mxu=mxu,
-                          mega=mega),
+                          mega=mega, tex_dyn=tex_dyn),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -917,7 +936,7 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
                                     kcc: int = KCC, tex_nw: int = 8,
                                     detile: bool = True, mxu: int = 0,
                                     tex_split: bool = False,
-                                    mega: int = 0):
+                                    mega: int = 0, tex_dyn: bool = False):
     """Batched in-kernel-texel raster: B frames in one launch through the
     tex_resolve kernel (texels fetched from the VMEM-resident packed
     texture via per-tile footprint windows).  Returns
@@ -961,7 +980,7 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
     packed, fbidx = raster_tiles_tex(
         sorted_pads.reshape(-1), tables, scalars, tex_l, Bn * nt,
         tile_h, tile_w, Kb, interpret, kcc, nt, tuple(tex_dims), tex_nw,
-        mxu, tex_split, mega)
+        mxu, tex_split, mega, tex_dyn)
 
     if not detile:
         return packed.reshape(Bn, nt, -1), fbidx.reshape(Bn, nt, -1)

@@ -59,10 +59,26 @@ def _snap(c):
     return jnp.round(c * SUBPIXEL) / SUBPIXEL
 
 
-def setup_triangles(verts, faces, mvp, width: int, height: int):
+def pregather_mesh(verts, faces):
+    """Frame-invariant half of ``setup_triangles``: the per-face gather of
+    homogeneous vertex rows.  XLA does NOT hoist gathers out of a device
+    ``fori_loop`` body (profiled ~0.05 ms/frame re-gathered EVERY frame at
+    10k faces — tools/exp_r4_champprof2.py), so frame loops over a static
+    mesh gather once here and pass the result as ``v4f=`` / ``pre=``.
+    ``(v4 @ mvp.T)[faces] == v4[faces] @ mvp.T`` row-for-row: each clip
+    row is the same 4-element dot either way (bit-equality asserted in
+    tests/test_raster3d.py)."""
+    dtype = verts.dtype
+    v4 = jnp.concatenate([verts, jnp.ones((verts.shape[0], 1), dtype)], -1)
+    return v4[faces]                        # (F, 3, 4)
+
+
+def setup_triangles(verts, faces, mvp, width: int, height: int, v4f=None):
     """Transform + project + precompute per-triangle raster data.
 
     verts: (V, 3) f32 object space; faces: (F, 3) i32; mvp: (4, 4).
+    ``v4f``: optional pre-gathered (F, 3, 4) homogeneous vertex rows from
+    :func:`pregather_mesh` (hoists the per-face gather out of frame loops).
     Returns a dict of per-face arrays:
       sxy: (F, 3, 2) screen-space vertex positions
       z:   (F, 3) NDC depth in [0, 1] (after viewport mapping)
@@ -74,15 +90,18 @@ def setup_triangles(verts, faces, mvp, width: int, height: int):
     # background sentinel), silently corrupting visibility.
     assert faces.shape[0] < NO_TRI, (
         f"draw has {faces.shape[0]} faces; packed keys support < {NO_TRI}")
-    v4 = jnp.concatenate([verts, jnp.ones((verts.shape[0], 1), dtype)], -1)
-    clip = v4 @ mvp.T                       # (V, 4)
     # ONE per-face gather of the 16 B clip rows, then per-face projection:
     # TPU random gathers cost ~0.2 ms per 30k fetches at this size and the
     # per-vertex-then-gather layout needed six of them (tools/exp_prep2.py).
     # The arithmetic after the gather is identical op-for-op; _snap makes
     # downstream edge tests exact so the layout change cannot shift
     # knife-edge coverage via XLA fusion differences.
-    clipf = clip[faces]                     # (F, 3, 4)
+    if v4f is None:
+        v4 = jnp.concatenate(
+            [verts, jnp.ones((verts.shape[0], 1), dtype)], -1)
+        clipf = (v4 @ mvp.T)[faces]         # (F, 3, 4)
+    else:
+        clipf = v4f @ mvp.T                 # (F, 3, 4) — same row dots
     w = clipf[..., 3:4]                     # (F, 3, 1)
     w_ok = w[..., 0] > 1e-6                 # (F, 3)
     ndc = clipf[..., :3] / jnp.where(w_ok[..., None], w, 1.0)
@@ -160,18 +179,23 @@ def clip_near_triangles(clip, attrs, eps: float = NEAR_EPS):
 
 
 def setup_triangles_clipped(verts, faces, mvp, attrs, width: int,
-                            height: int, eps: float = NEAR_EPS):
+                            height: int, eps: float = NEAR_EPS, v4f=None):
     """setup_triangles with near-plane clipping (see clip_near_triangles).
 
     attrs: (F, 3, D) per-vertex attributes (clipped alongside positions).
+    ``v4f``: optional pre-gathered rows from :func:`pregather_mesh`.
     Returns (tri dict with 2F entries, clipped attrs (2F, 3, D)).
     """
     dtype = verts.dtype
     assert 2 * faces.shape[0] < NO_TRI, (
         f"clipped draw has {2 * faces.shape[0]} slots; keys support "
         f"< {NO_TRI}")
-    v4 = jnp.concatenate([verts, jnp.ones((verts.shape[0], 1), dtype)], -1)
-    clip = (v4 @ mvp.T)[faces]                          # (F, 3, 4)
+    if v4f is None:
+        v4 = jnp.concatenate(
+            [verts, jnp.ones((verts.shape[0], 1), dtype)], -1)
+        clip = (v4 @ mvp.T)[faces]                      # (F, 3, 4)
+    else:
+        clip = v4f @ mvp.T                              # (F, 3, 4)
     clip2, attrs2, valid = clip_near_triangles(clip, attrs, eps)
     w = clip2[..., 3:4]                                 # (2F, 3, 1)
     # clipping already pinned boundary vertices to w ~= eps (up to one
@@ -779,7 +803,7 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           opaque: bool = False, z_clip: bool = True,
                           wide_split: bool = False,
                           resident_out: bool = False, mxu: int = 0,
-                          mega: int = 0, wf: int = 0):
+                          mega: int = 0, wf: int = 0, pre=None):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned.
@@ -798,7 +822,12 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
     MXU matmul over an affine-plane table (build_table_mxu): 1 =
     HIGHEST precision (+-1 u8 slips); 2 = DEFAULT single-pass bf16 —
     measurement-only, bf16 rounds the pixel coordinates themselves and
-    distorts coverage by pixels at 1080p."""
+    distorts coverage by pixels at 1080p.
+
+    ``pre``: optional ``(v4f, attrsf)`` from :func:`pregather_mesh` +
+    ``vtx_colors[faces]`` — hoists the frame-invariant per-face gathers
+    out of device frame loops (XLA re-runs them every iteration
+    otherwise; ~0.07 ms/frame at 10k faces, exp_r4_champprof2)."""
     from . import pallas_raster
     if mxu:
         assert flat and u8, "mxu walk requires flat=True, u8=True"
@@ -807,12 +836,15 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
         mvp = jnp.eye(4, dtype=dtype)
     if bg is None:
         bg = jnp.zeros(4, dtype)
-    attrs = vtx_colors[faces]
+    if pre is not None:
+        v4f, attrs = pre
+    else:
+        v4f, attrs = None, vtx_colors[faces]
     if near_clip:
         tri, attrs = setup_triangles_clipped(verts, faces, mvp, attrs,
-                                             width, height)
+                                             width, height, v4f=v4f)
     else:
-        tri = setup_triangles(verts, faces, mvp, width, height)
+        tri = setup_triangles(verts, faces, mvp, width, height, v4f=v4f)
     A, B, C, inv_area, sign, valid = edge_coeffs(tri["sxy"], tri["z"],
                                                  tri["valid"])
     zsc = tri["z"] * inv_area[:, None]
@@ -1050,12 +1082,16 @@ def pack_texture_u8(tex_u8):
 
 
 def _tex_prep(verts, faces, fuv_all, mvp, width, height, tile_w, tile_h,
-              capacity, span_x, span_y, perspective_correct, mxu):
+              capacity, span_x, span_y, perspective_correct, mxu,
+              v4f=None):
     """Per-frame prep for the tex_resolve kernels: projection, edges,
     gatherless binning, UVW attribute table.  Shared by the vmap-batched
-    and fused-loop entries (identical ops -> identical bits)."""
+    and fused-loop entries (identical ops -> identical bits).  ``v4f``
+    hoists the per-face vertex gather out of frame loops (see
+    :func:`pregather_mesh`); both entries pass it so their per-frame ops
+    stay identical."""
     from . import pallas_raster
-    tri = setup_triangles(verts, faces, mvp, width, height)
+    tri = setup_triangles(verts, faces, mvp, width, height, v4f=v4f)
     A, B, C, ia, sg, vl = edge_coeffs(tri["sxy"], tri["z"],
                                       tri["valid"])
     zsc = tri["z"] * ia[:, None]
@@ -1147,7 +1183,7 @@ def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
 @functools.partial(
     jax.jit,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
-                    20))
+                    20, 21))
 def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  height: int, mvps=None,
                                  tile_w: int = 64, tile_h: int = 32,
@@ -1157,7 +1193,8 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  perspective_correct: bool = True,
                                  tex_nw: int = 16,
                                  fb_tile_cap: int = 1024, mxu: int = 0,
-                                 tex_split: bool = True, mega: int = 0):
+                                 tex_split: bool = True, mega: int = 0,
+                                 tex_dyn: bool = False):
     """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
     launch.  The tile kernel fetches texels IN-KERNEL from the
     VMEM-resident packed texture through per-tile UV-footprint windows
@@ -1188,11 +1225,12 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
         bg = jnp.zeros(4, jnp.float32)
     th_t, tw_t = int(tex_u8.shape[0]), int(tex_u8.shape[1])
     fuv_all = uvs[faces]                                   # (F, 3, 2)
+    v4f = pregather_mesh(verts, faces)
 
     def prep(mvp):
         return _tex_prep(verts, faces, fuv_all, mvp, width, height,
                          tile_w, tile_h, capacity, span_x, span_y,
-                         perspective_correct, mxu)
+                         perspective_correct, mxu, v4f=v4f)
 
     sps, starts, counts, tables, ovfs = jax.vmap(prep)(mvps)
     if mega:
@@ -1211,7 +1249,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
         sps, starts, counts, tables, tex_l, bg, width, height, tile_w,
         tile_h, capacity, (th_t, tw_t), interpret, kcc, tex_nw,
         detile=False, mxu=mxu, tex_split=tex_split,
-        mega=mega)                                    # (B, NT, P) each
+        mega=mega, tex_dyn=tex_dyn)                   # (B, NT, P) each
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
     rgba = _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr,
@@ -1222,7 +1260,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
 
 @functools.partial(
     jax.jit,
-    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18))
+    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19))
 def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 height: int, mvps=None,
                                 tile_w: int = 64, tile_h: int = 32,
@@ -1232,7 +1270,8 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 perspective_correct: bool = True,
                                 tex_nw: int = 16,
                                 fb_tile_cap: int = 1024,
-                                tex_split: bool = True):
+                                tex_split: bool = True,
+                                tex_dyn: bool = False):
     """Fused-loop textured render: B frames in ONE jitted program, a
     device-side fori_loop running SINGLE-frame prep + tex_resolve kernel
     + fallback per iteration.  The flat color path measured the vmapped
@@ -1246,6 +1285,7 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
         bg = jnp.zeros(4, jnp.float32)
     th_t, tw_t = int(tex_u8.shape[0]), int(tex_u8.shape[1])
     fuv_all = uvs[faces]                                   # (F, 3, 2)
+    v4f = pregather_mesh(verts, faces)
     bpr = (tw_t + 127) // 128
     packed_tex = pack_texture_u8(tex_u8).reshape(th_t, tw_t)
     tex_pad = jnp.pad(packed_tex, ((0, 0), (0, bpr * 128 - tw_t)))
@@ -1258,12 +1298,13 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
         acc, ovfa = carry
         sp, st, cn, tb, ovf = _tex_prep(
             verts, faces, fuv_all, mvps[i], width, height, tile_w,
-            tile_h, capacity, span_x, span_y, perspective_correct, 0)
+            tile_h, capacity, span_x, span_y, perspective_correct, 0,
+            v4f=v4f)
         pk, fbm = pallas_raster.render_binned_tex_resolve_batch(
             sp[None], st[None], cn[None], tb[None], tex_l, bg, width,
             height, tile_w, tile_h, capacity, (th_t, tw_t), interpret,
             kcc, tex_nw, detile=False, mxu=0, tex_split=tex_split,
-            mega=0)
+            mega=0, tex_dyn=tex_dyn)
         rgba = _tex_resolve_finish(pk, fbm, tex_l, th_t, tw_t, bpr,
                                    fb_tile_cap, ntx, nty, tile_h,
                                    tile_w, height, width)

@@ -399,3 +399,31 @@ def test_dynrows_overflow_flag():
         span_x=8, span_y=8, interpret=True, flat=True, u8=True,
         opaque=True, z_clip=False, dynrows=1, rows_cap=256, kcc=8)
     assert bool(ovf)
+
+
+def test_pregathered_inputs_bit_exact():
+    """render_gouraud_pallas(pre=(v4f, attrsf)) — the frame-loop hoist of
+    the per-face vertex/attribute gathers (exp_r4_champprof2) — is
+    bit-identical to the default in-call gathers: clip rows are the same
+    4-element dots whether the matmul runs before or after the gather
+    ((v4 @ mvp.T)[faces] == v4[faces] @ mvp.T row-for-row)."""
+    v, f, c, m = _scene()
+    pre = (raster3d.pregather_mesh(v, f), c[f])
+    for kw in (
+        dict(tile_w=32, tile_h=8, capacity=96),
+        dict(tile_w=32, tile_h=8, capacity=96, flat=True, u8=True,
+             opaque=True, kcc=8),
+        dict(tile_w=32, tile_h=8, capacity=96, flat=True, u8=True,
+             near_clip=True, kcc=8),
+    ):
+        ref = raster3d.render_gouraud_pallas(v, f, c, W, H, m,
+                                             interpret=True, **kw)
+        got = raster3d.render_gouraud_pallas(v, f, c, W, H, m,
+                                             interpret=True, pre=pre,
+                                             **kw)
+        for a, b in zip(ref[:2], got[:2]):
+            if a is None:
+                assert b is None
+                continue
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert bool(ref[2]) == bool(got[2])

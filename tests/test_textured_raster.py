@@ -316,3 +316,29 @@ def test_tex_mxu_walk_matches():
         np.testing.assert_array_equal(a[0][..., 3] > 0, b[0][..., 3] > 0)
         same = (a[0].astype(np.int32) == b[0].astype(np.int32)).all(-1)
         assert same.mean() > 0.99, (persp, same.mean())
+
+
+def test_tex_dyn_window_loop_matches():
+    # tex_dyn=True (per-tile dynamic footprint-window count: the static
+    # NW-unroll becomes a fori_loop bounded by the tile's actual window
+    # demand) is bit-exact vs the static unroll — skipped iterations only
+    # touch acc positions the resolve mask never consumes.  Exercised
+    # with a rotated mesh (non-trivial UV footprints) and both split
+    # modes.
+    rng = np.random.default_rng(9)
+    verts, faces, uvs = mesh.quad_batch(12, seed=9)
+    tex_u8 = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    rot = mesh.rotation_y(0.6) @ mesh.rotation_x(0.3)
+    mvps = jnp.asarray(np.stack([np.eye(4), rot]).astype(np.float32))
+    args = (jnp.asarray(verts, jnp.float32),
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
+            mvps)
+    for split in (False, True):
+        kw = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
+                  interpret=True, tex_split=split)
+        base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
+        got, ovf_d = raster3d.render_textured_pallas_batch(
+            *args, tex_dyn=True, **kw)
+        assert bool(ovf) == bool(ovf_d)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
