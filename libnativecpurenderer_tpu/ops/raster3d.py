@@ -390,7 +390,10 @@ def bin_triangles(sxy, valid, width, height, tile_w: int, tile_h: int,
     assert nt < (1 << (31 - IDX_BITS)), "too many tiles for packed binning"
     tri = jnp.arange(F, dtype=jnp.int32)[:, None, None]
     packed = (tid << IDX_BITS) | tri
-    packed_sorted = lax.sort(packed.reshape(-1))
+    # is_stable=False: packed values are unique (tile, tri) pairs, so the
+    # sorted array is value-determined and the cheaper unstable network
+    # returns identical bits
+    packed_sorted = lax.sort(packed.reshape(-1), is_stable=False)
     tid_sorted = packed_sorted >> IDX_BITS
     tri_sorted = packed_sorted & IDX_MASK
 
@@ -616,7 +619,9 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
     pad_val = jnp.int32((nt << IDX_BITS) | F)
     pieces_flat.append(jnp.full((spad - S,), pad_val, jnp.int32))
     packed_flat = jnp.concatenate(pieces_flat)
-    sorted_pad = lax.sort(packed_flat)
+    # unique packed values (duplicate-free emission) -> unstable sort is
+    # bit-identical and skips the index-carrying stable network
+    sorted_pad = lax.sort(packed_flat, is_stable=False)
     tid_sorted = sorted_pad >> IDX_BITS
 
     starts = _searchsorted_blocked(tid_sorted, nt + 1)
@@ -1140,12 +1145,17 @@ def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
         return lax.bitcast_convert_type(g.reshape(idx_plane.shape),
                                         jnp.int32)
 
-    # tile-compacted fallback: see render_textured_pallas_batch's doc
+    # tile-compacted fallback: see render_textured_pallas_batch's doc.
+    # GEOMETRIC tier ladder: each compacted branch gathers its STATIC
+    # cap's worth of rows (csize * P) whatever n_bad is — the old
+    # 16/128/cap ladder paid the 128 tier's whole 0.70 ms/frame for the
+    # bench's ~20-60 missed tiles (exp_r4_texprof2: the cond + its
+    # gather/bitcast were 2nd only to the kernel).  Power-of-two tiers
+    # bound the overshoot at 2x the demand.
     tile_bad = jnp.any(fb2 >= 0, axis=1)               # (B*NT,)
     n_bad = jnp.sum(tile_bad)
     cap = min(fb_tile_cap, Bn * nt)
-    cap_s = min(128, cap)
-    cap_t = min(16, cap_s)
+    caps = [c for c in (16, 32, 64, 128, 256, 512) if c < cap] + [cap]
     tids = jnp.nonzero(tile_bad, size=cap, fill_value=0)[0]
 
     def compacted_k(csize):
@@ -1163,14 +1173,13 @@ def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
     def full(_):
         return jnp.where(fb2 >= 0, gather_rows(fb2), pk2)
 
-    tier = (jnp.int32(0)
-            + (n_bad > 0).astype(jnp.int32)
-            + (n_bad > cap_t).astype(jnp.int32)
-            + (n_bad > cap_s).astype(jnp.int32)
-            + (n_bad > cap).astype(jnp.int32))
+    tier = (n_bad > 0).astype(jnp.int32)
+    for c in caps:
+        tier = tier + (n_bad > c).astype(jnp.int32)
     final = lax.switch(
-        tier, [lambda _: pk2, compacted_k(cap_t), compacted_k(cap_s),
-               compacted_k(cap), full], None)
+        tier,
+        [lambda _: pk2] + [compacted_k(c) for c in caps] + [full],
+        None)
 
     def det(p):
         return pallas_raster._detile_plane(p, nty, ntx, tile_h, tile_w,
