@@ -100,6 +100,13 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         # in-kernel id DMA) measured 1.52-1.54 at EVERY program count
         # (exp_r4_wf) — per-program fixed cost is NOT the residual
         # bottleneck; wf stays out of the race.
+        # kcc32 (r4 session D): with the prep tail down to ~0.25 ms the
+        # kernel dominates, and kcc=32 amortises per-chunk machinery
+        # over the same walked slots — 1.073 vs kcc16's 1.131 ms/frame
+        # at mega=8 (tools/exp_r4_kcc.py, bit-exact checksums)
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=1024,
+             flat=True, kcc=32, u8=True, opaque=True, z_clip=False,
+             fused_loop=True, race=True, resident_out=True, mega=8),
         dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=1024,
              flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
              fused_loop=True, race=True, resident_out=True, mega=8),

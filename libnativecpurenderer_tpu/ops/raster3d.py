@@ -478,15 +478,23 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
         """Packed (tile << IDX_BITS | tri) slots for the tile sub-grid
         rows y0c_+dy0 .. +dy0+sy_n-1 x cols x0c_+dx0 .. +dx0+sx_n-1 of
         the given triangle subset; invalid slots carry the tile=nt
-        sentinel (sorted to the end)."""
+        sentinel (sorted to the end).
+
+        Built (sy, sx, n) — triangles on the LANE dim — not (n, sy, sx):
+        the latter pads the sx-sized minor dim to 128 lanes (25x read
+        amplification at sx=5) and its flatten was the top emission cost
+        (~0.05 ms/frame, exp_r4_champprof2 post-hoist).  The element SET
+        is identical (same products, same sums per slot) and the sort is
+        order-invariant over unique values, so downstream bits are
+        unchanged."""
         dx = dx0 + jnp.arange(span_x if sx_n is None else sx_n,
                               dtype=jnp.int32)
         dyv = dy0 + jnp.arange(sy_n, dtype=jnp.int32)
-        txs = x0c_[:, None] + dx[None, :]
-        tys = y0c_[:, None] + dyv[None, :]
-        ok = (ne_[:, None, None]
-              & (txs[:, None, :] <= x1c_[:, None, None])
-              & (tys[:, :, None] <= y1c_[:, None, None]))
+        txs = x0c_[None, :] + dx[:, None]            # (sx, n)
+        tys = y0c_[None, :] + dyv[:, None]           # (sy, n)
+        ok = (ne_[None, None, :]
+              & (txs[None, :, :] <= x1c_[None, None, :])
+              & (tys[:, None, :] <= y1c_[None, None, :]))
         if edges_ is not None:
             # exact edge-vs-tile cull: AABB spans keep every tile the
             # box touches, but a triangle covers only ~half of them —
@@ -500,31 +508,32 @@ def bin_triangles_flat(sxy, valid, width, height, tile_w: int, tile_h: int,
             # (golden suite) the test is exact for snapped coords.
             A, B, C, sign = edges_
             dtype = A.dtype
-            fxl = (txs * tile_w).astype(dtype)       # (n, sx)
-            fyl = (tys * tile_h).astype(dtype)       # (n, sy)
+            fxl = (txs * tile_w).astype(dtype)       # (sx, n)
+            fyl = (tys * tile_h).astype(dtype)       # (sy, n)
             fxh = fxl + (tile_w - 1)
             fyh = fyl + (tile_h - 1)
             cover = None
             for e in range(3):
-                Ae = (A[:, e] * sign)[:, None]       # fold sign in
-                Be = (B[:, e] * sign)[:, None]
-                Ce = (C[:, e] * sign)[:, None]
+                Ae = (A[:, e] * sign)[None, :]       # fold sign in
+                Be = (B[:, e] * sign)[None, :]
+                Ce = (C[:, e] * sign)[None, :]
                 # max over the two corner products == the sign select
                 # (tile coords are >= 0 and fxl <= fxh), with exactly
                 # the same value in any float width — and it fuses as
                 # one maximum instead of compare+select_n
-                ex = jnp.maximum(Ae * fxh, Ae * fxl)         # (n, sx)
-                ey = jnp.maximum(Be * fyh, Be * fyl)         # (n, sy)
-                emax = ey[:, :, None] + ex[:, None, :] + Ce[..., None]
-                slack = ((jnp.abs(Ae) * fxh)[:, None, :]
-                         + (jnp.abs(Be) * fyh)[:, :, None]
-                         + jnp.abs(Ce)[..., None])
+                ex = jnp.maximum(Ae * fxh, Ae * fxl)         # (sx, n)
+                ey = jnp.maximum(Be * fyh, Be * fyl)         # (sy, n)
+                emax = (ey[:, None, :] + ex[None, :, :]
+                        + Ce[None, None, :])
+                slack = ((jnp.abs(Ae) * fxh)[None, :, :]
+                         + (jnp.abs(Be) * fyh)[:, None, :]
+                         + jnp.abs(Ce)[None, None, :])
                 keep = emax >= -1e-5 * slack
                 cover = keep if cover is None else (cover & keep)
             ok = ok & cover
-        tid = tys[:, :, None] * ntx + txs[:, None, :]
+        tid = tys[:, None, :] * ntx + txs[None, :, :]
         tid = jnp.where(ok, tid, nt)
-        tri = tri_ids[:, None, None]
+        tri = tri_ids[None, None, :]
         return ((tid << IDX_BITS) | tri).reshape(-1)
 
     # Tall-triangle split: most triangles span <= SY_A tile rows, so

@@ -32,7 +32,7 @@ from libnativecpurenderer_tpu.ops import raster3d           # noqa: E402
 W, H = 1920, 1080
 FRAMES = 48
 CFG = dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=1024,
-           flat=True, kcc=16, u8=True, opaque=True, z_clip=False,
+           flat=True, kcc=32, u8=True, opaque=True, z_clip=False,
            resident_out=True, mega=8)
 
 

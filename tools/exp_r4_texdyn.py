@@ -44,10 +44,20 @@ def main():
                for i in range(0, frames, batch)]
     float(jnp.sum(grouped[0]))
 
+    # --kcc: ladder the tex kernel's chunk size instead of tex_dyn (the
+    # flat path's kcc32 win, exp_r4_kcc, should transfer: the tex walk
+    # rides the same chunk machinery)
+    if "--kcc" in sys.argv:
+        variants = [("kcc=16", dict(kcc=16)), ("kcc=24", dict(kcc=24)),
+                    ("kcc=32", dict(kcc=32))]
+    else:
+        variants = [("dyn=False", dict(kcc=16, tex_dyn=False)),
+                    ("dyn=True", dict(kcc=16, tex_dyn=True))]
+
     chk0 = None
-    for dyn in (False, True):
+    for vtag, vkw in variants:
         lfn = functools.partial(raster3d.render_textured_pallas_loop,
-                                capacity=512, kcc=16, tex_dyn=dyn)
+                                capacity=512, **vkw)
 
         def run_loop(reps=10):
             outs = []
@@ -57,7 +67,7 @@ def main():
             return float(jnp.sum(jnp.stack(
                 [jnp.sum(o.astype(jnp.float32)) for o in outs])))
 
-        tag = f"texloop dyn={dyn}"
+        tag = f"texloop {vtag}"
         try:
             t0 = time.time()
             chk = run_loop(1)
@@ -83,3 +93,7 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# NOTE (session D): --kcc mode reuses this harness to ladder the tex
+# kernel's chunk size now that kcc32 won the flat path (exp_r4_kcc).
