@@ -50,6 +50,17 @@ def main():
     if "--kcc" in sys.argv:
         variants = [("kcc=16", dict(kcc=16)), ("kcc=24", dict(kcc=24)),
                     ("kcc=32", dict(kcc=32))]
+    elif "--nw" in sys.argv:
+        # fewer footprint windows save ~NW-proportional resolve cost in
+        # the kernel; the geometric fallback tiers now bound the extra
+        # misses' cost (nw8 was only dead pre-tiers: its misses hit the
+        # whole-plane gather).  checksums must still MATCH — the
+        # fallback finishes missed pixels with the same texel values.
+        variants = [("nw=16", dict(kcc=16, tex_nw=16)),
+                    ("nw=14", dict(kcc=16, tex_nw=14)),
+                    ("nw=12", dict(kcc=16, tex_nw=12)),
+                    ("nw=10", dict(kcc=16, tex_nw=10)),
+                    ("nw=8", dict(kcc=16, tex_nw=8))]
     else:
         variants = [("dyn=False", dict(kcc=16, tex_dyn=False)),
                     ("dyn=True", dict(kcc=16, tex_dyn=True))]
