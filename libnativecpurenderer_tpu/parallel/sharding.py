@@ -125,7 +125,8 @@ def sharded_raster3d_step(mesh: Mesh, width: int, height: int, faces,
                           vtx_colors=None, uvs=None, tex=None,
                           tile_w: int = 32, tile_h: int = 32,
                           capacity: int = 128, span_x: int = 8,
-                          span_y: int = 8):
+                          span_y: int = 8, pallas: bool = False,
+                          pallas_kw: dict | None = None):
     """Frame-batch data-parallel step of the PRODUCTION binned 3D
     rasterizer over the whole mesh: B frames' MVPs shard across every
     device (both axes flattened — video rendering is embarrassingly
@@ -140,11 +141,18 @@ def sharded_raster3d_step(mesh: Mesh, width: int, height: int, faces,
     virtual mesh by __graft_entry__.dryrun_multichip and
     tests/test_sharding.py.
 
+    ``pallas=True`` routes each device's frames through the CHAMPION
+    fused Pallas kernel path (render_gouraud_pallas u8 video mode with
+    the pregather hoist; override config via ``pallas_kw``) instead of
+    the XLA binned path — frames come back uint8.  On CPU meshes (the
+    virtual-device dryrun) the kernel runs interpreted.
+
     Returns a shard_map'd fn (mvps (B, 4, 4), verts (V, 3)) ->
     frames (B, H, W, 4).  B must divide by the device count.
     """
     textured = uvs is not None
     assert textured == (tex is not None), "uvs and tex come together"
+    assert not (pallas and textured), "pallas mode is the Gouraud path"
     faces = jnp.asarray(faces, jnp.int32)
     if textured:
         uvs = jnp.asarray(uvs, jnp.float32)
@@ -152,15 +160,32 @@ def sharded_raster3d_step(mesh: Mesh, width: int, height: int, faces,
     else:
         vtx_colors = jnp.asarray(vtx_colors, jnp.float32)
     axes = ("data", "tile")
+    pkw = dict(tile_w=tile_w, tile_h=tile_h, capacity=capacity,
+               span_x=span_x, span_y=span_y, flat=True, u8=True,
+               kcc=16, interpret=jax.default_backend() == "cpu")
+    if pallas_kw:
+        pkw.update(pallas_kw)
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axes), P(None, None)),
         out_specs=P(axes),
+        # pallas_call's out ShapeDtypeStruct carries no vma annotation,
+        # which check_vma=True rejects inside shard_map; frame-DP runs
+        # the identical per-device program on purely-local data, so the
+        # varying-axes check adds nothing here
+        check_vma=not pallas,
     )
     def step(mvps_local, verts):
+        pre = ((raster3d.pregather_mesh(verts, faces),
+                vtx_colors[faces]) if pallas else None)
+
         def one(mvp):
-            if textured:
+            if pallas:
+                fb, _, _ = raster3d.render_gouraud_pallas.__wrapped__(
+                    verts, faces, vtx_colors, width, height, mvp,
+                    pre=pre, **pkw)
+            elif textured:
                 fb, _, _ = raster3d.render_textured_binned(
                     verts, faces, uvs, tex, width, height, mvp,
                     tile_w=tile_w, tile_h=tile_h, capacity=capacity,

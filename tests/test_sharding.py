@@ -263,3 +263,36 @@ def test_sharded_pipeline_app_path_matches_single_device(devices,
     for a, b in zip(streams[1], streams[8]):
         ch = min(a.shape[-1], b.shape[-1])
         np.testing.assert_array_equal(a[..., :ch], b[..., :ch])
+
+
+def test_sharded_pallas_raster_matches_single_device(devices):
+    """pallas=True: the CHAMPION fused u8 kernel path (pregather hoist,
+    interpret mode on the CPU mesh) frame-batch sharded over the whole
+    mesh — bit-exact vs the single-device pallas render."""
+    dev_mesh = sharding.make_mesh(devices)
+    width, height = 128, 32
+    verts_np, faces_np = mesh_mod.icosphere(1)
+    colors_np = np.concatenate([np.abs(verts_np),
+                                np.ones((len(verts_np), 1))], 1)
+    kw = dict(tile_w=32, tile_h=8, capacity=96, span_x=8, span_y=8)
+    step = sharding.sharded_raster3d_step(
+        dev_mesh, width, height, faces_np, vtx_colors=colors_np,
+        pallas=True, **kw)
+
+    B = len(devices) * 2
+    proj = mesh_mod.perspective(1.0, width / height, 0.1, 10.0)
+    view = mesh_mod.look_at([0, 0, 2.5], [0, 0, 0], [0, 1, 0])
+    mvps = jnp.asarray(np.stack(
+        [np.asarray(proj @ view @ mesh_mod.rotation_y(i * 0.21))
+         for i in range(B)]), jnp.float32)
+    verts = jnp.asarray(verts_np, jnp.float32)
+
+    frames = jax.jit(step)(mvps, verts)
+    assert frames.shape == (B, height, width, 4)
+    assert frames.dtype == jnp.uint8
+
+    ref, _, _ = raster3d.render_gouraud_pallas(
+        verts, jnp.asarray(faces_np, jnp.int32),
+        jnp.asarray(colors_np, jnp.float32), width, height, mvps[5],
+        flat=True, u8=True, kcc=16, interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(frames[5]), np.asarray(ref))
