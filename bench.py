@@ -104,6 +104,20 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         # kernel dominates, and kcc=32 amortises per-chunk machinery
         # over the same walked slots — 1.073 vs kcc16's 1.131 ms/frame
         # at mega=8 (tools/exp_r4_kcc.py, bit-exact checksums)
+        # out8 (session E): sublane-major kernel out — born in XLA's
+        # native T(8,128) layout, drops the post-kernel relayout before
+        # the detile; ktail walks run remainders in 8-slot chunks
+        # instead of one padded kcc chunk.  Both bit-exact
+        # (tests/test_pallas_raster.py::test_u8_out8_ktail_match);
+        # device A/B in tools/exp_r4_out8.py.
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=1024,
+             flat=True, kcc=32, u8=True, opaque=True, z_clip=False,
+             fused_loop=True, race=True, resident_out=True, mega=8,
+             out8=True, ktail=8),
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=1024,
+             flat=True, kcc=32, u8=True, opaque=True, z_clip=False,
+             fused_loop=True, race=True, resident_out=True, mega=8,
+             out8=True),
         dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=1024,
              flat=True, kcc=32, u8=True, opaque=True, z_clip=False,
              fused_loop=True, race=True, resident_out=True, mega=8),
@@ -481,9 +495,10 @@ def bench_textured(frames: int = 24, batch: int = 12):
     # per sync (~0.13 ms/frame residual; 5 reps still carried ~0.25)
     REPS_B = 10
     try:
-        # defaults: (64, 32) tiles + 16 footprint windows + compacted
-        # fallback — measured 3.29 ms/frame vs 9.0 for the f32 path on
-        # the planar-UV bench workload (tools/exp_r3_texladder.py)
+        # defaults: (32, 32) tiles + 16 footprint windows + compacted
+        # geometric-tier fallback — 2.96 ms/frame fused-loop vs 3.06 at
+        # the round-3 (64, 32) shape and 9.0 for the f32 path
+        # (tools/exp_r4_tex3232.py, exp_r3_texladder.py)
         bfn = functools.partial(raster3d.render_textured_pallas_batch,
                                 capacity=512, kcc=16)
         grouped = [jnp.stack(mvps[i:i + batch])

@@ -129,7 +129,8 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                       tex_split: bool = False,
                       resident_out: bool = False, mxu: int = 0,
                       mega: int = 0, wf: int = 0,
-                      tex_dyn: bool = False):
+                      tex_dyn: bool = False, out8: bool = False,
+                      ktail: int = 0):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
@@ -228,7 +229,6 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
         # whole-frame resident block at the GLOBAL index instead)
         si = store_i
         count = scal_ref[i]
-        nchunks = (count + kcc - 1) // kcc
         ox = scal_ref[nt + i]
         oy = scal_ref[2 * nt + i]
         woff = scal_ref[4 * nt + i]
@@ -236,7 +236,6 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
         p_idx = lax.broadcasted_iota(jnp.int32, (1, P), 1)
         x1 = (ox + p_idx % tile_w).astype(jnp.float32)
         y1 = (oy + p_idx // tile_w).astype(jnp.float32)
-        slot0 = lax.broadcasted_iota(jnp.int32, (kcc, P), 0)
 
         nacc = 3 if (tex_dims or (u8 and opaque)) else 4
         if mxu:
@@ -248,82 +247,109 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             nq = 4 + nacc
             prec = (lax.Precision.HIGHEST if mxu == 1
                     else lax.Precision.DEFAULT)
-        else:
-            X = jnp.broadcast_to(x1, (kcc, P))
-            Y = jnp.broadcast_to(y1, (kcc, P))
 
-        def body(c, carry):
-            kacc, rs = carry[0], carry[1:]
-            # unrolled constant-index copies beat a count-bounded
-            # fori_loop here (measured 242 vs 234 fps at 1080p/10k —
-            # per-iteration loop overhead exceeds the ~40% copy savings)
-            for j in range(kcc):
-                idx = woff + c * kcc + j
-                p0 = blk0_ref[0, 0, jnp.minimum(idx, Kb - 1)]
-                # clamp keeps reads in-bounds even when a run overflows
-                # the two-block window (callers see the overflow flag)
-                p1 = blk1_ref[0, 0, jnp.clip(idx - Kb, 0, Kb - 1)]
-                tid = jnp.where(idx < Kb, p0, p1) & ((1 << IDX_BITS) - 1)
-                rows_s[pl.ds(j, 1), :] = table_ref[0, pl.ds(tid, 1), :]
-            rows = rows_s[:, :]
+        def make_body(ck, base):
+            """Chunk-walk body over (ck, P) slot chunks whose run slots
+            start at ``base`` (``ktail`` walks the run remainder in
+            smaller chunks — same math, same slot ids, so the min-reduce
+            is bit-identical; slots past the run spill into the next
+            tile's run and can only LOSE ties, see class docstring)."""
+            slot0 = lax.broadcasted_iota(jnp.int32, (ck, P), 0)
+            if not mxu:
+                X = jnp.broadcast_to(x1, (ck, P))
+                Y = jnp.broadcast_to(y1, (ck, P))
 
-            def col(j):
-                return rows[:, j:j + 1]
+            def body(c, carry):
+                kacc, rs = carry[0], carry[1:]
+                # unrolled constant-index copies beat a count-bounded
+                # fori_loop here (measured 242 vs 234 fps at 1080p/10k —
+                # per-iteration loop overhead exceeds the ~40% copy
+                # savings)
+                for j in range(ck):
+                    idx = woff + base + c * ck + j
+                    p0 = blk0_ref[0, 0, jnp.minimum(idx, Kb - 1)]
+                    # clamp keeps reads in-bounds even when a run
+                    # overflows the two-block window (callers see the
+                    # overflow flag)
+                    p1 = blk1_ref[0, 0, jnp.clip(idx - Kb, 0, Kb - 1)]
+                    tid = (jnp.where(idx < Kb, p0, p1)
+                           & ((1 << IDX_BITS) - 1))
+                    rows_s[pl.ds(j, 1), :] = table_ref[0, pl.ds(tid, 1),
+                                                       :]
+                rows = rows_s[pl.ds(0, ck), :]
 
-            if mxu:
-                # per-quantity (kcc, 4) x (4, P) dots: rows carry affine
-                # triples at lanes 4q..4q+2 (build_table_mxu).  A single
-                # (nq*kcc, 4) x (4, P) dot over a sublane-concat of the
-                # slabs is ~nq-fold fewer MXU passes, but Mosaic's
-                # remote compiler CRASHES on any sublane concatenate
-                # feeding dot_general (tools/exp_r4_mxu_bisect.py
-                # 2026-08-18: E/E2 fail, E1/E3/F compile+run) — so each
-                # quantity gets its own dot on the lane-sliced LHS
-                V = [lax.dot_general(
-                        rows[:, 4 * q:4 * (q + 1)], P4,
-                        (((1,), (0,)), ((), ())),
-                        precision=prec,
-                        preferred_element_type=jnp.float32)
-                     for q in range(nq)]                   # nq x (kcc, P)
-                e0, e1, e2, zz = V[0], V[1], V[2], V[3]
-            else:
-                e0 = col(0) * X + col(1) * Y + col(2)
-                e1 = col(3) * X + col(4) * Y + col(5)
-                e2 = col(6) * X + col(7) * Y + col(8)
-                zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
-            m = jnp.minimum(jnp.minimum(e0, e1), e2)
-            if z_clip:
-                cov = (m >= 0.0) & (zz >= 0.0) & (zz <= 1.0)
-            else:
-                # caller verified every vertex z in [0, 1] (see
-                # render_gouraud_pallas z_clip=False): interior zz is a
-                # convex combination, and int truncation-toward-zero
-                # keeps ulp spill inside [0, Z_LEVELS]
-                cov = m >= 0.0
-            zq = (zz * Z_LEVELS).astype(jnp.int32)
-            ids = c * kcc + slot0
-            keys = jnp.where(cov, (zq << IDX_BITS) | ids,
-                             jnp.int32(SKY_KEY))
+                def col(j):
+                    return rows[:, j:j + 1]
 
-            cmin = jnp.min(keys, axis=0, keepdims=True)
-            win = (keys == cmin) & cov
-            upd = cmin < kacc
-            outs = []
-            for d, rd in enumerate(rs):
                 if mxu:
-                    cd = V[4 + d]
+                    # per-quantity (kcc, 4) x (4, P) dots: rows carry
+                    # affine triples at lanes 4q..4q+2 (build_table_mxu).
+                    # A single (nq*kcc, 4) x (4, P) dot over a
+                    # sublane-concat of the slabs is ~nq-fold fewer MXU
+                    # passes, but Mosaic's remote compiler CRASHES on any
+                    # sublane concatenate feeding dot_general
+                    # (tools/exp_r4_mxu_bisect.py 2026-08-18: E/E2 fail,
+                    # E1/E3/F compile+run) — so each quantity gets its
+                    # own dot on the lane-sliced LHS
+                    V = [lax.dot_general(
+                            rows[:, 4 * q:4 * (q + 1)], P4,
+                            (((1,), (0,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=jnp.float32)
+                         for q in range(nq)]               # nq x (ck, P)
+                    e0, e1, e2, zz = V[0], V[1], V[2], V[3]
                 else:
-                    cd = (e0 * col(14 + d) + e1 * col(14 + D + d)
-                          + e2 * col(14 + 2 * D + d))
-                cd = jnp.where(win, cd, 0.0)
-                cdm = jnp.sum(cd, axis=0, keepdims=True)
-                outs.append(jnp.where(upd, cdm, rd))
-            return (jnp.where(upd, cmin, kacc), *outs)
+                    e0 = col(0) * X + col(1) * Y + col(2)
+                    e1 = col(3) * X + col(4) * Y + col(5)
+                    e2 = col(6) * X + col(7) * Y + col(8)
+                    zz = e0 * col(9) + e1 * col(10) + e2 * col(11)
+                m = jnp.minimum(jnp.minimum(e0, e1), e2)
+                if z_clip:
+                    cov = (m >= 0.0) & (zz >= 0.0) & (zz <= 1.0)
+                else:
+                    # caller verified every vertex z in [0, 1] (see
+                    # render_gouraud_pallas z_clip=False): interior zz is
+                    # a convex combination, and int truncation-toward-
+                    # zero keeps ulp spill inside [0, Z_LEVELS]
+                    cov = m >= 0.0
+                zq = (zz * Z_LEVELS).astype(jnp.int32)
+                ids = base + c * ck + slot0
+                keys = jnp.where(cov, (zq << IDX_BITS) | ids,
+                                 jnp.int32(SKY_KEY))
+
+                cmin = jnp.min(keys, axis=0, keepdims=True)
+                win = (keys == cmin) & cov
+                upd = cmin < kacc
+                outs = []
+                for d, rd in enumerate(rs):
+                    if mxu:
+                        cd = V[4 + d]
+                    else:
+                        cd = (e0 * col(14 + d) + e1 * col(14 + D + d)
+                              + e2 * col(14 + 2 * D + d))
+                    cd = jnp.where(win, cd, 0.0)
+                    cdm = jnp.sum(cd, axis=0, keepdims=True)
+                    outs.append(jnp.where(upd, cdm, rd))
+                return (jnp.where(upd, cmin, kacc), *outs)
+            return body
 
         sky = jnp.full((1, P), SKY_KEY, jnp.int32)
         zero = jnp.zeros((1, P), jnp.float32)
-        res = lax.fori_loop(0, nchunks, body,
-                            (sky,) + (zero,) * nacc)
+        if ktail:
+            # full kcc-chunks, then the run remainder in ktail-chunks:
+            # kcc=32 pads the mean ~50-pair run by ~12 never-useful
+            # slots; the small-tail walk trims that padding while the
+            # full chunks keep the big-chunk machinery amortisation
+            nfull = count // kcc
+            rem = count - nfull * kcc
+            res = lax.fori_loop(0, nfull, make_body(kcc, 0),
+                                (sky,) + (zero,) * nacc)
+            res = lax.fori_loop(0, (rem + ktail - 1) // ktail,
+                                make_body(ktail, nfull * kcc), res)
+        else:
+            nchunks = (count + kcc - 1) // kcc
+            res = lax.fori_loop(0, nchunks, make_body(kcc, 0),
+                                (sky,) + (zero,) * nacc)
         kacc, rs = res[0], res[1:]
 
         if tex_dims:
@@ -475,7 +501,19 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                 # writes back ONCE, so the per-program out-block swap
                 # machinery disappears; each program stores its own
                 # tile row at a dynamic leading index
-                keys_ref[pl.ds(i, 1), 0] = out
+                if out8:
+                    # (nt, P//128, 128) out: the tile's P packed pixels
+                    # land sublane-major, so the array already has XLA's
+                    # native T(8,128) layout — without this the
+                    # (nt, 1, P) T(1,128) pallas out pays a relayout
+                    # copy before the detile reshape (0.021 ms/frame at
+                    # the 1080p champion, exp_r4_champprof2 copy.42)
+                    rows8 = jnp.concatenate(
+                        [out[:, k * 128:(k + 1) * 128]
+                         for k in range(P // 128)], axis=0)
+                    keys_ref[pl.ds(i, 1)] = rows8[None]
+                else:
+                    keys_ref[pl.ds(i, 1), 0] = out
             else:
                 keys_ref[0] = out
         else:
@@ -562,14 +600,15 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
 
 @functools.partial(jax.jit,
                    static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                   15, 16, 17))
+                                   15, 16, 17, 18, 19))
 def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                       tile_w: int, Kb: int, interpret: bool = False,
                       kcc: int = KCC, tiles_per_frame: int = 0,
                       u8: bool = False, opaque: bool = False,
                       z_clip: bool = True, tex_dims=None,
                       resident_out: bool = False, mxu: int = 0,
-                      mega: int = 0, wf: int = 0):
+                      mega: int = 0, wf: int = 0, out8: bool = False,
+                      ktail: int = 0):
     """Flat-bins kernel launch.  sorted_pad: (Spad,) i32 packed pairs from
     bin_triangles_flat (multi-frame: frames' arrays concatenated, with the
     scalar block indices made absolute by the caller); scalars: (5*NT,)
@@ -582,6 +621,9 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
     P = tile_h * tile_w
     assert mega == 0 or (u8 and not tex_dims), \
         "mega loop is wired for the u8 video path"
+    assert not out8 or (u8 and resident_out and not wf and not tex_dims), \
+        "out8 is wired for the resident-out u8 video path"
+    assert not (ktail and mxu), "ktail walks the FMA body only"
     nblocks = sorted_pad.shape[0] // Kb
     blocks = sorted_pad.reshape(nblocks, 1, Kb)
     if table.ndim == 2:
@@ -616,7 +658,8 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
         packed = pl.pallas_call(
             _make_kernel_flat(tile_h, tile_w, Kb, kcc, u8=True,
                               opaque=opaque, z_clip=z_clip,
-                              resident_out=True, mxu=mxu, wf=wf),
+                              resident_out=True, mxu=mxu, wf=wf,
+                              ktail=ktail),
             out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
             grid_spec=grid_spec,
             interpret=interpret,
@@ -654,7 +697,8 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
             pl.BlockSpec((1, table.shape[1], ROW_W), tab_map),
         ],
         out_specs=(
-            [(pl.BlockSpec((nt, 1, P), lambda i, s: (0, 0, 0))
+            [(pl.BlockSpec((nt, P // 128, 128) if out8 else (nt, 1, P),
+                           lambda i, s: (0, 0, 0))
               if resident_out else
               pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)))]
             if (u8 or tex_dims) else
@@ -670,14 +714,16 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
                               opaque=opaque, z_clip=z_clip,
                               tex_dims=tex_dims,
                               resident_out=resident_out, mxu=mxu,
-                              mega=mega),
-            out_shape=[jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)],
+                              mega=mega, out8=out8, ktail=ktail),
+            out_shape=[jax.ShapeDtypeStruct(
+                (nt, P // 128, 128) if out8 else (nt, 1, P), jnp.int32)],
             grid_spec=grid_spec,
             interpret=interpret,
         )(scalars, blocks, blocks, table)[0]
         return packed
     keys, rgba = pl.pallas_call(
-        _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=z_clip, mxu=mxu),
+        _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=z_clip, mxu=mxu,
+                          ktail=ktail),
         out_shape=(
             jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
             jax.ShapeDtypeStruct((nt, D, P), jnp.float32),
@@ -822,7 +868,8 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
                                  z_clip: bool = True,
                                  resident_out: bool = False,
                                  mxu: int = 0, mega: int = 0,
-                                 wf: int = 0):
+                                 wf: int = 0, out8: bool = False,
+                                 ktail: int = 0):
     """Video-path raster: fused u8 quantise in the kernel epilogue, no
     depth output.  Returns rgba (H, W, 4) uint8 — exactly
     clip(rgba_f32 * 255, 0, 255) truncated, with bg quantised the same
@@ -853,7 +900,8 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
 
     packed = raster_tiles_flat(sorted_pad, table, scalars, nt, tile_h,
                                tile_w, Kb, interpret, kcc, 0, True, opaque,
-                               z_clip, None, resident_out, mxu, mega, wf)
+                               z_clip, None, resident_out, mxu, mega, wf,
+                               out8, ktail)
     return _detile_packed(packed.reshape(nt, -1), nty, ntx, tile_h,
                           tile_w, height, width)
 

@@ -807,7 +807,7 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-                    19, 20, 21, 22, 23))
+                    19, 20, 21, 22, 23, 24, 25))
 def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 512, bg=None, span_x: int = 8,
@@ -817,7 +817,8 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           opaque: bool = False, z_clip: bool = True,
                           wide_split: bool = False,
                           resident_out: bool = False, mxu: int = 0,
-                          mega: int = 0, wf: int = 0, pre=None):
+                          mega: int = 0, wf: int = 0, out8: bool = False,
+                          ktail: int = 0, pre=None):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned.
@@ -841,7 +842,14 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
     ``pre``: optional ``(v4f, attrsf)`` from :func:`pregather_mesh` +
     ``vtx_colors[faces]`` — hoists the frame-invariant per-face gathers
     out of device frame loops (XLA re-runs them every iteration
-    otherwise; ~0.07 ms/frame at 10k faces, exp_r4_champprof2)."""
+    otherwise; ~0.07 ms/frame at 10k faces, exp_r4_champprof2).
+
+    ``out8`` (u8+resident_out): kernel out shaped (NT, P/128, 128)
+    sublane-major instead of (NT, 1, P) so the array is born in XLA's
+    native T(8,128) layout — drops the post-kernel relayout copy before
+    the detile (exp_r4_out8).  ``ktail`` (u8, non-mxu): walk each run's
+    kcc-remainder in ktail-slot chunks instead of one padded kcc chunk
+    (bit-exact; spilled slots can only lose ties)."""
     from . import pallas_raster
     if mxu:
         assert flat and u8, "mxu walk requires flat=True, u8=True"
@@ -885,6 +893,8 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
         else:
             table = pallas_raster.build_table(A, B, C, zsc, inv_area, sign,
                                               valid, attrs)
+        if out8 or ktail:
+            assert u8, "out8/ktail are wired for the u8 video path"
         if mega or wf:
             assert u8, "mega/wf loops are wired for the u8 video path"
             assert not (mega and wf), "mega and wf are exclusive"
@@ -899,7 +909,7 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
             rgba8 = pallas_raster.render_binned_pallas_flat_u8(
                 sorted_pad, starts, counts, table, bg, width, height,
                 tile_w, tile_h, capacity, interpret, kcc, opaque, z_clip,
-                resident_out, mxu, mega, wf)
+                resident_out, mxu, mega, wf, out8, ktail)
             return rgba8, None, overflow
         keys, rgba = pallas_raster.render_binned_pallas_flat(
             sorted_pad, starts, counts, table, bg, width, height,
@@ -1204,9 +1214,9 @@ def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
                     20, 21))
 def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  height: int, mvps=None,
-                                 tile_w: int = 64, tile_h: int = 32,
+                                 tile_w: int = 32, tile_h: int = 32,
                                  capacity: int = 512, bg=None,
-                                 span_x: int = 3, span_y: int = 4,
+                                 span_x: int = 5, span_y: int = 3,
                                  interpret: bool = False, kcc: int = 16,
                                  perspective_correct: bool = True,
                                  tex_nw: int = 16,
@@ -1224,16 +1234,18 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
     pixels take the u8-quantised bg.  Sampling semantics: clamped
     nearest (reference DrawTexture inverse-UV family, cpp:754-777).
 
-    Default tiles are (64, 32) with ``tex_nw=16`` windows, unlike the
-    color path's (128, 8): the footprint windows are texture-row
-    aligned, so a wide pixel tile whose screen-x maps to texture-v
-    (any rotated mesh) needs the footprint to span many texture rows —
-    measured 20.6% unresolved on the rotating bench mesh with (128, 8)
-    tiles + 8 windows vs 6.4% at (64, 16) + 16 (tools/exp_tex_resolve
-    .py, exp_fp_hist.py).  TPU ladder on the bench's planar-UV
-    workload (tools/exp_r3_texladder.py, 2026-08-18): (64, 32)
-    span (3, 4) = 3.29 ms/frame vs (64, 16) span (3, 6) = 3.70 —
-    checksums bit-identical across tile configs.  The remaining misses cluster in a few
+    Default tiles are (32, 32) with ``tex_nw=16`` windows, unlike the
+    color path's historical (128, 8): the footprint windows are
+    texture-row aligned, so a wide pixel tile whose screen-x maps to
+    texture-v (any rotated mesh) needs the footprint to span many
+    texture rows — measured 20.6% unresolved on the rotating bench mesh
+    with (128, 8) tiles + 8 windows vs 6.4% at (64, 16) + 16
+    (tools/exp_tex_resolve.py, exp_fp_hist.py).  The round-3 ladder
+    picked (64, 32) span (3, 4) = 3.29 ms/frame (tools/
+    exp_r3_texladder.py); once the geometric fallback tiers made misses
+    cheap, (32, 32) span (5, 3) re-measured FASTER — 2.960 vs 3.057
+    ms/frame (tools/exp_r4_tex3232.py, 2026-08-19), checksums
+    bit-identical across tile configs.  The remaining misses cluster in a few
     steep-UV-gradient tiles, so the fallback gathers ONLY those tiles
     (``fb_tile_cap`` static compaction via nonzero(size=...), ~2 ns/row
     -> ~0.2 ms/frame) unless they exceed the cap (whole-plane gather).
@@ -1281,9 +1293,9 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19))
 def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 height: int, mvps=None,
-                                tile_w: int = 64, tile_h: int = 32,
+                                tile_w: int = 32, tile_h: int = 32,
                                 capacity: int = 512, bg=None,
-                                span_x: int = 3, span_y: int = 4,
+                                span_x: int = 5, span_y: int = 3,
                                 interpret: bool = False, kcc: int = 16,
                                 perspective_correct: bool = True,
                                 tex_nw: int = 16,

@@ -219,6 +219,26 @@ def test_u8_mega_loop_matches():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
 
 
+def test_u8_out8_ktail_match():
+    # out8: (NT, P/128, 128) sublane-major out (layout-native store) and
+    # ktail: small-chunk remainder walk — both must be bit-exact vs the
+    # plain resident-out grid kernel, alone and combined with mega
+    v, f, c, m = _scene()
+    bg = jnp.asarray([0.12, 0.34, 0.56, 1.0], jnp.float32)
+    kw = dict(tile_w=32, tile_h=8, capacity=1024, bg=bg, span_x=8,
+              span_y=8, interpret=True, flat=True, u8=True,
+              resident_out=True)
+    base, _, ovf = raster3d.render_gouraud_pallas(v, f, c, W, H, m, **kw)
+    assert not bool(ovf)
+    for extra in (dict(out8=True), dict(ktail=8), dict(ktail=4),
+                  dict(out8=True, ktail=8),
+                  dict(out8=True, ktail=8, mega=2)):
+        got, _, ovf_v = raster3d.render_gouraud_pallas(
+            v, f, c, W, H, m, **kw, **extra)
+        assert not bool(ovf_v), extra
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
 def test_clamp_mega():
     # the kernel needs mega | NT; entry points clamp a user mega down
     # to the largest divisor instead of crashing (advisor r3, raster3d
