@@ -464,6 +464,27 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                 for w in range(NW):
                     acc = wstep(jnp.int32(w), acc)
 
+            bgp = scal_ref[5 * nt]
+            if out8:
+                # sublane-major (n_sub, 128) outputs: the selects run on
+                # the to_sub forms that already exist (hit_s, vi_s,
+                # ui_s, acc, resolved), so BOTH from_sub masked
+                # sum-reduce conversions disappear AND the out array is
+                # born in XLA's native T(8,128) layout (same win as the
+                # flat path's out8, see that branch)
+                packed_out = jnp.where(hit_s,
+                                       jnp.where(resolved, acc, 0), bgp)
+                fbidx_out = jnp.where(
+                    hit_s, jnp.where(resolved, jnp.int32(-2),
+                                     vi_s * (bpr * 128) + ui_s),
+                    jnp.int32(-1))
+                if si is None:
+                    keys_ref[0] = packed_out
+                    rgba_ref[0] = fbidx_out
+                else:
+                    keys_ref[pl.ds(si, 1)] = packed_out[None]
+                    rgba_ref[pl.ds(si, 1)] = fbidx_out[None]
+                return
             i0 = lax.broadcasted_iota(jnp.int32, (n_sub, 128), 0)
 
             def from_sub(v):
@@ -473,7 +494,6 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
 
             acc1 = from_sub(acc)
             res1 = from_sub(resolved.astype(jnp.int32)) != 0
-            bgp = scal_ref[5 * nt]
             packed_out = jnp.where(hit1, jnp.where(res1, acc1, 0), bgp)
             fbidx_out = jnp.where(
                 hit1, jnp.where(res1, jnp.int32(-2),
@@ -736,14 +756,15 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
 
 @functools.partial(jax.jit,
                    static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                   15, 16))
+                                   15, 16, 17, 18))
 def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                      tile_h: int, tile_w: int, Kb: int,
                      interpret: bool = False, kcc: int = KCC,
                      tiles_per_frame: int = 0, tex_dims=None,
                      tex_nw: int = 8, mxu: int = 0,
                      tex_split: bool = False, mega: int = 0,
-                     tex_dyn: bool = False):
+                     tex_dyn: bool = False, out8: bool = False,
+                     ktail: int = 0):
     """tex_resolve kernel launch (see _make_kernel_flat): tex_l is the
     packed-i32 texture in (th*bpr, 128) window layout, VMEM-resident
     across all programs.  scalars: (5*NT+1,) with the packed background
@@ -763,6 +784,10 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
         table = table[None]
     tpf = tiles_per_frame or nt
     tr, tc = tex_l.shape
+    # out8: (n_sub, 128) sublane-major out blocks (see _make_kernel_flat
+    # tex epilogue) — the per-tile plane is the same P pixels in the
+    # same flat order, so callers' reshape(nt, -1) is unchanged
+    obk = (P // 128, 128) if out8 else (1, P)
     if mega:
         assert nt % mega == 0 and tpf % mega == 0, (nt, tpf, mega)
         grid = nt // mega
@@ -772,10 +797,8 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
 
         def tab_map(i, s, _m=mega, _t=tpf):
             return (i * _m // _t, 0, 0)
-        out_specs = [pl.BlockSpec((mega, 1, P), lambda i, s: (i, 0, 0)),
-                     pl.BlockSpec((mega, 1, P), lambda i, s: (i, 0, 0))]
-        out_shape = [jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
-                     jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)]
+        out_specs = [pl.BlockSpec((mega,) + obk, lambda i, s: (i, 0, 0)),
+                     pl.BlockSpec((mega,) + obk, lambda i, s: (i, 0, 0))]
     else:
         grid = nt
 
@@ -784,10 +807,10 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
 
         def tab_map(i, s, _t=tpf):
             return (i // _t, 0, 0)
-        out_specs = [pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0)),
-                     pl.BlockSpec((1, 1, P), lambda i, s: (i, 0, 0))]
-        out_shape = [jax.ShapeDtypeStruct((nt, 1, P), jnp.int32),
-                     jax.ShapeDtypeStruct((nt, 1, P), jnp.int32)]
+        out_specs = [pl.BlockSpec((1,) + obk, lambda i, s: (i, 0, 0)),
+                     pl.BlockSpec((1,) + obk, lambda i, s: (i, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((nt,) + obk, jnp.int32),
+                 jax.ShapeDtypeStruct((nt,) + obk, jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
@@ -808,7 +831,8 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
         _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=True,
                           tex_dims=tuple(tex_dims), tex_resolve=True,
                           tex_nw=tex_nw, tex_split=tex_split, mxu=mxu,
-                          mega=mega, tex_dyn=tex_dyn),
+                          mega=mega, tex_dyn=tex_dyn, out8=out8,
+                          ktail=ktail),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -984,7 +1008,8 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
                                     kcc: int = KCC, tex_nw: int = 8,
                                     detile: bool = True, mxu: int = 0,
                                     tex_split: bool = False,
-                                    mega: int = 0, tex_dyn: bool = False):
+                                    mega: int = 0, tex_dyn: bool = False,
+                                    out8: bool = False, ktail: int = 0):
     """Batched in-kernel-texel raster: B frames in one launch through the
     tex_resolve kernel (texels fetched from the VMEM-resident packed
     texture via per-tile footprint windows).  Returns
@@ -1028,7 +1053,7 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
     packed, fbidx = raster_tiles_tex(
         sorted_pads.reshape(-1), tables, scalars, tex_l, Bn * nt,
         tile_h, tile_w, Kb, interpret, kcc, nt, tuple(tex_dims), tex_nw,
-        mxu, tex_split, mega, tex_dyn)
+        mxu, tex_split, mega, tex_dyn, out8, ktail)
 
     if not detile:
         return packed.reshape(Bn, nt, -1), fbidx.reshape(Bn, nt, -1)

@@ -1211,7 +1211,7 @@ def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
 @functools.partial(
     jax.jit,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
-                    20, 21))
+                    20, 21, 22, 23))
 def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  height: int, mvps=None,
                                  tile_w: int = 32, tile_h: int = 32,
@@ -1222,7 +1222,8 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  tex_nw: int = 16,
                                  fb_tile_cap: int = 1024, mxu: int = 0,
                                  tex_split: bool = True, mega: int = 0,
-                                 tex_dyn: bool = False):
+                                 tex_dyn: bool = False,
+                                 out8: bool = False, ktail: int = 0):
     """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
     launch.  The tile kernel fetches texels IN-KERNEL from the
     VMEM-resident packed texture through per-tile UV-footprint windows
@@ -1279,7 +1280,8 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
         sps, starts, counts, tables, tex_l, bg, width, height, tile_w,
         tile_h, capacity, (th_t, tw_t), interpret, kcc, tex_nw,
         detile=False, mxu=mxu, tex_split=tex_split,
-        mega=mega, tex_dyn=tex_dyn)                   # (B, NT, P) each
+        mega=mega, tex_dyn=tex_dyn, out8=out8,
+        ktail=ktail)                                  # (B, NT, P) each
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
     rgba = _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr,
@@ -1290,7 +1292,8 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
 
 @functools.partial(
     jax.jit,
-    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19))
+    static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+                    20, 21))
 def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 height: int, mvps=None,
                                 tile_w: int = 32, tile_h: int = 32,
@@ -1301,7 +1304,8 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 tex_nw: int = 16,
                                 fb_tile_cap: int = 1024,
                                 tex_split: bool = True,
-                                tex_dyn: bool = False):
+                                tex_dyn: bool = False,
+                                out8: bool = False, ktail: int = 0):
     """Fused-loop textured render: B frames in ONE jitted program, a
     device-side fori_loop running SINGLE-frame prep + tex_resolve kernel
     + fallback per iteration.  The flat color path measured the vmapped
@@ -1334,7 +1338,7 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
             sp[None], st[None], cn[None], tb[None], tex_l, bg, width,
             height, tile_w, tile_h, capacity, (th_t, tw_t), interpret,
             kcc, tex_nw, detile=False, mxu=0, tex_split=tex_split,
-            mega=0, tex_dyn=tex_dyn)
+            mega=0, tex_dyn=tex_dyn, out8=out8, ktail=ktail)
         rgba = _tex_resolve_finish(pk, fbm, tex_l, th_t, tw_t, bpr,
                                    fb_tile_cap, ntx, nty, tile_h,
                                    tile_w, height, width)

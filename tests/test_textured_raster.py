@@ -181,6 +181,31 @@ def test_tex_mega_loop_matches():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
 
 
+def test_tex_out8_ktail_match():
+    # out8: sublane-major (n_sub, 128) out blocks — the tex epilogue
+    # skips BOTH from_sub masked-reduce conversions and the out array is
+    # born layout-native; ktail: small-chunk remainder walk.  Bit-exact
+    # vs the plain tex kernel, alone and combined with mega.
+    rng = np.random.default_rng(3)
+    verts, faces, uvs = mesh.quad_batch(12, seed=3)
+    tex_u8 = rng.integers(0, 256, (32, 32, 4), np.uint8)
+    mvp = np.eye(4, dtype=np.float32)
+    args = (jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
+            jnp.asarray(np.stack([mvp, mvp])))
+    kw = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
+              interpret=True)
+    base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
+    assert not bool(ovf)
+    for extra in (dict(out8=True), dict(ktail=8),
+                  dict(out8=True, ktail=8),
+                  dict(out8=True, ktail=8, mega=2)):
+        got, ovf_v = raster3d.render_textured_pallas_batch(
+            *args, **kw, **extra)
+        assert not bool(ovf_v), extra
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
 def test_tex_fused_loop_matches_batch():
     # render_textured_pallas_loop (single-frame prep + kernel inside a
     # device fori_loop) == the vmap-batched entry, bit-exact — same

@@ -24,11 +24,13 @@ from libnativecpurenderer_tpu.ops import raster3d           # noqa: E402
 W, H = 1920, 1080
 CFGS = [
     ("kcc16/nw16 control", dict()),
+    ("out8", dict(out8=True)),
+    ("out8+ktail8", dict(out8=True, ktail=8)),
     ("kcc24", dict(kcc=24)),
     ("kcc32", dict(kcc=32)),
     ("nw14", dict(tex_nw=14)),
     ("nw12", dict(tex_nw=12)),
-    ("kcc24/nw12", dict(kcc=24, tex_nw=12)),
+    ("out8+ktail8/kcc24", dict(out8=True, ktail=8, kcc=24)),
 ]
 
 
