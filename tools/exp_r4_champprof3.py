@@ -33,7 +33,7 @@ W, H = 1920, 1080
 FRAMES = 48
 CFG = dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=1024,
            flat=True, kcc=32, u8=True, opaque=True, z_clip=False,
-           resident_out=True, mega=8, out8=True, ktail=8)
+           resident_out=True, mega=8, out8=True)
 
 
 def main():
