@@ -522,9 +522,11 @@ def bench_textured(frames: int = 24, batch: int = 12):
         log(f"textured: batched {dt_b / frames * 1e3:.2f} ms/frame")
 
         # fused-loop racer: per-frame prep inside a device fori (the
-        # structure that won the flat path) — bit-identical output
+        # structure that won the flat path) — bit-identical output.
+        # Entry defaults carry the session-F winner (out8 + kcc32 +
+        # nw14 = 2.824 vs 2.941 control, exp_r4_texfinal.py)
         lfn = functools.partial(raster3d.render_textured_pallas_loop,
-                                capacity=512, kcc=16)
+                                capacity=512)
 
         def run_loop(reps=REPS_B):
             outs = []

@@ -130,7 +130,7 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                       resident_out: bool = False, mxu: int = 0,
                       mega: int = 0, wf: int = 0,
                       tex_dyn: bool = False, out8: bool = False,
-                      ktail: int = 0):
+                      ktail: int = 0, tex_when: int = 0):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
@@ -217,7 +217,7 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
 
     def kernel(scal_ref, blk0_ref, blk1_ref, table_ref, keys_ref, rgba_ref,
                rows_s, tex_ref=None, tile_i=None, nt_tiles=None,
-               store_i=None):
+               store_i=None, acc_s=None):
         if tile_i is None:
             i = pl.program_id(0)
             nt = pl.num_programs(0)
@@ -448,7 +448,30 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                 return jnp.where(blk == w, g, acc)
 
             acc = jnp.zeros((n_sub, 128), jnp.int32)
-            if tex_dyn:
+            if tex_when:
+                # grouped PREDICATED unroll: windows run in groups of
+                # ``tex_when``, each group wrapped in a pl.when on
+                # whether ANY resolved pixel still needs a window at or
+                # past the group start.  Same skip argument as tex_dyn
+                # (every consumed acc position has blk < w_need, so
+                # skipped groups only differ at never-consumed
+                # positions — bit-exact), but the group INTERIOR stays a
+                # static unroll, so the row reads keep the pipelining
+                # the per-iteration fori serialised (tex_dyn measured
+                # 3.51 vs 3.22 ms/frame, ROADMAP).  acc lives in a VMEM
+                # scratch because pl.when has no carried results.
+                w_need = jnp.max(jnp.where(resolved, blk,
+                                           jnp.int32(-1))) + 1
+                acc_s[...] = acc
+                for g0 in range(0, NW, tex_when):
+                    @pl.when(w_need > g0)
+                    def _(g0=g0):
+                        a = acc_s[...]
+                        for w in range(g0, min(g0 + tex_when, NW)):
+                            a = wstep(jnp.int32(w), a)
+                        acc_s[...] = a
+                acc = acc_s[...]
+            elif tex_dyn:
                 # per-tile DYNAMIC window count: w_need is the exact
                 # supremum of windows any resolved pixel reads (blk <
                 # w_need by construction), so iterations w >= w_need
@@ -543,22 +566,25 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
     if tex_resolve:
         if mega:
             def kernel_tex_mega(scal_ref, blk0_ref, blk1_ref, table_ref,
-                                tex_ref, packed_ref, fbidx_ref, rows_s):
+                                tex_ref, packed_ref, fbidx_ref, rows_s,
+                                acc_s=None):
                 p = pl.program_id(0)
                 nt = pl.num_programs(0) * mega
 
                 def tile_body(t, acc):
                     kernel(scal_ref, blk0_ref, blk1_ref, table_ref,
                            packed_ref, fbidx_ref, rows_s, tex_ref=tex_ref,
-                           tile_i=p * mega + t, nt_tiles=nt, store_i=t)
+                           tile_i=p * mega + t, nt_tiles=nt, store_i=t,
+                           acc_s=acc_s)
                     return acc
                 lax.fori_loop(0, mega, tile_body, jnp.int32(0))
             return kernel_tex_mega
 
         def kernel_tex(scal_ref, blk0_ref, blk1_ref, table_ref, tex_ref,
-                       packed_ref, fbidx_ref, rows_s):
+                       packed_ref, fbidx_ref, rows_s, acc_s=None):
             return kernel(scal_ref, blk0_ref, blk1_ref, table_ref,
-                          packed_ref, fbidx_ref, rows_s, tex_ref=tex_ref)
+                          packed_ref, fbidx_ref, rows_s, tex_ref=tex_ref,
+                          acc_s=acc_s)
         return kernel_tex
     if wf:
         assert u8 and resident_out and not tex_dims and not mega, \
@@ -756,7 +782,7 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
 
 @functools.partial(jax.jit,
                    static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                   15, 16, 17, 18))
+                                   15, 16, 17, 18, 19))
 def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                      tile_h: int, tile_w: int, Kb: int,
                      interpret: bool = False, kcc: int = KCC,
@@ -764,7 +790,7 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                      tex_nw: int = 8, mxu: int = 0,
                      tex_split: bool = False, mega: int = 0,
                      tex_dyn: bool = False, out8: bool = False,
-                     ktail: int = 0):
+                     ktail: int = 0, tex_when: int = 0):
     """tex_resolve kernel launch (see _make_kernel_flat): tex_l is the
     packed-i32 texture in (th*bpr, 128) window layout, VMEM-resident
     across all programs.  scalars: (5*NT+1,) with the packed background
@@ -778,6 +804,8 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
     if P % 128 or P < 256:
         raise ValueError("tex_resolve needs P % 128 == 0 and P >= 256 "
                          "(Mosaic dynamic_gather lane constraint)")
+    assert not (tex_when and tex_dyn), \
+        "tex_when (predicated groups) and tex_dyn (fori) are exclusive"
     nblocks = sorted_pad.shape[0] // Kb
     blocks = sorted_pad.reshape(nblocks, 1, Kb)
     if table.ndim == 2:
@@ -823,16 +851,17 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
             pl.BlockSpec((tr, tc), lambda i, s: (0, 0)),
         ],
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((kcc, ROW_W), jnp.float32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((kcc, ROW_W), jnp.float32)]
+            + ([pltpu.VMEM((P // 128, 128), jnp.int32)] if tex_when
+               else [])),
     )
     packed, fbidx = pl.pallas_call(
         _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=True,
                           tex_dims=tuple(tex_dims), tex_resolve=True,
                           tex_nw=tex_nw, tex_split=tex_split, mxu=mxu,
                           mega=mega, tex_dyn=tex_dyn, out8=out8,
-                          ktail=ktail),
+                          ktail=ktail, tex_when=tex_when),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1009,7 +1038,8 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
                                     detile: bool = True, mxu: int = 0,
                                     tex_split: bool = False,
                                     mega: int = 0, tex_dyn: bool = False,
-                                    out8: bool = False, ktail: int = 0):
+                                    out8: bool = False, ktail: int = 0,
+                                    tex_when: int = 0):
     """Batched in-kernel-texel raster: B frames in one launch through the
     tex_resolve kernel (texels fetched from the VMEM-resident packed
     texture via per-tile footprint windows).  Returns
@@ -1053,7 +1083,7 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
     packed, fbidx = raster_tiles_tex(
         sorted_pads.reshape(-1), tables, scalars, tex_l, Bn * nt,
         tile_h, tile_w, Kb, interpret, kcc, nt, tuple(tex_dims), tex_nw,
-        mxu, tex_split, mega, tex_dyn, out8, ktail)
+        mxu, tex_split, mega, tex_dyn, out8, ktail, tex_when)
 
     if not detile:
         return packed.reshape(Bn, nt, -1), fbidx.reshape(Bn, nt, -1)

@@ -1211,7 +1211,7 @@ def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
 @functools.partial(
     jax.jit,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
-                    20, 21, 22, 23))
+                    20, 21, 22, 23, 24))
 def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  height: int, mvps=None,
                                  tile_w: int = 32, tile_h: int = 32,
@@ -1223,7 +1223,8 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  fb_tile_cap: int = 1024, mxu: int = 0,
                                  tex_split: bool = True, mega: int = 0,
                                  tex_dyn: bool = False,
-                                 out8: bool = False, ktail: int = 0):
+                                 out8: bool = False, ktail: int = 0,
+                                 tex_when: int = 0):
     """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
     launch.  The tile kernel fetches texels IN-KERNEL from the
     VMEM-resident packed texture through per-tile UV-footprint windows
@@ -1281,7 +1282,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
         tile_h, capacity, (th_t, tw_t), interpret, kcc, tex_nw,
         detile=False, mxu=mxu, tex_split=tex_split,
         mega=mega, tex_dyn=tex_dyn, out8=out8,
-        ktail=ktail)                                  # (B, NT, P) each
+        ktail=ktail, tex_when=tex_when)               # (B, NT, P) each
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
     rgba = _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr,
@@ -1293,19 +1294,20 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
 @functools.partial(
     jax.jit,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
-                    20, 21))
+                    20, 21, 22))
 def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 height: int, mvps=None,
                                 tile_w: int = 32, tile_h: int = 32,
                                 capacity: int = 512, bg=None,
                                 span_x: int = 5, span_y: int = 3,
-                                interpret: bool = False, kcc: int = 16,
+                                interpret: bool = False, kcc: int = 32,
                                 perspective_correct: bool = True,
-                                tex_nw: int = 16,
+                                tex_nw: int = 14,
                                 fb_tile_cap: int = 1024,
                                 tex_split: bool = True,
                                 tex_dyn: bool = False,
-                                out8: bool = False, ktail: int = 0):
+                                out8: bool = True, ktail: int = 0,
+                                tex_when: int = 0):
     """Fused-loop textured render: B frames in ONE jitted program, a
     device-side fori_loop running SINGLE-frame prep + tex_resolve kernel
     + fallback per iteration.  The flat color path measured the vmapped
@@ -1313,7 +1315,15 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
     (layout/copy overhead the single-frame prep fuses away — bench.py
     ladder note); this entry gives the textured path the same structure.
     Output bit-identical to render_textured_pallas_batch (same per-frame
-    ops; asserted in tests/test_textured_raster.py)."""
+    ops; asserted in tests/test_textured_raster.py).
+
+    Defaults carry the session-F device race (tools/exp_r4_texfinal.py,
+    2026-08-19, checksums identical across configs): out8 + kcc=32 +
+    tex_nw=14 = 2.824 ms/frame vs 2.941 for the kcc16/nw16/from_sub
+    control at the (32, 32) span (5, 3) champion tiles.  nw14 trades a
+    few more footprint misses to the geometric fallback tiers for two
+    fewer window walks; bit-exactness is structural (the fallback
+    fetches the same texel)."""
     from . import pallas_raster
     if bg is None:
         bg = jnp.zeros(4, jnp.float32)
@@ -1338,7 +1348,8 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
             sp[None], st[None], cn[None], tb[None], tex_l, bg, width,
             height, tile_w, tile_h, capacity, (th_t, tw_t), interpret,
             kcc, tex_nw, detile=False, mxu=0, tex_split=tex_split,
-            mega=0, tex_dyn=tex_dyn, out8=out8, ktail=ktail)
+            mega=0, tex_dyn=tex_dyn, out8=out8, ktail=ktail,
+            tex_when=tex_when)
         rgba = _tex_resolve_finish(pk, fbm, tex_l, th_t, tw_t, bpr,
                                    fb_tile_cap, ntx, nty, tile_h,
                                    tile_w, height, width)

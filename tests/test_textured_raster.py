@@ -367,3 +367,33 @@ def test_tex_dyn_window_loop_matches():
             *args, tex_dyn=True, **kw)
         assert bool(ovf) == bool(ovf_d)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+def test_tex_when_predicated_groups_match():
+    # tex_when=g (grouped predicated unroll: windows run in static
+    # groups of g, each group wrapped in pl.when(w_need > group_start))
+    # is bit-exact vs the full static unroll — same skip argument as
+    # tex_dyn, but group interiors keep the unrolled pipelining.
+    # Exercised with a rotated mesh (varied footprint demand), both
+    # split modes, group sizes that do and don't divide NW, and
+    # combined with out8.
+    rng = np.random.default_rng(11)
+    verts, faces, uvs = mesh.quad_batch(12, seed=11)
+    tex_u8 = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    rot = mesh.rotation_y(0.6) @ mesh.rotation_x(0.3)
+    mvps = jnp.asarray(np.stack([np.eye(4), rot]).astype(np.float32))
+    args = (jnp.asarray(verts, jnp.float32),
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
+            mvps)
+    for split in (False, True):
+        kw = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
+                  interpret=True, tex_split=split)
+        base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
+        for extra in (dict(tex_when=4), dict(tex_when=6),
+                      dict(tex_when=16), dict(tex_when=4, out8=True)):
+            got, ovf_w = raster3d.render_textured_pallas_batch(
+                *args, **kw, **extra)
+            assert bool(ovf) == bool(ovf_w), extra
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(base), err_msg=str(extra))
