@@ -782,7 +782,7 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
 
 @functools.partial(jax.jit,
                    static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                   15, 16, 17, 18, 19))
+                                   15, 16, 17, 18, 19, 20))
 def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                      tile_h: int, tile_w: int, Kb: int,
                      interpret: bool = False, kcc: int = KCC,
@@ -790,7 +790,8 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                      tex_nw: int = 8, mxu: int = 0,
                      tex_split: bool = False, mega: int = 0,
                      tex_dyn: bool = False, out8: bool = False,
-                     ktail: int = 0, tex_when: int = 0):
+                     ktail: int = 0, tex_when: int = 0,
+                     z_clip: bool = True):
     """tex_resolve kernel launch (see _make_kernel_flat): tex_l is the
     packed-i32 texture in (th*bpr, 128) window layout, VMEM-resident
     across all programs.  scalars: (5*NT+1,) with the packed background
@@ -857,7 +858,7 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                else [])),
     )
     packed, fbidx = pl.pallas_call(
-        _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=True,
+        _make_kernel_flat(tile_h, tile_w, Kb, kcc, z_clip=z_clip,
                           tex_dims=tuple(tex_dims), tex_resolve=True,
                           tex_nw=tex_nw, tex_split=tex_split, mxu=mxu,
                           mega=mega, tex_dyn=tex_dyn, out8=out8,
@@ -1039,7 +1040,8 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
                                     tex_split: bool = False,
                                     mega: int = 0, tex_dyn: bool = False,
                                     out8: bool = False, ktail: int = 0,
-                                    tex_when: int = 0):
+                                    tex_when: int = 0,
+                                    z_clip: bool = True):
     """Batched in-kernel-texel raster: B frames in one launch through the
     tex_resolve kernel (texels fetched from the VMEM-resident packed
     texture via per-tile footprint windows).  Returns
@@ -1083,7 +1085,7 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
     packed, fbidx = raster_tiles_tex(
         sorted_pads.reshape(-1), tables, scalars, tex_l, Bn * nt,
         tile_h, tile_w, Kb, interpret, kcc, nt, tuple(tex_dims), tex_nw,
-        mxu, tex_split, mega, tex_dyn, out8, ktail, tex_when)
+        mxu, tex_split, mega, tex_dyn, out8, ktail, tex_when, z_clip)
 
     if not detile:
         return packed.reshape(Bn, nt, -1), fbidx.reshape(Bn, nt, -1)

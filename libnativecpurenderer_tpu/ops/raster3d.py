@@ -1107,7 +1107,7 @@ def pack_texture_u8(tex_u8):
 
 def _tex_prep(verts, faces, fuv_all, mvp, width, height, tile_w, tile_h,
               capacity, span_x, span_y, perspective_correct, mxu,
-              v4f=None):
+              v4f=None, z_clip=True):
     """Per-frame prep for the tex_resolve kernels: projection, edges,
     gatherless binning, UVW attribute table.  Shared by the vmap-batched
     and fused-loop entries (identical ops -> identical bits).  ``v4f``
@@ -1122,6 +1122,15 @@ def _tex_prep(verts, faces, fuv_all, mvp, width, height, tile_w, tile_h,
     sorted_pad, starts, counts, ovf = bin_triangles_flat(
         tri["sxy"], vl, width, height, tile_w, tile_h, capacity,
         span_x, span_y, edges=(A, B, C, sg))
+    if not z_clip:
+        # same caller-verified contract as render_gouraud_pallas: the
+        # per-pixel z-range test may be skipped only when every valid
+        # vertex z is in [0, 1]; verified here and folded into the
+        # overflow flag so callers fall back to a z-clipped config
+        z_ok = jnp.all(jnp.where(tri["valid"][:, None],
+                                 (tri["z"] >= 0.0) & (tri["z"] <= 1.0),
+                                 True))
+        ovf = ovf | ~z_ok
     if perspective_correct:
         iw = tri["inv_w"][..., None]
         attrs = jnp.concatenate(
@@ -1211,7 +1220,7 @@ def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
 @functools.partial(
     jax.jit,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
-                    20, 21, 22, 23, 24))
+                    20, 21, 22, 23, 24, 25))
 def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  height: int, mvps=None,
                                  tile_w: int = 32, tile_h: int = 32,
@@ -1224,7 +1233,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  tex_split: bool = True, mega: int = 0,
                                  tex_dyn: bool = False,
                                  out8: bool = False, ktail: int = 0,
-                                 tex_when: int = 0):
+                                 tex_when: int = 0, z_clip: bool = True):
     """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
     launch.  The tile kernel fetches texels IN-KERNEL from the
     VMEM-resident packed texture through per-tile UV-footprint windows
@@ -1262,7 +1271,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
     def prep(mvp):
         return _tex_prep(verts, faces, fuv_all, mvp, width, height,
                          tile_w, tile_h, capacity, span_x, span_y,
-                         perspective_correct, mxu, v4f=v4f)
+                         perspective_correct, mxu, v4f=v4f, z_clip=z_clip)
 
     sps, starts, counts, tables, ovfs = jax.vmap(prep)(mvps)
     if mega:
@@ -1282,7 +1291,8 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
         tile_h, capacity, (th_t, tw_t), interpret, kcc, tex_nw,
         detile=False, mxu=mxu, tex_split=tex_split,
         mega=mega, tex_dyn=tex_dyn, out8=out8,
-        ktail=ktail, tex_when=tex_when)               # (B, NT, P) each
+        ktail=ktail, tex_when=tex_when,
+        z_clip=z_clip)                                # (B, NT, P) each
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
     rgba = _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr,
@@ -1294,7 +1304,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
 @functools.partial(
     jax.jit,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
-                    20, 21, 22))
+                    20, 21, 22, 23, 24))
 def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 height: int, mvps=None,
                                 tile_w: int = 32, tile_h: int = 32,
@@ -1307,7 +1317,8 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 tex_split: bool = True,
                                 tex_dyn: bool = False,
                                 out8: bool = True, ktail: int = 0,
-                                tex_when: int = 0):
+                                tex_when: int = 0, mega: int = 0,
+                                z_clip: bool = True):
     """Fused-loop textured render: B frames in ONE jitted program, a
     device-side fori_loop running SINGLE-frame prep + tex_resolve kernel
     + fallback per iteration.  The flat color path measured the vmapped
@@ -1337,19 +1348,23 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
     Bn = mvps.shape[0]
+    if mega:
+        mega = clamp_mega(mega, ntx * nty)
 
     def body(i, carry):
         acc, ovfa = carry
         sp, st, cn, tb, ovf = _tex_prep(
             verts, faces, fuv_all, mvps[i], width, height, tile_w,
             tile_h, capacity, span_x, span_y, perspective_correct, 0,
-            v4f=v4f)
+            v4f=v4f, z_clip=z_clip)
+        if mega:
+            ovf = ovf | mega_window_overflow(st, cn, capacity, mega)
         pk, fbm = pallas_raster.render_binned_tex_resolve_batch(
             sp[None], st[None], cn[None], tb[None], tex_l, bg, width,
             height, tile_w, tile_h, capacity, (th_t, tw_t), interpret,
             kcc, tex_nw, detile=False, mxu=0, tex_split=tex_split,
-            mega=0, tex_dyn=tex_dyn, out8=out8, ktail=ktail,
-            tex_when=tex_when)
+            mega=mega, tex_dyn=tex_dyn, out8=out8, ktail=ktail,
+            tex_when=tex_when, z_clip=z_clip)
         rgba = _tex_resolve_finish(pk, fbm, tex_l, th_t, tw_t, bpr,
                                    fb_tile_cap, ntx, nty, tile_h,
                                    tile_w, height, width)

@@ -397,3 +397,53 @@ def test_tex_when_predicated_groups_match():
             assert bool(ovf) == bool(ovf_w), extra
             np.testing.assert_array_equal(np.asarray(got),
                                           np.asarray(base), err_msg=str(extra))
+
+
+def test_tex_loop_mega_zclip_match():
+    # fused-loop entry: mega tile grouping and the caller-verified
+    # z_clip=False contract (z-range check folded into the overflow
+    # flag, mirroring render_gouraud_pallas) are bit-exact vs the
+    # per-tile-program z-clipped loop.  The z-remap mvp keeps every
+    # vertex z inside [0, 1] so z_clip=False stays on the fast path.
+    rng = np.random.default_rng(13)
+    verts, faces, uvs = mesh.quad_batch(12, seed=13)
+    tex_u8 = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    zmap = np.eye(4, dtype=np.float32)
+    zmap[2, 2] = 0.25
+    zmap[2, 3] = 0.5
+    rot = (zmap @ mesh.rotation_y(0.6) @ mesh.rotation_x(0.3)).astype(
+        np.float32)
+    mvps = jnp.asarray(np.stack([zmap, rot]))
+    args = (jnp.asarray(verts, jnp.float32),
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H)
+    kw = dict(mvps=mvps, tile_w=32, tile_h=8, capacity=512, span_x=8,
+              span_y=8, interpret=True)
+    base, ovf = raster3d.render_textured_pallas_loop(*args, **kw)
+    assert not bool(ovf)
+    for extra in (dict(mega=2), dict(z_clip=False),
+                  dict(mega=2, z_clip=False)):
+        got, ovf_v = raster3d.render_textured_pallas_loop(
+            *args, **kw, **extra)
+        assert not bool(ovf_v), extra
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base),
+                                      err_msg=str(extra))
+
+
+def test_tex_loop_zclip_off_flags_out_of_range():
+    # z outside [0, 1] with z_clip=False must raise the overflow flag
+    # (callers fall back to a z-clipped config) instead of rendering
+    # unclipped garbage.
+    rng = np.random.default_rng(14)
+    verts, faces, uvs = mesh.quad_batch(6, seed=14)
+    tex_u8 = rng.integers(0, 256, (32, 32, 4), np.uint8)
+    zmap = np.eye(4, dtype=np.float32)
+    zmap[2, 2] = 0.25
+    zmap[2, 3] = 1.5            # z' = 0.25 z + 1.5 > 1 for every vertex
+    mvps = jnp.asarray(zmap[None])
+    _, ovf = raster3d.render_textured_pallas_loop(
+        jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32),
+        jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
+        mvps=mvps, tile_w=32, tile_h=8, capacity=512, span_x=8,
+        span_y=8, interpret=True, z_clip=False)
+    assert bool(ovf)

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Tex mega + z_clip-off A/B at the out8+kcc32+nw14 champion: mega=8
+collapses 2040 per-tile programs to 255 (flat path won 0.15 ms from the
+same move, and the tex kernel pays per-program block machinery for TWO
+output planes); z_clip=False drops 2 compares/slot under the flat path's
+caller-verified contract (z-range folded into ovf).  Bit-exact
+(test_tex_loop_mega_zclip_match).
+
+Run: nohup python tools/exp_r4f_texmega2.py > /tmp/texmega2.log 2>&1
+"""
+
+import functools
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from libnativecpurenderer_tpu.models import mesh            # noqa: E402
+from libnativecpurenderer_tpu.ops import raster3d           # noqa: E402
+
+W, H = 1920, 1080
+CFGS = [
+    ("control (out8+kcc32+nw14 defaults)", dict()),
+    ("mega8", dict(mega=8)),
+    ("zoff", dict(z_clip=False)),
+    ("mega8+zoff", dict(mega=8, z_clip=False)),
+    ("mega8+zoff rep2", dict(mega=8, z_clip=False)),
+]
+
+
+def main():
+    verts_np, faces_np, _ = mesh.mesh_10k()
+    verts = jnp.asarray(verts_np, jnp.float32)
+    faces = jnp.asarray(faces_np, jnp.int32)
+    uvs_np = ((verts_np[:, :2] - verts_np[:, :2].min(0))
+              / np.ptp(verts_np[:, :2], 0))
+    uvs = jnp.asarray(uvs_np, jnp.float32)
+    rng = np.random.default_rng(1)
+    tex_u8 = jnp.asarray(rng.integers(0, 256, (256, 256, 4)), jnp.uint8)
+    proj = mesh.perspective(1.0, W / H, 0.1, 10.0)
+    view = mesh.look_at([0.0, 0.6, 3.2], [0, 0, 0], [0, 1, 0])
+    frames, batch = 24, 12
+    tmvps = [jnp.asarray(proj @ view @ mesh.rotation_y(i * 0.03),
+                         jnp.float32) for i in range(frames)]
+    grouped = [jnp.stack(tmvps[i:i + batch])
+               for i in range(0, frames, batch)]
+    float(jnp.sum(grouped[0]))
+
+    chk0 = None
+    for vtag, vkw in CFGS:
+        lfn = functools.partial(raster3d.render_textured_pallas_loop,
+                                capacity=512, **vkw)
+
+        def run_loop(reps=10):
+            outs = []
+            for _ in range(reps):
+                outs.extend(lfn(verts, faces, uvs, tex_u8, W, H,
+                                mvps=m)[0] for m in grouped)
+            return float(jnp.sum(jnp.stack(
+                [jnp.sum(o.astype(jnp.float32)) for o in outs])))
+
+        tag = f"texloop {vtag}"
+        try:
+            t0 = time.time()
+            chk = run_loop(1)
+            print(f"{tag}: compile {time.time() - t0:.0f}s chk {chk:.0f}",
+                  flush=True)
+            if chk0 is None:
+                chk0 = chk
+            elif chk != chk0:
+                print(f"{tag}: CHECKSUM MISMATCH ({chk:.0f} != "
+                      f"{chk0:.0f})", flush=True)
+                continue
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_loop()
+                dt = (time.perf_counter() - t0) / 10 / frames
+                best = dt if best is None else min(best, dt)
+            print(f"{tag}: {best * 1e3:.3f} ms/frame", flush=True)
+        except Exception as e:
+            print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:400]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
