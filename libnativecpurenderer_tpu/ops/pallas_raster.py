@@ -130,7 +130,8 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
                       resident_out: bool = False, mxu: int = 0,
                       mega: int = 0, wf: int = 0,
                       tex_dyn: bool = False, out8: bool = False,
-                      ktail: int = 0, tex_when: int = 0):
+                      ktail: int = 0, tex_when: int = 0,
+                      tex_skip: bool = False):
     """Flat-bins variant: triangle ids come straight from the sorted pair
     array (two SMEM blocks selected by scalar-prefetched block index), not
     from a pre-gathered (NT, K) bins array.  Chunk-remainder reads spill
@@ -374,160 +375,194 @@ def _make_kernel_flat(tile_h: int, tile_w: int, Kb: int, kcc: int = KCC,
             bpr = (tw_t + 127) // 128
             n_sub = P // 128
             NW = tex_nw
-            hit1 = kacc != jnp.int32(SKY_KEY)
-            big = jnp.int32(1 << 20)
-            ub1 = ui // 128
-            v0 = jnp.minimum(jnp.min(jnp.where(hit1, vi, big)),
-                             th_t - 1)
-            ub0 = jnp.minimum(jnp.min(jnp.where(hit1, ub1, big)),
-                              bpr - 1)
-            bw = jnp.clip(jnp.max(jnp.where(hit1, ub1, -1)) - ub0 + 1,
-                          1, NW)
-            fh = NW // bw
-            if tex_split:
-                # bimodal-v footprint: the bench mesh's miss tiles are
-                # almost all tiles whose winner surface mixes two
-                # v-clusters (ring band crossing a sphere, silhouette
-                # grazing) — a SINGLE rect anchored at v0 misses the
-                # far cluster.  When the v spread exceeds the window
-                # rows, split them between two clusters anchored at
-                # vmin and vmax (host sim /tmp/fp_sim.py: NW=32+split
-                # resolves ~100% vs 95-99% single-rect; all misses are
-                # v-misses since bpr blocks always fit bw).  With
-                # spread <= fh this degenerates to the single rect
-                # bit-for-bit (fhA = fh, cluster B empty).
-                vmaxs = jnp.max(jnp.where(hit1, vi, -1))
-                single = (vmaxs - v0 + 1) <= fh
-                fhA = jnp.where(single, fh, fh // 2)
-                fhB = fh - fhA
-                vB0 = jnp.clip(vmaxs - fhB + 1, 0, th_t - 1)
-            else:
-                fhA = fh
-                vB0 = jnp.int32(0)
 
-            def to_sub(v):
-                return jnp.concatenate(
-                    [v[:, k * 128:(k + 1) * 128] for k in range(n_sub)],
-                    axis=0)
-
-            vi_s = to_sub(vi)
-            ui_s = to_sub(ui)
-            # i1 vectors can't ride the slice+concat (invalid vreg
-            # cast); move the mask as i32
-            hit_s = to_sub(hit1.astype(jnp.int32)) != 0
-            dvA = vi_s - v0
-            du = ui_s // 128 - ub0
-            lane = ui_s % 128
-            if tex_split:
-                # window rows [0, fhA) anchor at v0 (cluster A), rows
-                # [fhA, fh) anchor at vB0 (cluster B); a pixel in both
-                # clusters' overlap resolves through A
-                dvB = vi_s - vB0
-                useA = (dvA >= 0) & (dvA < fhA)
-                useB = (dvB >= 0) & (dvB < fh - fhA) & ~useA
-                dv = jnp.where(useA, dvA, fhA + dvB)
-                in_v = useA | useB
-            else:
-                dv = dvA
-                in_v = (dvA >= 0) & (dvA < fh)
-            blk = dv * bw + du
-            resolved = hit_s & in_v & (du >= 0) & (du < bw)
-
-            def wstep(w, acc):
-                wrow = w // bw
+            def tex_epilogue():
+                hit1 = kacc != jnp.int32(SKY_KEY)
+                big = jnp.int32(1 << 20)
+                ub1 = ui // 128
+                v0 = jnp.minimum(jnp.min(jnp.where(hit1, vi, big)),
+                                 th_t - 1)
+                ub0 = jnp.minimum(jnp.min(jnp.where(hit1, ub1, big)),
+                                  bpr - 1)
+                bw = jnp.clip(jnp.max(jnp.where(hit1, ub1, -1)) - ub0 + 1,
+                              1, NW)
+                fh = NW // bw
                 if tex_split:
-                    wv = jnp.where(wrow < fhA, v0 + wrow,
-                                   vB0 + (wrow - fhA))
+                    # bimodal-v footprint: the bench mesh's miss tiles are
+                    # almost all tiles whose winner surface mixes two
+                    # v-clusters (ring band crossing a sphere, silhouette
+                    # grazing) — a SINGLE rect anchored at v0 misses the
+                    # far cluster.  When the v spread exceeds the window
+                    # rows, split them between two clusters anchored at
+                    # vmin and vmax (host sim /tmp/fp_sim.py: NW=32+split
+                    # resolves ~100% vs 95-99% single-rect; all misses are
+                    # v-misses since bpr blocks always fit bw).  With
+                    # spread <= fh this degenerates to the single rect
+                    # bit-for-bit (fhA = fh, cluster B empty).
+                    vmaxs = jnp.max(jnp.where(hit1, vi, -1))
+                    single = (vmaxs - v0 + 1) <= fh
+                    fhA = jnp.where(single, fh, fh // 2)
+                    fhB = fh - fhA
+                    vB0 = jnp.clip(vmaxs - fhB + 1, 0, th_t - 1)
                 else:
-                    wv = v0 + wrow
-                off = jnp.clip(wv * bpr + ub0 + w % bw,
-                               0, th_t * bpr - 1)
-                row = tex_ref[pl.ds(off, 1), :]          # (1, 128)
-                g = jnp.take_along_axis(
-                    jnp.broadcast_to(row, (n_sub, 128)), lane, axis=1)
-                return jnp.where(blk == w, g, acc)
+                    fhA = fh
+                    vB0 = jnp.int32(0)
 
-            acc = jnp.zeros((n_sub, 128), jnp.int32)
-            if tex_when:
-                # grouped PREDICATED unroll: windows run in groups of
-                # ``tex_when``, each group wrapped in a pl.when on
-                # whether ANY resolved pixel still needs a window at or
-                # past the group start.  Same skip argument as tex_dyn
-                # (every consumed acc position has blk < w_need, so
-                # skipped groups only differ at never-consumed
-                # positions — bit-exact), but the group INTERIOR stays a
-                # static unroll, so the row reads keep the pipelining
-                # the per-iteration fori serialised (tex_dyn measured
-                # 3.51 vs 3.22 ms/frame, ROADMAP).  acc lives in a VMEM
-                # scratch because pl.when has no carried results.
-                w_need = jnp.max(jnp.where(resolved, blk,
-                                           jnp.int32(-1))) + 1
-                acc_s[...] = acc
-                for g0 in range(0, NW, tex_when):
-                    @pl.when(w_need > g0)
-                    def _(g0=g0):
-                        a = acc_s[...]
-                        for w in range(g0, min(g0 + tex_when, NW)):
-                            a = wstep(jnp.int32(w), a)
-                        acc_s[...] = a
-                acc = acc_s[...]
-            elif tex_dyn:
-                # per-tile DYNAMIC window count: w_need is the exact
-                # supremum of windows any resolved pixel reads (blk <
-                # w_need by construction), so iterations w >= w_need
-                # only touch acc at never-consumed positions — skipping
-                # them is bit-exact.  Most tiles' hit-UV bboxes span far
-                # fewer than NW windows (mean ~6 of 16 on the rotating
-                # bench mesh, exp_fp_hist.py), so the static unroll pays
-                # ~NW/w_need more row reads + lane gathers than needed.
-                w_need = jnp.max(jnp.where(resolved, blk,
-                                           jnp.int32(-1))) + 1
-                acc = lax.fori_loop(0, w_need, wstep, acc)
-            else:
-                for w in range(NW):
-                    acc = wstep(jnp.int32(w), acc)
+                def to_sub(v):
+                    return jnp.concatenate(
+                        [v[:, k * 128:(k + 1) * 128] for k in range(n_sub)],
+                        axis=0)
 
-            bgp = scal_ref[5 * nt]
-            if out8:
-                # sublane-major (n_sub, 128) outputs: the selects run on
-                # the to_sub forms that already exist (hit_s, vi_s,
-                # ui_s, acc, resolved), so BOTH from_sub masked
-                # sum-reduce conversions disappear AND the out array is
-                # born in XLA's native T(8,128) layout (same win as the
-                # flat path's out8, see that branch)
-                packed_out = jnp.where(hit_s,
-                                       jnp.where(resolved, acc, 0), bgp)
+                vi_s = to_sub(vi)
+                ui_s = to_sub(ui)
+                # i1 vectors can't ride the slice+concat (invalid vreg
+                # cast); move the mask as i32
+                hit_s = to_sub(hit1.astype(jnp.int32)) != 0
+                dvA = vi_s - v0
+                du = ui_s // 128 - ub0
+                lane = ui_s % 128
+                if tex_split:
+                    # window rows [0, fhA) anchor at v0 (cluster A), rows
+                    # [fhA, fh) anchor at vB0 (cluster B); a pixel in both
+                    # clusters' overlap resolves through A
+                    dvB = vi_s - vB0
+                    useA = (dvA >= 0) & (dvA < fhA)
+                    useB = (dvB >= 0) & (dvB < fh - fhA) & ~useA
+                    dv = jnp.where(useA, dvA, fhA + dvB)
+                    in_v = useA | useB
+                else:
+                    dv = dvA
+                    in_v = (dvA >= 0) & (dvA < fh)
+                blk = dv * bw + du
+                resolved = hit_s & in_v & (du >= 0) & (du < bw)
+
+                def wstep(w, acc):
+                    wrow = w // bw
+                    if tex_split:
+                        wv = jnp.where(wrow < fhA, v0 + wrow,
+                                       vB0 + (wrow - fhA))
+                    else:
+                        wv = v0 + wrow
+                    off = jnp.clip(wv * bpr + ub0 + w % bw,
+                                   0, th_t * bpr - 1)
+                    row = tex_ref[pl.ds(off, 1), :]          # (1, 128)
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(row, (n_sub, 128)), lane, axis=1)
+                    return jnp.where(blk == w, g, acc)
+
+                acc = jnp.zeros((n_sub, 128), jnp.int32)
+                if tex_when:
+                    # grouped PREDICATED unroll: windows run in groups of
+                    # ``tex_when``, each group wrapped in a pl.when on
+                    # whether ANY resolved pixel still needs a window at or
+                    # past the group start.  Same skip argument as tex_dyn
+                    # (every consumed acc position has blk < w_need, so
+                    # skipped groups only differ at never-consumed
+                    # positions — bit-exact), but the group INTERIOR stays a
+                    # static unroll, so the row reads keep the pipelining
+                    # the per-iteration fori serialised (tex_dyn measured
+                    # 3.51 vs 3.22 ms/frame, ROADMAP).  acc lives in a VMEM
+                    # scratch because pl.when has no carried results.
+                    w_need = jnp.max(jnp.where(resolved, blk,
+                                               jnp.int32(-1))) + 1
+                    acc_s[...] = acc
+                    for g0 in range(0, NW, tex_when):
+                        @pl.when(w_need > g0)
+                        def _(g0=g0):
+                            a = acc_s[...]
+                            for w in range(g0, min(g0 + tex_when, NW)):
+                                a = wstep(jnp.int32(w), a)
+                            acc_s[...] = a
+                    acc = acc_s[...]
+                elif tex_dyn:
+                    # per-tile DYNAMIC window count: w_need is the exact
+                    # supremum of windows any resolved pixel reads (blk <
+                    # w_need by construction), so iterations w >= w_need
+                    # only touch acc at never-consumed positions — skipping
+                    # them is bit-exact.  Most tiles' hit-UV bboxes span far
+                    # fewer than NW windows (mean ~6 of 16 on the rotating
+                    # bench mesh, exp_fp_hist.py), so the static unroll pays
+                    # ~NW/w_need more row reads + lane gathers than needed.
+                    w_need = jnp.max(jnp.where(resolved, blk,
+                                               jnp.int32(-1))) + 1
+                    acc = lax.fori_loop(0, w_need, wstep, acc)
+                else:
+                    for w in range(NW):
+                        acc = wstep(jnp.int32(w), acc)
+
+                bgp = scal_ref[5 * nt]
+                if out8:
+                    # sublane-major (n_sub, 128) outputs: the selects run on
+                    # the to_sub forms that already exist (hit_s, vi_s,
+                    # ui_s, acc, resolved), so BOTH from_sub masked
+                    # sum-reduce conversions disappear AND the out array is
+                    # born in XLA's native T(8,128) layout (same win as the
+                    # flat path's out8, see that branch)
+                    packed_out = jnp.where(hit_s,
+                                           jnp.where(resolved, acc, 0), bgp)
+                    fbidx_out = jnp.where(
+                        hit_s, jnp.where(resolved, jnp.int32(-2),
+                                         vi_s * (bpr * 128) + ui_s),
+                        jnp.int32(-1))
+                    if si is None:
+                        keys_ref[0] = packed_out
+                        rgba_ref[0] = fbidx_out
+                    else:
+                        keys_ref[pl.ds(si, 1)] = packed_out[None]
+                        rgba_ref[pl.ds(si, 1)] = fbidx_out[None]
+                    return
+                i0 = lax.broadcasted_iota(jnp.int32, (n_sub, 128), 0)
+
+                def from_sub(v):
+                    rows_1 = [jnp.sum(jnp.where(i0 == k, v, 0), axis=0,
+                                      keepdims=True) for k in range(n_sub)]
+                    return jnp.concatenate(rows_1, axis=1)
+
+                acc1 = from_sub(acc)
+                res1 = from_sub(resolved.astype(jnp.int32)) != 0
+                packed_out = jnp.where(hit1, jnp.where(res1, acc1, 0), bgp)
                 fbidx_out = jnp.where(
-                    hit_s, jnp.where(resolved, jnp.int32(-2),
-                                     vi_s * (bpr * 128) + ui_s),
+                    hit1, jnp.where(res1, jnp.int32(-2),
+                                    vi * (bpr * 128) + ui),
                     jnp.int32(-1))
                 if si is None:
                     keys_ref[0] = packed_out
                     rgba_ref[0] = fbidx_out
                 else:
-                    keys_ref[pl.ds(si, 1)] = packed_out[None]
-                    rgba_ref[pl.ds(si, 1)] = fbidx_out[None]
-                return
-            i0 = lax.broadcasted_iota(jnp.int32, (n_sub, 128), 0)
+                    keys_ref[pl.ds(si, 1), 0] = packed_out
+                    rgba_ref[pl.ds(si, 1), 0] = fbidx_out
 
-            def from_sub(v):
-                rows_1 = [jnp.sum(jnp.where(i0 == k, v, 0), axis=0,
-                                  keepdims=True) for k in range(n_sub)]
-                return jnp.concatenate(rows_1, axis=1)
+            if tex_skip:
+                # EMPTY-TILE SHORTCUT: a tile with count == 0 walks no
+                # chunks, so kacc stays SKY everywhere and the epilogue
+                # provably produces (bgp, -1) — skip the whole footprint
+                # resolve (to_sub moves, NW window walks, reductions)
+                # behind ONE branch.  Unlike the per-window tex_when
+                # branches this costs a single scf.if on a path where
+                # the savings are total, not marginal.
+                oshape = (n_sub, 128) if out8 else (1, P)
+                bgp0 = scal_ref[5 * nt]
 
-            acc1 = from_sub(acc)
-            res1 = from_sub(resolved.astype(jnp.int32)) != 0
-            packed_out = jnp.where(hit1, jnp.where(res1, acc1, 0), bgp)
-            fbidx_out = jnp.where(
-                hit1, jnp.where(res1, jnp.int32(-2),
-                                vi * (bpr * 128) + ui),
-                jnp.int32(-1))
-            if si is None:
-                keys_ref[0] = packed_out
-                rgba_ref[0] = fbidx_out
+                @pl.when(count == 0)
+                def _():
+                    pk0 = jnp.full(oshape, bgp0, jnp.int32)
+                    fb0 = jnp.full(oshape, -1, jnp.int32)
+                    if si is None:
+                        keys_ref[0] = pk0
+                        rgba_ref[0] = fb0
+                    elif out8:
+                        keys_ref[pl.ds(si, 1)] = pk0[None]
+                        rgba_ref[pl.ds(si, 1)] = fb0[None]
+                    else:
+                        keys_ref[pl.ds(si, 1), 0] = pk0
+                        rgba_ref[pl.ds(si, 1), 0] = fb0
+
+                @pl.when(count != 0)
+                def _():
+                    tex_epilogue()
             else:
-                keys_ref[pl.ds(si, 1), 0] = packed_out
-                rgba_ref[pl.ds(si, 1), 0] = fbidx_out
+                tex_epilogue()
+            return
         elif u8:
             bgp = scal_ref[5 * nt]
 
@@ -782,7 +817,7 @@ def raster_tiles_flat(sorted_pad, table, scalars, nt: int, tile_h: int,
 
 @functools.partial(jax.jit,
                    static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                   15, 16, 17, 18, 19, 20))
+                                   15, 16, 17, 18, 19, 20, 21))
 def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                      tile_h: int, tile_w: int, Kb: int,
                      interpret: bool = False, kcc: int = KCC,
@@ -791,7 +826,7 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                      tex_split: bool = False, mega: int = 0,
                      tex_dyn: bool = False, out8: bool = False,
                      ktail: int = 0, tex_when: int = 0,
-                     z_clip: bool = True):
+                     z_clip: bool = True, tex_skip: bool = False):
     """tex_resolve kernel launch (see _make_kernel_flat): tex_l is the
     packed-i32 texture in (th*bpr, 128) window layout, VMEM-resident
     across all programs.  scalars: (5*NT+1,) with the packed background
@@ -862,7 +897,8 @@ def raster_tiles_tex(sorted_pad, table, scalars, tex_l, nt: int,
                           tex_dims=tuple(tex_dims), tex_resolve=True,
                           tex_nw=tex_nw, tex_split=tex_split, mxu=mxu,
                           mega=mega, tex_dyn=tex_dyn, out8=out8,
-                          ktail=ktail, tex_when=tex_when),
+                          ktail=ktail, tex_when=tex_when,
+                          tex_skip=tex_skip),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1041,7 +1077,8 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
                                     mega: int = 0, tex_dyn: bool = False,
                                     out8: bool = False, ktail: int = 0,
                                     tex_when: int = 0,
-                                    z_clip: bool = True):
+                                    z_clip: bool = True,
+                                    tex_skip: bool = False):
     """Batched in-kernel-texel raster: B frames in one launch through the
     tex_resolve kernel (texels fetched from the VMEM-resident packed
     texture via per-tile footprint windows).  Returns
@@ -1085,7 +1122,8 @@ def render_binned_tex_resolve_batch(sorted_pads, starts, counts, tables,
     packed, fbidx = raster_tiles_tex(
         sorted_pads.reshape(-1), tables, scalars, tex_l, Bn * nt,
         tile_h, tile_w, Kb, interpret, kcc, nt, tuple(tex_dims), tex_nw,
-        mxu, tex_split, mega, tex_dyn, out8, ktail, tex_when, z_clip)
+        mxu, tex_split, mega, tex_dyn, out8, ktail, tex_when, z_clip,
+        tex_skip)
 
     if not detile:
         return packed.reshape(Bn, nt, -1), fbidx.reshape(Bn, nt, -1)

@@ -1151,14 +1151,22 @@ def _tex_prep(verts, faces, fuv_all, mvp, width, height, tile_w, tile_h,
 
 
 def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
-                        ntx, nty, tile_h, tile_w, height, width):
+                        ntx, nty, tile_h, tile_w, height, width,
+                        fb_subrow=True):
     """Fallback + detile epilogue shared by the tex_resolve entries:
-    finish footprint-missed pixels with a tile-compacted gather ladder
-    and detile the packed planes to (B, H, W, 4) uint8."""
+    finish footprint-missed pixels with a compacted gather ladder and
+    detile the packed planes to (B, H, W, 4) uint8.  ``fb_subrow``
+    compacts at 128-pixel SUB-ROW granularity instead of whole
+    (tile_h*tile_w)-pixel tiles: misses cluster in a few pixel rows of
+    each bad tile, so the compacted gather volume drops ~3x for the
+    same coverage (value-identical — the same texels are fetched)."""
     from . import pallas_raster
     Bn, nt, P = pk.shape
-    pk2 = pk.reshape(Bn * nt, P)
-    fb2 = fb.reshape(Bn * nt, P)
+    gran = 128 if fb_subrow else P
+    units = (Bn * nt * P) // gran
+    upt = P // gran                     # units per tile
+    pk2 = pk.reshape(units, gran)
+    fb2 = fb.reshape(units, gran)
 
     # fallback texel table: f32 4-wide rows gather >4x faster than flat
     # i32 element gathers on this backend (tools/exp_tex_idx.py); only
@@ -1180,16 +1188,20 @@ def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
     # bench's ~20-60 missed tiles (exp_r4_texprof2: the cond + its
     # gather/bitcast were 2nd only to the kernel).  Power-of-two tiers
     # bound the overshoot at 2x the demand.
-    tile_bad = jnp.any(fb2 >= 0, axis=1)               # (B*NT,)
+    tile_bad = jnp.any(fb2 >= 0, axis=1)               # (units,)
     n_bad = jnp.sum(tile_bad)
-    cap = min(fb_tile_cap, Bn * nt)
-    caps = [c for c in (16, 32, 64, 128, 256, 512) if c < cap] + [cap]
+    # fb_tile_cap is in TILE units; the sub-row ladder scales it (and
+    # the geometric tiers) by units-per-tile so the same tile coverage
+    # stays reachable before the whole-plane escape
+    cap = min(fb_tile_cap * upt, units)
+    ladder = [c * upt for c in (16, 32, 64, 128, 256, 512)]
+    caps = [c for c in ladder if c < cap] + [cap]
     tids = jnp.nonzero(tile_bad, size=cap, fill_value=0)[0]
 
     def compacted_k(csize):
         def br(_):
             sel = tids[:csize]
-            sel_fb = jnp.take(fb2, sel, axis=0)        # (csize, P)
+            sel_fb = jnp.take(fb2, sel, axis=0)        # (csize, gran)
             gi = gather_rows(sel_fb)
             merged = jnp.where(sel_fb >= 0, gi,
                                jnp.take(pk2, sel, axis=0))
@@ -1220,7 +1232,7 @@ def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
 @functools.partial(
     jax.jit,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
-                    20, 21, 22, 23, 24, 25))
+                    20, 21, 22, 23, 24, 25, 26, 27))
 def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  height: int, mvps=None,
                                  tile_w: int = 32, tile_h: int = 32,
@@ -1233,7 +1245,9 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  tex_split: bool = True, mega: int = 0,
                                  tex_dyn: bool = False,
                                  out8: bool = False, ktail: int = 0,
-                                 tex_when: int = 0, z_clip: bool = True):
+                                 tex_when: int = 0, z_clip: bool = True,
+                                 tex_skip: bool = False,
+                                 fb_subrow: bool = True):
     """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
     launch.  The tile kernel fetches texels IN-KERNEL from the
     VMEM-resident packed texture through per-tile UV-footprint windows
@@ -1292,19 +1306,19 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
         detile=False, mxu=mxu, tex_split=tex_split,
         mega=mega, tex_dyn=tex_dyn, out8=out8,
         ktail=ktail, tex_when=tex_when,
-        z_clip=z_clip)                                # (B, NT, P) each
+        z_clip=z_clip, tex_skip=tex_skip)             # (B, NT, P) each
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
     rgba = _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr,
                                fb_tile_cap, ntx, nty, tile_h, tile_w,
-                               height, width)
+                               height, width, fb_subrow=fb_subrow)
     return rgba, jnp.any(ovfs)
 
 
 @functools.partial(
     jax.jit,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
-                    20, 21, 22, 23, 24))
+                    20, 21, 22, 23, 24, 25, 26))
 def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 height: int, mvps=None,
                                 tile_w: int = 32, tile_h: int = 32,
@@ -1318,7 +1332,9 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 tex_dyn: bool = False,
                                 out8: bool = True, ktail: int = 0,
                                 tex_when: int = 0, mega: int = 0,
-                                z_clip: bool = True):
+                                z_clip: bool = True,
+                                tex_skip: bool = False,
+                                fb_subrow: bool = True):
     """Fused-loop textured render: B frames in ONE jitted program, a
     device-side fori_loop running SINGLE-frame prep + tex_resolve kernel
     + fallback per iteration.  The flat color path measured the vmapped
@@ -1364,10 +1380,11 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
             height, tile_w, tile_h, capacity, (th_t, tw_t), interpret,
             kcc, tex_nw, detile=False, mxu=0, tex_split=tex_split,
             mega=mega, tex_dyn=tex_dyn, out8=out8, ktail=ktail,
-            tex_when=tex_when, z_clip=z_clip)
+            tex_when=tex_when, z_clip=z_clip, tex_skip=tex_skip)
         rgba = _tex_resolve_finish(pk, fbm, tex_l, th_t, tw_t, bpr,
                                    fb_tile_cap, ntx, nty, tile_h,
-                                   tile_w, height, width)
+                                   tile_w, height, width,
+                                   fb_subrow=fb_subrow)
         acc = lax.dynamic_update_slice(acc, rgba, (i, 0, 0, 0))
         return acc, ovfa | ovf
 

@@ -447,3 +447,37 @@ def test_tex_loop_zclip_off_flags_out_of_range():
         mvps=mvps, tile_w=32, tile_h=8, capacity=512, span_x=8,
         span_y=8, interpret=True, z_clip=False)
     assert bool(ovf)
+
+
+def test_tex_skip_empty_and_subrow_fallback_match():
+    # tex_skip (empty-tile epilogue shortcut behind one pl.when) and
+    # fb_subrow (128-px sub-row fallback compaction) are value-identical
+    # to the unconditional epilogue + whole-tile compaction, alone and
+    # combined with mega/z_clip; a tiny fb_tile_cap exercises the
+    # whole-plane escape through the sub-row ladder.
+    rng = np.random.default_rng(15)
+    verts, faces, uvs = mesh.quad_batch(12, seed=15)
+    tex_u8 = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    zmap = np.eye(4, dtype=np.float32)
+    zmap[2, 2] = 0.25
+    zmap[2, 3] = 0.5
+    rot = (zmap @ mesh.rotation_y(0.6) @ mesh.rotation_x(0.3)).astype(
+        np.float32)
+    mvps = jnp.asarray(np.stack([zmap, rot]))
+    args = (jnp.asarray(verts, jnp.float32),
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H)
+    kw = dict(mvps=mvps, tile_w=32, tile_h=8, capacity=512, span_x=8,
+              span_y=8, interpret=True)
+    base, ovf = raster3d.render_textured_pallas_loop(
+        *args, **kw, fb_subrow=False)
+    assert not bool(ovf)
+    for extra in (dict(), dict(tex_skip=True, fb_subrow=False),
+                  dict(tex_skip=True),
+                  dict(tex_skip=True, mega=2, z_clip=False),
+                  dict(fb_tile_cap=4)):
+        got, ovf_v = raster3d.render_textured_pallas_loop(
+            *args, **kw, **extra)
+        assert not bool(ovf_v), extra
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base),
+                                      err_msg=str(extra))

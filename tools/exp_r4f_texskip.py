@@ -6,7 +6,7 @@ output planes); z_clip=False drops 2 compares/slot under the flat path's
 caller-verified contract (z-range folded into ovf).  Bit-exact
 (test_tex_loop_mega_zclip_match).
 
-Run: nohup python tools/exp_r4f_texmega2.py > /tmp/texmega2.log 2>&1
+Run: nohup python tools/exp_r4f_texskip.py > /tmp/texskip.log 2>&1
 """
 
 import functools
@@ -24,9 +24,9 @@ W, H = 1920, 1080
 CFGS = [
     # fb_subrow=False == the session-E fallback; defaults are out8+kcc32+nw14
     ("control", dict(fb_subrow=False)),
-    ("subrow", dict()),
     ("skip", dict(tex_skip=True, fb_subrow=False)),
-    ("mega8+zoff", dict(mega=8, z_clip=False, fb_subrow=False)),
+    ("subrow", dict()),
+    ("skip+subrow", dict(tex_skip=True)),
     ("ALL (mega8+zoff+skip+subrow)",
      dict(mega=8, z_clip=False, tex_skip=True)),
     ("ALL rep2", dict(mega=8, z_clip=False, tex_skip=True)),
