@@ -521,39 +521,49 @@ def bench_textured(frames: int = 24, batch: int = 12):
         dt_b = (time.perf_counter() - t0) / REPS_B
         log(f"textured: batched {dt_b / frames * 1e3:.2f} ms/frame")
 
-        # fused-loop racer: per-frame prep inside a device fori (the
+        # fused-loop racers: per-frame prep inside a device fori (the
         # structure that won the flat path) — bit-identical output.
-        # Entry defaults carry the session-F winner (out8 + kcc32 +
-        # nw14 = 2.824 vs 2.941 control, exp_r4_texfinal.py)
-        lfn = functools.partial(raster3d.render_textured_pallas_loop,
-                                capacity=512)
+        # Entry defaults carry the session-F winners (out8 + kcc32 +
+        # nw14 + tex_skip + fb_subrow = 2.180 ms/frame,
+        # exp_r4_texfinal / exp_r4f_texskip); the mega=8/Kb=1024
+        # variant (255 programs instead of 2040) measured a further
+        # ~0.12 on an idle device (exp_r4f_texmega3) — both race, the
+        # day's winner is timed.
+        def mk_loop(**kw):
+            fn = functools.partial(raster3d.render_textured_pallas_loop,
+                                   **kw)
 
-        def run_loop(reps=REPS_B):
-            outs = []
-            for _ in range(reps):
-                outs.extend(lfn(verts, faces, uvs, tex_u8, width,
-                                height, mvps=m)[0] for m in grouped)
-            return float(jnp.sum(jnp.stack(
-                [jnp.sum(o.astype(jnp.float32)) for o in outs])))
+            def run(reps=REPS_B):
+                outs = []
+                for _ in range(reps):
+                    outs.extend(fn(verts, faces, uvs, tex_u8, width,
+                                   height, mvps=m)[0] for m in grouped)
+                return float(jnp.sum(jnp.stack(
+                    [jnp.sum(o.astype(jnp.float32)) for o in outs])))
+            return run
 
-        dt_l = None
-        try:
-            run_loop(1)                          # warm + compile check
-            t0 = time.perf_counter()
-            run_loop()
-            dt_l = (time.perf_counter() - t0) / REPS_B
-            log(f"textured: fused-loop {dt_l / frames * 1e3:.2f} "
-                "ms/frame")
-        except Exception as e:                   # noqa: BLE001
-            log(f"textured fused-loop failed ({type(e).__name__}); "
-                "racing batch vs f32 only")
+        loop_racers = []
+        for lname, lkw in (("fused-loop", dict(capacity=512)),
+                           ("fused-loop mega8",
+                            dict(capacity=1024, mega=8))):
+            run_l = mk_loop(**lkw)
+            try:
+                run_l(1)                         # warm + compile check
+                t0 = time.perf_counter()
+                run_l()
+                dt_l = (time.perf_counter() - t0) / REPS_B
+                log(f"textured: {lname} {dt_l / frames * 1e3:.2f} "
+                    "ms/frame")
+                loop_racers.append((dt_l, run_l, lname))
+            except Exception as e:               # noqa: BLE001
+                log(f"textured {lname} failed ({type(e).__name__}); "
+                    "racing without it")
         run_f32()                                # warm
         t0 = time.perf_counter()
         run_f32()
         dt_f = time.perf_counter() - t0
         racers = [(dt_b, run_batch, "batched"), (dt_f, run_f32, "f32")]
-        if dt_l is not None:
-            racers.append((dt_l, run_loop, "fused-loop"))
+        racers.extend(loop_racers)
         racers.sort(key=lambda r: r[0])
         dt_w, run_all, wname = racers[0]
         if run_all is run_f32:

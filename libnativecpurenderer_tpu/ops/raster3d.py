@@ -1246,7 +1246,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  tex_dyn: bool = False,
                                  out8: bool = False, ktail: int = 0,
                                  tex_when: int = 0, z_clip: bool = True,
-                                 tex_skip: bool = False,
+                                 tex_skip: bool = True,
                                  fb_subrow: bool = True):
     """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
     launch.  The tile kernel fetches texels IN-KERNEL from the
@@ -1333,7 +1333,7 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 out8: bool = True, ktail: int = 0,
                                 tex_when: int = 0, mega: int = 0,
                                 z_clip: bool = True,
-                                tex_skip: bool = False,
+                                tex_skip: bool = True,
                                 fb_subrow: bool = True):
     """Fused-loop textured render: B frames in ONE jitted program, a
     device-side fori_loop running SINGLE-frame prep + tex_resolve kernel
@@ -1344,13 +1344,19 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
     Output bit-identical to render_textured_pallas_batch (same per-frame
     ops; asserted in tests/test_textured_raster.py).
 
-    Defaults carry the session-F device race (tools/exp_r4_texfinal.py,
-    2026-08-19, checksums identical across configs): out8 + kcc=32 +
-    tex_nw=14 = 2.824 ms/frame vs 2.941 for the kcc16/nw16/from_sub
-    control at the (32, 32) span (5, 3) champion tiles.  nw14 trades a
-    few more footprint misses to the geometric fallback tiers for two
-    fewer window walks; bit-exactness is structural (the fallback
-    fetches the same texel)."""
+    Defaults carry the session-F device races (exp_r4_texfinal /
+    exp_r4f_texskip, 2026-08-19, checksums identical across configs):
+    out8 + kcc=32 + tex_nw=14 took the kcc16/nw16/from_sub control
+    2.941 -> 2.824 ms/frame at the (32, 32) span (5, 3) champion
+    tiles, and tex_skip (+fb_subrow) took it to **2.180** — the
+    empty-tile epilogue shortcut alone is worth 0.66 ms/frame (about
+    half the tiles are sky on the bench mesh and each was paying the
+    full footprint resolve).  nw14 trades a few more footprint misses
+    to the geometric fallback tiers for two fewer window walks;
+    bit-exactness is structural (the fallback fetches the same texel).
+    mega=8 with capacity=1024 is a further bit-exact ~0.12 ms on an
+    idle device (exp_r4f_texmega3) — raced in bench.py, not default
+    (doubles the id-window SMEM and needs the bigger Kb)."""
     from . import pallas_raster
     if bg is None:
         bg = jnp.zeros(4, jnp.float32)
