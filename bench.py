@@ -110,6 +110,17 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
         # instead of one padded kcc chunk.  Both bit-exact
         # (tests/test_pallas_raster.py::test_u8_out8_ktail_match);
         # device A/B in tools/exp_r4_out8.py.
+        # tiled (session G): the frame leaves the device in the kernel's
+        # per-tile (NT, P, 4) u8 layout — the detile transpose+reshape
+        # chain (0.065 ms/frame, exp_r4_champprof3) moves into the
+        # VideoCap encode worker (native MediaDetileU8, overlapped with
+        # encode; MP4s decode byte-identical — tests/test_media.py).
+        # The loop checksum masks padded slots (raster3d.viewport_mask)
+        # so it stays bit-comparable to the detiled racers' sums.
+        dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=1024,
+             flat=True, kcc=32, u8=True, opaque=True, z_clip=False,
+             fused_loop=True, race=True, resident_out=True, mega=8,
+             out8=True, tiled=True),
         dict(tile_w=32, tile_h=32, span_x=5, span_y=3, capacity=1024,
              flat=True, kcc=32, u8=True, opaque=True, z_clip=False,
              fused_loop=True, race=True, resident_out=True, mega=8,
@@ -200,9 +211,15 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
                     import jax as _jax
                     from jax import lax as _lax
                     stacked = jnp.stack(mvps)          # (frames, 4, 4)
+                    # tiled output keeps the kernel's padded per-tile
+                    # layout; mask padded slots so the checksum equals
+                    # the detiled racers' (viewport_mask contract)
+                    vmask = (raster3d.viewport_mask(
+                        width, height, kw["tile_w"], kw["tile_h"])
+                        if kw.get("tiled") else None)
 
                     @_jax.jit
-                    def seq(mv, kw=dict(kw)):
+                    def seq(mv, kw=dict(kw), vmask=vmask):
                         # frame-invariant per-face gathers hoisted out of
                         # the fori body (XLA re-gathers every iteration
                         # otherwise — exp_r4_champprof2, ~0.07 ms/frame)
@@ -215,6 +232,8 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
                                 .__wrapped__(verts, faces, colors,
                                              width, height, mv[i],
                                              pre=pre, **kw)
+                            if vmask is not None:
+                                out = jnp.where(vmask[..., None], out, 0)
                             s = jnp.sum(out, dtype=jnp.uint32) \
                                 .astype(jnp.float32)
                             return (acc[0] + s, acc[1] | ovf)

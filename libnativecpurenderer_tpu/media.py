@@ -59,6 +59,13 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.EncPutFrame.argtypes = (c.c_void_p, c.c_void_p, c.c_longlong,
                                 c.c_longlong)
     lib.EncPutFrame.restype = c.c_int
+    lib.EncPutFrameTiled.argtypes = (c.c_void_p, c.c_void_p, c.c_longlong,
+                                     c.c_longlong, c.c_longlong,
+                                     c.c_longlong)
+    lib.EncPutFrameTiled.restype = c.c_int
+    lib.MediaDetileU8.argtypes = (c.c_void_p, c.c_void_p, c.c_longlong,
+                                  c.c_longlong, c.c_longlong, c.c_longlong)
+    lib.MediaDetileU8.restype = None
     lib.EncFinish.argtypes = (c.c_void_p,)
     lib.EncFinish.restype = c.c_int
 
@@ -70,6 +77,29 @@ def _configure(lib: ctypes.CDLL) -> None:
 
 def native_available() -> bool:
     return _find_lib() is not None
+
+
+def detile_u8(tiles: np.ndarray, width: int, height: int, tile_w: int,
+              tile_h: int) -> np.ndarray:
+    """C detile of the TPU raster kernel's tiled=True u8 output:
+    (NT, tile_h*tile_w, 4) uint8 -> (H, W, 4) uint8 raster order,
+    cropping padded slots.  Same layout contract as
+    raster3d.detile_u8_host (NumPy reference, tested equal)."""
+    import ctypes
+    lib = _find_lib()
+    src = np.ascontiguousarray(tiles, dtype=np.uint8)
+    dst = np.empty((height, width, 4), np.uint8)
+    if lib is None:
+        ntx = (width + tile_w - 1) // tile_w
+        nty = (height + tile_h - 1) // tile_h
+        a = src.reshape(nty, ntx, tile_h, tile_w, 4)
+        a = np.moveaxis(a, 2, 1).reshape(nty * tile_h, ntx * tile_w, 4)
+        dst[:] = a[:height, :width]
+        return dst
+    lib.MediaDetileU8(dst.ctypes.data_as(ctypes.c_void_p),
+                      src.ctypes.data_as(ctypes.c_void_p),
+                      width, height, tile_w, tile_h)
+    return dst
 
 
 def decode_audio(path: str) -> Tuple[int, int, np.ndarray]:

@@ -959,14 +959,22 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
                                  resident_out: bool = False,
                                  mxu: int = 0, mega: int = 0,
                                  wf: int = 0, out8: bool = False,
-                                 ktail: int = 0):
+                                 ktail: int = 0, tiled: bool = False):
     """Video-path raster: fused u8 quantise in the kernel epilogue, no
     depth output.  Returns rgba (H, W, 4) uint8 — exactly
     clip(rgba_f32 * 255, 0, 255) truncated, with bg quantised the same
     way for sky pixels.  ``mega`` = tiles per program (see
     _make_kernel_flat); callers must have checked
     raster3d.mega_window_overflow first.  ``wf`` = tiles per program
-    with in-kernel id DMA (no window constraint; see _make_kernel_flat)."""
+    with in-kernel id DMA (no window constraint; see _make_kernel_flat).
+
+    ``tiled=True`` skips the device-side detile (the ~0.065 ms/frame
+    transpose + reshape chain, exp_r4_champprof3) and returns the
+    kernel's per-tile layout (NT, P, 4) uint8 — slot p of tile t is
+    pixel (t//ntx*tile_h + p//tile_w, t%ntx*tile_w + p%tile_w); slots
+    past the viewport carry whatever the walk rasterised there (crop on
+    detile).  Consumers detile on host (media.MediaDetileU8 inside the
+    VideoCap encode worker, overlapped with encode)."""
     ntx = (width + tile_w - 1) // tile_w
     nty = (height + tile_h - 1) // tile_h
     nt = ntx * nty
@@ -992,6 +1000,9 @@ def render_binned_pallas_flat_u8(sorted_pad, starts, counts, table, bg,
                                tile_w, Kb, interpret, kcc, 0, True, opaque,
                                z_clip, None, resident_out, mxu, mega, wf,
                                out8, ktail)
+    if tiled:
+        return lax.bitcast_convert_type(packed.reshape(nt, -1),
+                                        jnp.uint8)       # (NT, P, 4)
     return _detile_packed(packed.reshape(nt, -1), nty, ntx, tile_h,
                           tile_w, height, width)
 

@@ -668,6 +668,39 @@ def mega_window_overflow(starts, counts, Kb: int, mega: int):
     return jnp.any(ends - (s2[:, 0] // Kb) * Kb > 2 * Kb)
 
 
+def viewport_mask(width: int, height: int, tile_w: int, tile_h: int):
+    """(NT, P) bool: True where tile slot p lands inside the viewport.
+
+    The ``tiled=True`` u8 output keeps the kernel's padded per-tile
+    layout; slots past width/height carry whatever the walk rasterised
+    there (triangles extending past the viewport edge DO cover padding
+    slots of edge tiles).  Checksums/consumers of tiled output must
+    mask with this before comparing against detiled output."""
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    tids = np.arange(ntx * nty)
+    px = np.arange(tile_h * tile_w) % tile_w
+    py = np.arange(tile_h * tile_w) // tile_w
+    x = (tids % ntx * tile_w)[:, None] + px[None, :]
+    y = (tids // ntx * tile_h)[:, None] + py[None, :]
+    return jnp.asarray((x < width) & (y < height))
+
+
+def detile_u8_host(tiles, width: int, height: int, tile_w: int,
+                   tile_h: int):
+    """NumPy reference detile of the ``tiled=True`` u8 output:
+    (NT, P, 4) uint8 -> (H, W, 4) uint8, cropping padded slots.  The
+    production video path does this in C inside the VideoCap encode
+    worker (native MediaDetileU8) overlapped with encode; this is the
+    layout contract both are tested against."""
+    tiles = np.asarray(tiles)
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    a = tiles.reshape(nty, ntx, tile_h, tile_w, 4)
+    a = np.moveaxis(a, 2, 1).reshape(nty * tile_h, ntx * tile_w, 4)
+    return np.ascontiguousarray(a[:height, :width])
+
+
 def raster_binned_fused(bins, A, B, C, zplane_scaled, inv_area, sign, valid,
                         attrs, bg, width: int, height: int,
                         tile_w: int, tile_h: int, batch_tiles: int = 128):
@@ -807,7 +840,7 @@ def render_gouraud_binned(verts, faces, vtx_colors, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-                    19, 20, 21, 22, 23, 24, 25))
+                    19, 20, 21, 22, 23, 24, 25, 27))
 def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           mvp=None, tile_w: int = 128, tile_h: int = 16,
                           capacity: int = 512, bg=None, span_x: int = 8,
@@ -818,7 +851,7 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
                           wide_split: bool = False,
                           resident_out: bool = False, mxu: int = 0,
                           mega: int = 0, wf: int = 0, out8: bool = False,
-                          ktail: int = 0, pre=None):
+                          ktail: int = 0, pre=None, tiled: bool = False):
     """Binned Gouraud render through the fused Pallas tile kernel (the TPU
     fast path; ``interpret=True`` runs the kernel interpreted for CPU
     tests).  Same outputs as render_gouraud_binned.
@@ -849,7 +882,13 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
     native T(8,128) layout — drops the post-kernel relayout copy before
     the detile (exp_r4_out8).  ``ktail`` (u8, non-mxu): walk each run's
     kcc-remainder in ktail-slot chunks instead of one padded kcc chunk
-    (bit-exact; spilled slots can only lose ties)."""
+    (bit-exact; spilled slots can only lose ties).
+
+    ``tiled`` (u8 only): skip the device detile entirely and return the
+    per-tile (NT, P, 4) uint8 layout — the video-pipeline deliverable
+    when the consumer detiles on host (VideoCap's encode worker via
+    native MediaDetileU8, overlapped with encode; see
+    detile_u8_host / viewport_mask for the layout contract)."""
     from . import pallas_raster
     if mxu:
         assert flat and u8, "mxu walk requires flat=True, u8=True"
@@ -909,8 +948,9 @@ def render_gouraud_pallas(verts, faces, vtx_colors, width: int, height: int,
             rgba8 = pallas_raster.render_binned_pallas_flat_u8(
                 sorted_pad, starts, counts, table, bg, width, height,
                 tile_w, tile_h, capacity, interpret, kcc, opaque, z_clip,
-                resident_out, mxu, mega, wf, out8, ktail)
+                resident_out, mxu, mega, wf, out8, ktail, tiled)
             return rgba8, None, overflow
+        assert not tiled, "tiled output is wired for the u8 video path"
         keys, rgba = pallas_raster.render_binned_pallas_flat(
             sorted_pad, starts, counts, table, bg, width, height,
             tile_w, tile_h, capacity, interpret, kcc)
@@ -1152,14 +1192,18 @@ def _tex_prep(verts, faces, fuv_all, mvp, width, height, tile_w, tile_h,
 
 def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
                         ntx, nty, tile_h, tile_w, height, width,
-                        fb_subrow=True):
+                        fb_subrow=True, tiled=False):
     """Fallback + detile epilogue shared by the tex_resolve entries:
     finish footprint-missed pixels with a compacted gather ladder and
     detile the packed planes to (B, H, W, 4) uint8.  ``fb_subrow``
     compacts at 128-pixel SUB-ROW granularity instead of whole
     (tile_h*tile_w)-pixel tiles: misses cluster in a few pixel rows of
     each bad tile, so the compacted gather volume drops ~3x for the
-    same coverage (value-identical — the same texels are fetched)."""
+    same coverage (value-identical — the same texels are fetched).
+    ``tiled=True`` skips the device detile and returns (B, NT, P, 4)
+    uint8 in the kernel's per-tile layout (same viewport_mask /
+    detile_u8_host contract as the flat path's tiled output — the
+    VideoCap encode worker detiles on host)."""
     from . import pallas_raster
     Bn, nt, P = pk.shape
     gran = 128 if fb_subrow else P
@@ -1221,6 +1265,10 @@ def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
         [lambda _: pk2] + [compacted_k(c) for c in caps] + [full],
         None)
 
+    if tiled:
+        return lax.bitcast_convert_type(final.reshape(Bn, nt, P),
+                                        jnp.uint8)     # (B, NT, P, 4)
+
     def det(p):
         return pallas_raster._detile_plane(p, nty, ntx, tile_h, tile_w,
                                            height, width)
@@ -1232,7 +1280,7 @@ def _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr, fb_tile_cap,
 @functools.partial(
     jax.jit,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
-                    20, 21, 22, 23, 24, 25, 26, 27))
+                    20, 21, 22, 23, 24, 25, 26, 27, 28))
 def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  height: int, mvps=None,
                                  tile_w: int = 32, tile_h: int = 32,
@@ -1247,7 +1295,8 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
                                  out8: bool = False, ktail: int = 0,
                                  tex_when: int = 0, z_clip: bool = True,
                                  tex_skip: bool = True,
-                                 fb_subrow: bool = True):
+                                 fb_subrow: bool = True,
+                                 tiled: bool = False):
     """Batched u8-texture render: B frames (mvps (B, 4, 4)) in one
     launch.  The tile kernel fetches texels IN-KERNEL from the
     VMEM-resident packed texture through per-tile UV-footprint windows
@@ -1311,14 +1360,15 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
     nty = (height + tile_h - 1) // tile_h
     rgba = _tex_resolve_finish(pk, fb, tex_l, th_t, tw_t, bpr,
                                fb_tile_cap, ntx, nty, tile_h, tile_w,
-                               height, width, fb_subrow=fb_subrow)
+                               height, width, fb_subrow=fb_subrow,
+                               tiled=tiled)
     return rgba, jnp.any(ovfs)
 
 
 @functools.partial(
     jax.jit,
     static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15, 16, 17, 18, 19,
-                    20, 21, 22, 23, 24, 25, 26))
+                    20, 21, 22, 23, 24, 25, 26, 27))
 def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 height: int, mvps=None,
                                 tile_w: int = 32, tile_h: int = 32,
@@ -1334,7 +1384,8 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 tex_when: int = 0, mega: int = 0,
                                 z_clip: bool = True,
                                 tex_skip: bool = True,
-                                fb_subrow: bool = True):
+                                fb_subrow: bool = True,
+                                tiled: bool = False):
     """Fused-loop textured render: B frames in ONE jitted program, a
     device-side fori_loop running SINGLE-frame prep + tex_resolve kernel
     + fallback per iteration.  The flat color path measured the vmapped
@@ -1390,11 +1441,14 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
         rgba = _tex_resolve_finish(pk, fbm, tex_l, th_t, tw_t, bpr,
                                    fb_tile_cap, ntx, nty, tile_h,
                                    tile_w, height, width,
-                                   fb_subrow=fb_subrow)
+                                   fb_subrow=fb_subrow, tiled=tiled)
         acc = lax.dynamic_update_slice(acc, rgba, (i, 0, 0, 0))
         return acc, ovfa | ovf
 
-    acc0 = jnp.zeros((Bn, height, width, 4), jnp.uint8)
+    if tiled:
+        acc0 = jnp.zeros((Bn, ntx * nty, tile_h * tile_w, 4), jnp.uint8)
+    else:
+        acc0 = jnp.zeros((Bn, height, width, 4), jnp.uint8)
     acc, ovf = lax.fori_loop(0, Bn, body,
                              (acc0, jnp.asarray(False)))
     return acc, ovf

@@ -80,3 +80,71 @@ def test_put_audio_before_frames(tmp_path):
     assert int(c.get(cv2.CAP_PROP_FRAME_COUNT)) == 8
     decoded = R.AudioClip.from_file(out)
     assert float(np.abs(decoded.numpy()).max()) > 0.05
+
+
+def _tile_frame(u8, tile_w, tile_h):
+    """Raster (H, W, 4) -> the kernel's padded (NT, th*tw, 4) layout."""
+    h, w, _ = u8.shape
+    ntx = (w + tile_w - 1) // tile_w
+    nty = (h + tile_h - 1) // tile_h
+    pad = np.zeros((nty * tile_h, ntx * tile_w, 4), np.uint8)
+    pad[:h, :w] = u8
+    a = pad.reshape(nty, tile_h, ntx, tile_w, 4)
+    return np.ascontiguousarray(
+        np.moveaxis(a, 1, 2).reshape(nty * ntx, tile_h * tile_w, 4))
+
+
+@needs_native
+def test_detile_u8_matches_numpy():
+    """Native MediaDetileU8 == the NumPy layout contract
+    (raster3d.detile_u8_host), including viewport crop when tile dims
+    don't divide the frame."""
+    rng = np.random.default_rng(7)
+    for w, h, tw, th in ((64, 48, 32, 8), (70, 27, 32, 8), (33, 9, 32, 32)):
+        want = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        tiles = _tile_frame(want, tw, th)
+        # padded slots carry garbage (the raster kernel writes real
+        # rasterised values there) — the detile must crop them
+        ntx, nty = -(-w // tw), -(-h // th)
+        garbage = rng.integers(0, 256, tiles.shape).astype(np.uint8)
+        keep = _tile_frame(np.ones((h, w, 4), np.uint8), tw, th)
+        tiles = np.where(keep, tiles, garbage)
+        got = media.detile_u8(tiles, w, h, tw, th)
+        np.testing.assert_array_equal(got, want)
+        from libnativecpurenderer_tpu.ops import raster3d
+        np.testing.assert_array_equal(
+            raster3d.detile_u8_host(tiles, w, h, tw, th), want)
+
+
+@needs_native
+def test_videocap_tiled_put_matches_raster_put(tmp_path):
+    """put_frame_tiled_u8 (detile inside the encode worker) encodes the
+    same video as put_frame_u8 on the pre-detiled frames: decoded
+    frames byte-identical (same encoder, same input after detile)."""
+    frames = list(_frames(6, w=70, h=50))       # 32x8 tiles don't divide
+    out_a = str(tmp_path / "raster.mp4")
+    cap = R.VideoCap(70, 50, 30)
+    cap.initialize(out_a)
+    for u8 in frames:
+        cap.put_frame_u8(u8)
+    cap.release()
+
+    out_b = str(tmp_path / "tiled.mp4")
+    cap = R.VideoCap(70, 50, 30)
+    cap.initialize(out_b)
+    for u8 in frames:
+        cap.put_frame_tiled_u8(_tile_frame(u8, 32, 8), 70, 50, 32, 8)
+    cap.release()
+
+    import cv2
+    ca, cb = cv2.VideoCapture(out_a), cv2.VideoCapture(out_b)
+    n = 0
+    while True:
+        ra, fa = ca.read()
+        rb, fb = cb.read()
+        assert ra == rb
+        if not ra:
+            break
+        np.testing.assert_array_equal(fa, fb)
+        n += 1
+    assert n == 6

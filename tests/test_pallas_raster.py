@@ -447,3 +447,48 @@ def test_pregathered_inputs_bit_exact():
                 continue
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert bool(ref[2]) == bool(got[2])
+
+
+def test_u8_tiled_matches_detiled():
+    """tiled=True returns the kernel's (NT, P, 4) per-tile layout; host
+    detile (NumPy reference AND the native C MediaDetileU8 used inside
+    the VideoCap encode worker) reproduces the detiled u8 output
+    byte-for-byte, including viewport crop of padded slots (H=27 below
+    does not divide tile_h=8).  Slots past the viewport carry real
+    rasterised values (edge triangles cover them) — the viewport_mask
+    contract."""
+    from libnativecpurenderer_tpu import media
+    v, f, c, m = _scene()
+    Hp = 27                               # 4 tile rows, 5 padded lines
+    bg = jnp.asarray([0.12, 0.34, 0.56, 1.0], jnp.float32)
+    kw = dict(tile_w=32, tile_h=8, capacity=96, bg=bg, span_x=8,
+              span_y=8, interpret=True, flat=True, u8=True)
+    fb8, _, ovf = raster3d.render_gouraud_pallas(v, f, c, W, Hp, m, **kw)
+    tiles, z_t, ovf_t = raster3d.render_gouraud_pallas(
+        v, f, c, W, Hp, m, tiled=True, **kw)
+    assert z_t is None and bool(ovf) == bool(ovf_t)
+    assert tiles.shape == (2 * 4, 32 * 8, 4) and tiles.dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        raster3d.detile_u8_host(tiles, W, Hp, 32, 8), np.asarray(fb8))
+    np.testing.assert_array_equal(
+        media.detile_u8(np.asarray(tiles), W, Hp, 32, 8), np.asarray(fb8))
+    # masked checksum == detiled checksum (the bench tiled-racer contract)
+    msk = np.asarray(raster3d.viewport_mask(W, Hp, 32, 8))
+    assert (int((np.asarray(tiles) * msk[..., None]).sum())
+            == int(np.asarray(fb8).sum()))
+
+
+def test_u8_tiled_variants_match():
+    """tiled output is layout-only: out8/resident_out/mega variants all
+    produce identical tiles."""
+    v, f, c, m = _scene()
+    kw = dict(tile_w=32, tile_h=8, capacity=1024, span_x=8, span_y=8,
+              interpret=True, flat=True, u8=True, tiled=True)
+    base, _, _ = raster3d.render_gouraud_pallas(v, f, c, W, H, m, **kw)
+    for extra in (dict(resident_out=True),
+                  dict(resident_out=True, out8=True),
+                  dict(resident_out=True, out8=True, mega=4)):
+        got, _, ovf = raster3d.render_gouraud_pallas(v, f, c, W, H, m,
+                                                     **kw, **extra)
+        assert not bool(ovf), extra
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))

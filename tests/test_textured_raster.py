@@ -481,3 +481,40 @@ def test_tex_skip_empty_and_subrow_fallback_match():
         assert not bool(ovf_v), extra
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base),
                                       err_msg=str(extra))
+
+
+def test_tex_tiled_matches_detiled():
+    """tiled=True on the textured entries returns the kernel's per-tile
+    (B, NT, P, 4) u8 layout; host detile (raster3d.detile_u8_host /
+    native media.detile_u8 — the VideoCap encode-worker path)
+    reproduces the detiled frames byte-for-byte, including viewport
+    crop (H=48 doesn't divide tile_h=32)."""
+    from libnativecpurenderer_tpu import media
+    rng = np.random.default_rng(16)
+    verts, faces, uvs = mesh.quad_batch(10, seed=16)
+    tex_u8 = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    zmap = np.eye(4, dtype=np.float32)
+    zmap[2, 2] = 0.25
+    zmap[2, 3] = 0.5
+    rot = (zmap @ mesh.rotation_y(0.5) @ mesh.rotation_x(0.2)).astype(
+        np.float32)
+    mvps = jnp.asarray(np.stack([zmap, rot]))
+    args = (jnp.asarray(verts, jnp.float32),
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H)
+    kw = dict(mvps=mvps, tile_w=32, tile_h=32, capacity=512, span_x=8,
+              span_y=8, interpret=True)
+    for entry in (raster3d.render_textured_pallas_loop,
+                  raster3d.render_textured_pallas_batch):
+        base, ovf = entry(*args, **kw)
+        assert not bool(ovf)
+        tiles, ovf_t = entry(*args, **kw, tiled=True)
+        assert not bool(ovf_t)
+        assert tiles.shape == (2, 2 * 2, 32 * 32, 4)
+        for b in range(2):
+            np.testing.assert_array_equal(
+                raster3d.detile_u8_host(tiles[b], W, H, 32, 32),
+                np.asarray(base[b]))
+            np.testing.assert_array_equal(
+                media.detile_u8(np.asarray(tiles[b]), W, H, 32, 32),
+                np.asarray(base[b]))
