@@ -551,12 +551,24 @@ def bench_textured(frames: int = 24, batch: int = 12):
         def mk_loop(**kw):
             fn = functools.partial(raster3d.render_textured_pallas_loop,
                                    **kw)
+            # tiled frames keep the kernel's padded per-tile layout;
+            # mask padded slots so the checksum equals the detiled
+            # racers' (raster3d.viewport_mask contract — same as the
+            # flat path's tiled racer)
+            vmask = (raster3d.viewport_mask(
+                width, height, kw.get("tile_w", 32),
+                kw.get("tile_h", 32))[None, ..., None]
+                .astype(jnp.float32) if kw.get("tiled") else None)
 
             def run(reps=REPS_B):
                 outs = []
                 for _ in range(reps):
                     outs.extend(fn(verts, faces, uvs, tex_u8, width,
                                    height, mvps=m)[0] for m in grouped)
+                if vmask is not None:
+                    return float(jnp.sum(jnp.stack(
+                        [jnp.sum(o.astype(jnp.float32) * vmask)
+                         for o in outs])))
                 return float(jnp.sum(jnp.stack(
                     [jnp.sum(o.astype(jnp.float32)) for o in outs])))
             return run
@@ -564,7 +576,9 @@ def bench_textured(frames: int = 24, batch: int = 12):
         loop_racers = []
         for lname, lkw in (("fused-loop", dict(capacity=512)),
                            ("fused-loop mega8",
-                            dict(capacity=1024, mega=8))):
+                            dict(capacity=1024, mega=8)),
+                           ("fused-loop mega8 tiled",
+                            dict(capacity=1024, mega=8, tiled=True))):
             run_l = mk_loop(**lkw)
             try:
                 run_l(1)                         # warm + compile check
