@@ -386,8 +386,13 @@ def bench_raster(frames: int = 60, width: int = 1920, height: int = 1080):
             if fused_cfg:
                 # queue several whole-sequence programs, sync ONCE: the
                 # ~30 ms per-sync tunnel cost amortises over reps
-                # (pipeline dispatches, sync once — CLAUDE.md)
-                reps = 15
+                # (pipeline dispatches, sync once — CLAUDE.md).  40 reps
+                # = 2400 frames per timing pass, representative of
+                # production renders (the demo is 7200 frames) and
+                # amortising the exogenous sync to ~0.01 ms/frame
+                # (champprof4: device while-loop is 0.985 ms/frame; 15
+                # reps still carried ~0.02 of residual)
+                reps = 40
                 for _ in range(reps):
                     outs.append(render(verts, faces, colors, width,
                                        height, mvp_for(0))[0])

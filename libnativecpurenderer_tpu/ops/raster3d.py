@@ -1372,7 +1372,7 @@ def render_textured_pallas_batch(verts, faces, uvs, tex_u8, width: int,
 def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 height: int, mvps=None,
                                 tile_w: int = 32, tile_h: int = 32,
-                                capacity: int = 512, bg=None,
+                                capacity: int = 1024, bg=None,
                                 span_x: int = 5, span_y: int = 3,
                                 interpret: bool = False, kcc: int = 32,
                                 perspective_correct: bool = True,
@@ -1381,7 +1381,7 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
                                 tex_split: bool = True,
                                 tex_dyn: bool = False,
                                 out8: bool = True, ktail: int = 0,
-                                tex_when: int = 0, mega: int = 0,
+                                tex_when: int = 0, mega: int = 8,
                                 z_clip: bool = True,
                                 tex_skip: bool = True,
                                 fb_subrow: bool = True,
@@ -1405,9 +1405,12 @@ def render_textured_pallas_loop(verts, faces, uvs, tex_u8, width: int,
     full footprint resolve).  nw14 trades a few more footprint misses
     to the geometric fallback tiers for two fewer window walks;
     bit-exactness is structural (the fallback fetches the same texel).
-    mega=8 with capacity=1024 is a further bit-exact ~0.12 ms on an
-    idle device (exp_r4f_texmega3) — raced in bench.py, not default
-    (doubles the id-window SMEM and needs the bigger Kb)."""
+    mega=8 with capacity=1024 is a further bit-exact ~0.12 ms
+    (exp_r4f_texmega3; bench race 2026-08-20: mega8 2.09 vs 2.20
+    control) — DEFAULT since session H.  mega needs capacity >= 1024
+    (the 2*Kb id window overflows at 512 on dense meshes — texmega2
+    lesson); the defaults move together, and mega_window_overflow
+    still feeds the fallback for pathological tiles."""
     from . import pallas_raster
     if bg is None:
         bg = jnp.zeros(4, jnp.float32)
