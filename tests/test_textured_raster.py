@@ -219,8 +219,11 @@ def test_tex_fused_loop_matches_batch():
             jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
             mvps)
+    # mega=0 pins the mega-free control: the loop entry's default went
+    # to mega=8 in round 4, which would silently turn this into a
+    # mega-vs-mega comparison (r4 advisor)
     kw = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
-              interpret=True)
+              interpret=True, mega=0)
     base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
     got, ovf_l = raster3d.render_textured_pallas_loop(*args, **kw)
     assert bool(ovf) == bool(ovf_l)
@@ -417,14 +420,16 @@ def test_tex_loop_mega_zclip_match():
     args = (jnp.asarray(verts, jnp.float32),
             jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H)
+    # mega=0 keeps the control mega-free now that the entry defaults to
+    # mega=8 (r4 advisor); extras override it where they test mega
     kw = dict(mvps=mvps, tile_w=32, tile_h=8, capacity=512, span_x=8,
-              span_y=8, interpret=True)
+              span_y=8, interpret=True, mega=0)
     base, ovf = raster3d.render_textured_pallas_loop(*args, **kw)
     assert not bool(ovf)
     for extra in (dict(mega=2), dict(z_clip=False),
                   dict(mega=2, z_clip=False)):
         got, ovf_v = raster3d.render_textured_pallas_loop(
-            *args, **kw, **extra)
+            *args, **{**kw, **extra})
         assert not bool(ovf_v), extra
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base),
                                       err_msg=str(extra))
@@ -467,8 +472,10 @@ def test_tex_skip_empty_and_subrow_fallback_match():
     args = (jnp.asarray(verts, jnp.float32),
             jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H)
+    # mega=0 keeps the control mega-free now that the entry defaults to
+    # mega=8 (r4 advisor); extras override it where they test mega
     kw = dict(mvps=mvps, tile_w=32, tile_h=8, capacity=512, span_x=8,
-              span_y=8, interpret=True)
+              span_y=8, interpret=True, mega=0)
     base, ovf = raster3d.render_textured_pallas_loop(
         *args, **kw, fb_subrow=False)
     assert not bool(ovf)
@@ -477,7 +484,7 @@ def test_tex_skip_empty_and_subrow_fallback_match():
                   dict(tex_skip=True, mega=2, z_clip=False),
                   dict(fb_tile_cap=4)):
         got, ovf_v = raster3d.render_textured_pallas_loop(
-            *args, **kw, **extra)
+            *args, **{**kw, **extra})
         assert not bool(ovf_v), extra
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base),
                                       err_msg=str(extra))

@@ -7,7 +7,7 @@ detile 0.034 + ~0.36 scheduling/small fusions; with mega8 the kernel
 share drops — this run names what is actually left in the ~0.36 misc
 bucket (the largest non-kernel item) and re-checks the balance.
 
-Run: nohup python tools/exp_r4_texprof5.py > /tmp/texprof5.log 2>&1 &
+Run: nohup python tools/exp_r4h_texprof5.py > /tmp/texprof5.log 2>&1 &
 """
 
 import collections
