@@ -240,15 +240,42 @@ class AudioClip:
     # WAV serialisation (cpp:1165-1228)
     # ------------------------------------------------------------------ #
     def save_as_wav(self) -> bytes:
-        pcm = np.asarray(audio_ops.to_int16_device(self._buf))
-        data_bytes = pcm.tobytes()
-        n = len(data_bytes)
+        # The i16 buffer leaves the device in row chunks whose host
+        # copies are issued async back-to-back (copy_to_host_async), so
+        # the transfer streams at link rate instead of paying a
+        # synchronous dispatch+fetch round trip per call, and the RIFF
+        # assembly below overlaps the tail of the transfer.  Byte output
+        # identical to the single-fetch form (same quantised values,
+        # same header; cpp:1165-1228 semantics) — pinned by
+        # tests/test_audio_golden.py and the cross-engine WAV tests.
+        pcm_dev = audio_ops.to_int16_device(self._buf)
+        rows = int(pcm_dev.shape[0])
+        bytes_per_row = 2 * int(pcm_dev.shape[1]) if pcm_dev.ndim > 1 \
+            else 2
+        # ~2 MB chunks: big enough to amortise per-transfer overhead,
+        # small enough that several are in flight over the dev tunnel
+        rows_per_chunk = max(1, (2 << 20) // bytes_per_row)
+        chunks = [pcm_dev[i:i + rows_per_chunk]
+                  for i in range(0, rows, rows_per_chunk)] or [pcm_dev]
+        for c in chunks:
+            try:
+                c.copy_to_host_async()
+            except AttributeError:      # non-jax array (numpy fallback)
+                break
+        n = rows * bytes_per_row
         header = b"RIFF" + struct.pack("<i", 36 + n) + b"WAVE"
         header += b"fmt " + struct.pack(
             "<ihhiihh", 0x10, 1, self._channels, self._sample_rate,
             self._sample_rate * self._channels * 2, self._channels * 2, 16)
         header += b"data" + struct.pack("<i", n)
-        return header + data_bytes
+        out = bytearray(len(header) + n)
+        out[:len(header)] = header
+        off = len(header)
+        for c in chunks:
+            part = np.ascontiguousarray(np.asarray(c))
+            out[off:off + part.nbytes] = memoryview(part).cast("B")
+            off += part.nbytes
+        return bytes(out)
 
 
 class Int16CreatedAudioClip(AudioClip):

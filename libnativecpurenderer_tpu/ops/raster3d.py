@@ -1077,6 +1077,66 @@ def render_gouraud_pallas_batch(verts, faces, vtx_colors, width: int,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnums=(3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+                    19, 20))
+def render_gouraud_pallas_loop(verts, faces, vtx_colors, width: int,
+                               height: int, mvps=None, tile_w: int = 32,
+                               tile_h: int = 32, capacity: int = 1024,
+                               bg=None, span_x: int = 5, span_y: int = 3,
+                               interpret: bool = False, kcc: int = 32,
+                               opaque: bool = True, z_clip: bool = False,
+                               resident_out: bool = True, mega: int = 8,
+                               out8: bool = True, ktail: int = 0,
+                               tiled: bool = False):
+    """Fused-loop u8 video render: B frames (mvps (B, 4, 4)) in ONE
+    jitted program — single-frame prep + champion flat kernel inside a
+    device fori_loop, frame-invariant gathers hoisted via
+    :func:`pregather_mesh` (XLA re-gathers inside loop bodies otherwise;
+    exp_r4_champprof2).  This is the production mesh->video frame
+    producer (pipeline.MeshVideoPipeline): unlike the bench's
+    checksum-reducing loop it RETURNS the frames, and with ``tiled=True``
+    they stay in the kernel's per-tile (NT, P, 4) layout so the detile
+    runs in the VideoCap encode worker instead of on device
+    (video.py put_frame_tiled_u8; ~0.065 ms/frame, exp_r4_champprof3).
+
+    Defaults are the round-4 champion race winner ((32, 32) span (5, 3)
+    kcc32 mega8 out8 resident_out, z_clip=False with the z-range check
+    folded into the overflow flag).  Returns
+    (frames (B, H, W, 4) u8 — or (B, NT, P, 4) when tiled — , overflow).
+    Bit-identical per frame to render_gouraud_pallas with the same
+    config (asserted in tests/test_pipeline.py)."""
+    dtype = verts.dtype
+    if bg is None:
+        bg = jnp.zeros(4, dtype)
+    Bn = mvps.shape[0]
+    ntx = (width + tile_w - 1) // tile_w
+    nty = (height + tile_h - 1) // tile_h
+    if mega:
+        mega = clamp_mega(mega, ntx * nty)
+    pre = (pregather_mesh(verts, faces), vtx_colors[faces])
+
+    def body(i, carry):
+        acc, ovfa = carry
+        out, _, ovf = render_gouraud_pallas.__wrapped__(
+            verts, faces, vtx_colors, width, height, mvps[i],
+            tile_w=tile_w, tile_h=tile_h, capacity=capacity, bg=bg,
+            span_x=span_x, span_y=span_y, interpret=interpret, kcc=kcc,
+            flat=True, u8=True, opaque=opaque, z_clip=z_clip,
+            resident_out=resident_out, mega=mega, out8=out8,
+            ktail=ktail, pre=pre, tiled=tiled)
+        acc = lax.dynamic_update_slice(acc, out[None],
+                                       (i,) + (0,) * out.ndim)
+        return acc, ovfa | ovf
+
+    if tiled:
+        acc0 = jnp.zeros((Bn, ntx * nty, tile_h * tile_w, 4), jnp.uint8)
+    else:
+        acc0 = jnp.zeros((Bn, height, width, 4), jnp.uint8)
+    return lax.fori_loop(0, Bn, body, (acc0, jnp.asarray(False)))
+
+
+@functools.partial(
     jax.jit, static_argnums=(4, 5, 7, 8, 9, 11, 12, 13, 14, 15))
 def render_textured_pallas(verts, faces, uvs, tex, width: int, height: int,
                            mvp=None, tile_w: int = 128, tile_h: int = 8,

@@ -216,6 +216,110 @@ class BatchedVideoPipeline:
         self._drain()
 
 
+class MeshVideoPipeline:
+    """Production 3D mesh->video path: MVPs are submitted per frame,
+    rendered in device batches by the champion fused-loop Pallas raster
+    (raster3d.render_gouraud_pallas_loop / render_textured_pallas_loop),
+    and fed to the encoder in the kernel's TILED per-tile u8 layout —
+    the detile + viewport crop runs inside VideoCap's native encode
+    worker (media.cpp MediaDetileU8) overlapped with the encode, so the
+    device program never pays the detile transpose+reshape chain
+    (~0.065 ms/frame at 1080p, exp_r4_champprof3).  Device->host
+    transfer is double-buffered like the canvas pipelines.
+
+    The reference has no 3D path (its flagship is the 2D display list);
+    this pipeline is the TPU-native video producer for the BASELINE
+    mesh workloads.  Gouraud when ``colors`` is given; textured when
+    ``uvs`` + ``tex_u8`` are.
+
+        pipe = MeshVideoPipeline(cap, W, H, verts, faces, colors=cols)
+        for mvp in mvps: pipe.submit(mvp)
+        pipe.finish()
+    """
+
+    def __init__(self, cap, width: int, height: int, verts, faces,
+                 colors=None, uvs=None, tex_u8=None, batch: int = 16,
+                 tiled=None, **render_kw):
+        from . import media
+        from .ops import raster3d
+        assert (colors is None) != (uvs is None), \
+            "exactly one of colors / (uvs, tex_u8)"
+        self.cap = cap
+        self.width = width
+        self.height = height
+        self.batch = batch
+        self._verts = jnp.asarray(verts, jnp.float32)
+        self._faces = jnp.asarray(faces, jnp.int32)
+        self._colors = None if colors is None else jnp.asarray(
+            colors, jnp.float32)
+        self._uvs = None if uvs is None else jnp.asarray(uvs, jnp.float32)
+        self._tex = None if tex_u8 is None else jnp.asarray(
+            tex_u8, jnp.uint8)
+        # tiled frames need a detiling consumer: the native encode
+        # worker, or any sink exposing put_frame_tiled_u8
+        if tiled is None:
+            tiled = (media.native_available()
+                     or hasattr(cap, "put_frame_tiled_u8"))
+        self._tiled = bool(tiled) and hasattr(cap, "put_frame_tiled_u8")
+        kw = dict(render_kw)
+        kw.setdefault("tile_w", 32)
+        kw.setdefault("tile_h", 32)
+        self._tile_w = kw["tile_w"]
+        self._tile_h = kw["tile_h"]
+        self._kw = kw
+        self._raster3d = raster3d
+        self._pending: list = []
+        self._inflight = None
+        self._ovf = []            # per-batch overflow flags (device)
+
+    def _render(self, mvps):
+        r3 = self._raster3d
+        if self._colors is not None:
+            return r3.render_gouraud_pallas_loop(
+                self._verts, self._faces, self._colors, self.width,
+                self.height, mvps, tiled=self._tiled, **self._kw)
+        return r3.render_textured_pallas_loop(
+            self._verts, self._faces, self._uvs, self._tex, self.width,
+            self.height, mvps=mvps, tiled=self._tiled, **self._kw)
+
+    def submit(self, mvp) -> None:
+        self._pending.append(np.asarray(mvp, np.float32))
+        if len(self._pending) >= self.batch:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._pending:
+            return
+        mvps = jnp.asarray(np.stack(self._pending))
+        self._pending.clear()
+        frames, ovf = self._render(mvps)
+        self._ovf.append(ovf)
+        self._drain()
+        self._inflight = (frames, int(mvps.shape[0]))
+
+    def _drain(self) -> None:
+        if self._inflight is None:
+            return
+        frames, n = self._inflight
+        self._inflight = None
+        host = np.asarray(frames)
+        for i in range(n):
+            if self._tiled:
+                self.cap.put_frame_tiled_u8(host[i], self.width,
+                                            self.height, self._tile_w,
+                                            self._tile_h)
+            else:
+                self.cap.put_frame_u8(host[i])
+
+    def finish(self) -> None:
+        self.flush()
+        self._drain()
+        if self._ovf and bool(jnp.any(jnp.stack(self._ovf))):
+            raise ValueError(
+                "mesh raster bin/span overflow — raise capacity/span_x/"
+                "span_y (see raster3d.bin_triangles_flat)")
+
+
 class ShardedVideoPipeline(BatchedVideoPipeline):
     """Frame batches rendered on a multi-device ('data', 'tile') mesh:
     each device renders the y-band of the frames in its data shard via

@@ -444,6 +444,28 @@ static void enc_encode_rgba(Encoder* e, const uint8_t* rgba, int sw, int sh) {
     const uint8_t* src[1] = {rgba};
     const int stride[1] = {sw * 4};
     sws_scale(e->sws, src, stride, 0, sh, e->yuv->data, e->yuv->linesize);
+    // Zero the linesize-alignment pad columns AFTER the convert, every
+    // frame: make_writable allocates a fresh (uninitialized) buffer
+    // whenever the encoder still holds a reference (every frame after
+    // the first), sws_scale's SIMD tails can spill garbage into the
+    // pad, and the H.264 encoder's edge extension reads it.  Without
+    // this, identical frame inputs produced byte-different MP4s
+    // depending on heap history (caught by tests/test_media.py
+    // mesh-pipeline MP4 parity).
+    {
+        const int ph[3] = {e->height, (e->height + 1) / 2,
+                           (e->height + 1) / 2};
+        const int pw[3] = {e->width, (e->width + 1) / 2,
+                           (e->width + 1) / 2};
+        for (int p = 0; p < 3; ++p) {
+            const int ls = e->yuv->linesize[p];
+            if (ls <= pw[p]) continue;
+            uint8_t* d = e->yuv->data[p];
+            for (int r = 0; r < ph[p]; ++r)
+                std::memset(d + (size_t)r * ls + pw[p], 0,
+                            (size_t)(ls - pw[p]));
+        }
+    }
     e->yuv->pts = llround((double)e->frame_index * 90000.0 / e->fps);
     e->frame_index++;
 

