@@ -525,3 +525,91 @@ def test_tex_tiled_matches_detiled():
             np.testing.assert_array_equal(
                 media.detile_u8(np.asarray(tiles[b]), W, H, 32, 32),
                 np.asarray(base[b]))
+
+
+def test_tex_zclip_false_boundary_golden():
+    """Golden u8 contract for the z_clip=False convention at the zz ~ 0/1
+    depth boundaries (VERDICT r4 item 6).  z_clip=False performs NO
+    per-pixel z-range rejection — pixels whose interpolated zz spills a
+    few ulp past 0 or 1 (constant-z planes at sz=1 interpolate to
+    w0+w1+w2 != 1 exactly) are still shaded, while z_clip=True rejects
+    them; that is why the two modes are checksum-divergent at the
+    boundary (ROADMAP texmega2) and why zoff rows need their own
+    checksum base.  The oracle below implements the same convention
+    (accept everything, clamp the quantised depth), so the fp-spill
+    behaviour is contract, not folklore."""
+    rng = np.random.default_rng(31)
+    Wl, Hl = 64, 48
+    tex_u8 = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
+
+    # three disjoint screen regions: a quad ON the near boundary
+    # (NDC z=-1 -> sz=0), one ON the far boundary (z=+1 -> sz=1), and a
+    # tilted quad sweeping the full 0..1 depth range.  Disjoint regions
+    # keep the assert independent of +-1-level zq noise between modes.
+    verts, faces, uvs = [], [], []
+
+    def quad(x0, y0, x1, y1, z):
+        b = len(verts)
+        zs = z if isinstance(z, tuple) else (z, z, z, z)
+        verts.extend([[x0, y0, zs[0]], [x1, y0, zs[1]],
+                      [x1, y1, zs[2]], [x0, y1, zs[3]]])
+        # asymmetric uv range: texel boundaries (u*4 integer) must not
+        # land on pixel-center columns, or the f32/f64 interpolation
+        # noise flips the sampled texel (the one legitimate divergence)
+        uvs.extend([[0.031, 0.067], [0.911, 0.067], [0.911, 0.941],
+                    [0.031, 0.941]])
+        faces.extend([[b, b + 1, b + 2], [b, b + 2, b + 3]])
+
+    quad(-0.9, -0.8, -0.4, 0.7, -1.0)            # sz = 0 exactly
+    quad(-0.3, -0.8, 0.25, 0.7, 1.0)             # sz = 1 exactly
+    quad(0.35, -0.8, 0.9, 0.7, (-1.0, 1.0, 1.0, -1.0))  # sweeps 0..1
+    verts = np.asarray(verts, np.float32)
+    faces_a = np.asarray(faces, np.int32)
+    uvs = np.asarray(uvs, np.float32)
+
+    got, ovf = raster3d.render_textured_pallas_loop(
+        jnp.asarray(verts), jnp.asarray(faces_a), jnp.asarray(uvs),
+        jnp.asarray(tex_u8), Wl, Hl,
+        mvps=jnp.asarray(np.eye(4, dtype=np.float32)[None]),
+        tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
+        interpret=True, mega=0, z_clip=False)
+    assert not bool(ovf)
+
+    # oracle: scanline raster, SAME convention — no z rejection, zq
+    # clamped; perspective-correct interpolation with w == 1; clamped
+    # nearest texel (trunc-toward-zero cast then clip, raster3d:1191)
+    from libnativecpurenderer_tpu.golden.raster_reference import project
+    from libnativecpurenderer_tpu.ops.raster3d import (IDX_BITS, NO_TRI,
+                                                       Z_LEVELS)
+    sx, sy, sz, _ = project(np.asarray(verts, np.float64), np.eye(4),
+                            Wl, Hl)
+    th_t, tw_t = tex_u8.shape[0], tex_u8.shape[1]
+    keybuf = np.full((Hl, Wl), (Z_LEVELS << IDX_BITS) | NO_TRI, np.int64)
+    want = np.zeros((Hl, Wl, 4), np.uint8)
+    for fi, (i0, i1, i2) in enumerate(faces_a):
+        x0, y0, x1, y1, x2, y2 = (sx[i0], sy[i0], sx[i1], sy[i1],
+                                  sx[i2], sy[i2])
+        area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        sign = np.sign(area2)
+        for py in range(Hl):
+            for px in range(Wl):
+                e0 = (y1 - y2) * px + (x2 - x1) * py + (x1 * y2 - x2 * y1)
+                e1 = (y2 - y0) * px + (x0 - x2) * py + (x2 * y0 - x0 * y2)
+                e2 = (y0 - y1) * px + (x1 - x0) * py + (x0 * y1 - x1 * y0)
+                if e0 * sign < 0 or e1 * sign < 0 or e2 * sign < 0:
+                    continue
+                w0, w1, w2 = e0 / area2, e1 / area2, e2 / area2
+                z = w0 * sz[i0] + w1 * sz[i1] + w2 * sz[i2]
+                zq = int(np.clip(z * Z_LEVELS, 0, Z_LEVELS))  # NO reject
+                key = (zq << IDX_BITS) | fi
+                if key < keybuf[py, px]:
+                    keybuf[py, px] = key
+                    wsum = w0 + w1 + w2
+                    u = (w0 * uvs[i0, 0] + w1 * uvs[i1, 0]
+                         + w2 * uvs[i2, 0]) / wsum
+                    v = (w0 * uvs[i0, 1] + w1 * uvs[i1, 1]
+                         + w2 * uvs[i2, 1]) / wsum
+                    ui = int(np.clip(np.trunc(u * tw_t), 0, tw_t - 1))
+                    vi = int(np.clip(np.trunc(v * th_t), 0, th_t - 1))
+                    want[py, px] = tex_u8[vi, ui]
+    np.testing.assert_array_equal(np.asarray(got[0]), want)
