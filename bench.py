@@ -769,9 +769,14 @@ def bench_milrenderer(frames: int = 48):
     chart parse, bgm mix, asset load, per-frame record, batched device
     flush, u8 frame fetch and MP4 encode all included.  The frame fetch
     rides the dev tunnel here (~25 MB/s; PCIe on real TPU hosts) so the
-    number is a floor.  Bounded frames + loop-executor flushes keep the
-    wall inside the bench budget (unrolled signatures would each pay a
-    remote compile).  Reference flagship: milrenderer.py:19-31,865-1040."""
+    number is a floor.  Runs with PRODUCTION defaults (unrolled flush +
+    batch-vmap pipeline): the loop executor instead pays per-segment
+    dispatches with fresh param staging every frame (~30 ms round trips
+    each — measured 0.76 s/frame, /tmp/mil_prof_r5 2026-08-20).  Warm =
+    two full identical runs: flush/batch signatures gate on min_seen=2,
+    so programs compile during the SECOND sight of each structure
+    (ROADMAP 'warm-gap root cause') and the third run is compile-free.
+    Reference flagship: milrenderer.py:19-31,865-1040."""
     import tempfile
 
     from tools.synth_chart import make_chart_package
@@ -782,12 +787,13 @@ def bench_milrenderer(frames: int = 48):
 
         def once(out_name, end_frame):
             r = Renderer(width=960, height=540, fps=60, res_dir=res,
-                         batch_frames=8, unrolled_flush=False)
+                         batch_frames=8)
             r.run(zpath, os.path.join(td, out_name), progress=False,
                   end_frame=end_frame)
 
         with TIMER.phase("milrenderer_warm"):
-            once("warm.mp4", 9)          # compile the batch structures
+            once("warm1.mp4", frames)
+            once("warm2.mp4", frames)
         with TIMER.phase("milrenderer_run"):
             t0 = time.perf_counter()
             once("timed.mp4", frames)
@@ -828,7 +834,7 @@ def main():
             ("canvas_1080p_60cmd_ms", bench_canvas, 2, 120),
             ("textured_1080p_10ktri_ms", bench_textured, 2, 300),
             ("e2e_1080p_record_to_u8_fps", bench_e2e, 1, 120),
-            ("milrenderer_540p_e2e_fps", bench_milrenderer, 1, 180)]:
+            ("milrenderer_540p_e2e_fps", bench_milrenderer, 1, 420)]:
         if remaining_s() < est:
             log(f"{key} skipped: {remaining_s():.0f}s budget left "
                 f"< {est}s estimate")

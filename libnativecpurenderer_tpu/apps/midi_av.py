@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import os
 import types
+import typing
 
 import numpy as np
 
@@ -41,7 +42,11 @@ def note_color(n: int):
 def render(midi_path: str, out_path: str, res_dir: str, *,
            width: int = 1920, height: int = 1080, fps: int = 60,
            min_note: int = 21, max_note: int = 108, dnote: int = 0,
-           batch_frames: int = 16, progress: bool = True) -> int:
+           batch_frames: int = 16, progress: bool = True,
+           max_frames: typing.Optional[int] = None) -> int:
+    """``max_frames`` bounds the render to a prefix (audio trimmed to
+    match) — the same frame-range resume idea as milrenderer's
+    start/end_frame; also keeps the golden config-5 test cheap."""
     with open(midi_path, "rb") as f:
         midi_bytes = f.read()
     mid = midi.MidiFile(midi_bytes)
@@ -58,6 +63,11 @@ def render(midi_path: str, out_path: str, res_dir: str, *,
     mix = AudioClip.from_file(audio_tmp)
     os.unlink(audio_tmp)
 
+    num_frames = int(mix.duration * fps) + 1
+    if max_frames is not None and max_frames < num_frames:
+        num_frames = max_frames
+        mix.cut(0.0, num_frames / fps, time_unit="second")
+
     cap = VideoCap(width, height, fps)
     cap.initialize(out_path, hasAudio=True, a_clip=mix)
     ctx = RenderContext(width, height, enable_alpha=False)
@@ -66,7 +76,6 @@ def render(midi_path: str, out_path: str, res_dir: str, *,
 
     span = max_note - min_note + 1
     lane_w = width / span
-    num_frames = int(mix.duration * fps) + 1
     notes = [n for n in notes if min_note <= n[2] + dnote <= max_note]
 
     rng = range(num_frames)

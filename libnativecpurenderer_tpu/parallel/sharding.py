@@ -126,7 +126,8 @@ def sharded_raster3d_step(mesh: Mesh, width: int, height: int, faces,
                           tile_w: int = 32, tile_h: int = 32,
                           capacity: int = 128, span_x: int = 8,
                           span_y: int = 8, pallas: bool = False,
-                          pallas_kw: dict | None = None):
+                          pallas_kw: dict | None = None,
+                          with_ovf: bool = False):
     """Frame-batch data-parallel step of the PRODUCTION binned 3D
     rasterizer over the whole mesh: B frames' MVPs shard across every
     device (both axes flattened — video rendering is embarrassingly
@@ -149,6 +150,10 @@ def sharded_raster3d_step(mesh: Mesh, width: int, height: int, faces,
 
     Returns a shard_map'd fn (mvps (B, 4, 4), verts (V, 3)) ->
     frames (B, H, W, 4).  B must divide by the device count.
+    ``with_ovf=True`` returns (frames, ovf (B,) bool) instead — the
+    per-frame bin/span overflow flags, so production consumers
+    (pipeline.ShardedMeshVideoPipeline) can refuse clamped frames
+    instead of shipping them.
     """
     textured = uvs is not None
     assert textured == (tex is not None), "uvs and tex come together"
@@ -169,7 +174,7 @@ def sharded_raster3d_step(mesh: Mesh, width: int, height: int, faces,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axes), P(None, None)),
-        out_specs=P(axes),
+        out_specs=(P(axes), P(axes)) if with_ovf else P(axes),
         # pallas_call's out ShapeDtypeStruct carries no vma annotation,
         # which check_vma=True rejects inside shard_map; frame-DP runs
         # the identical per-device program on purely-local data, so the
@@ -182,26 +187,28 @@ def sharded_raster3d_step(mesh: Mesh, width: int, height: int, faces,
 
         def one(mvp):
             if pallas:
-                fb, _, _ = raster3d.render_gouraud_pallas.__wrapped__(
+                fb, _, ovf = raster3d.render_gouraud_pallas.__wrapped__(
                     verts, faces, vtx_colors, width, height, mvp,
                     pre=pre, **pkw)
             elif textured:
-                fb, _, _ = raster3d.render_textured_binned(
+                fb, _, ovf = raster3d.render_textured_binned(
                     verts, faces, uvs, tex, width, height, mvp,
                     tile_w=tile_w, tile_h=tile_h, capacity=capacity,
                     span_x=span_x, span_y=span_y)
             else:
-                fb, _, _ = raster3d.render_gouraud_binned(
+                fb, _, ovf = raster3d.render_gouraud_binned(
                     verts, faces, vtx_colors, width, height, mvp,
                     tile_w=tile_w, tile_h=tile_h, capacity=capacity,
                     span_x=span_x, span_y=span_y)
-            return fb
+            return fb, ovf
 
         def body(carry, mvp):
             return carry, one(mvp)
 
-        _, frames = jax.lax.scan(body, jnp.zeros((), jnp.int32),
-                                 mvps_local)
+        _, (frames, ovfs) = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                         mvps_local)
+        if with_ovf:
+            return frames, ovfs
         return frames
 
     return step

@@ -320,6 +320,66 @@ class MeshVideoPipeline:
                 "span_y (see raster3d.bin_triangles_flat)")
 
 
+class ShardedMeshVideoPipeline(MeshVideoPipeline):
+    """MeshVideoPipeline scaled over a ('data', 'tile') device mesh:
+    frame batches shard across EVERY device (video rendering is
+    embarrassingly frame-parallel, so full-mesh DP is the scaling
+    layout — parallel/sharding.sharded_raster3d_step), geometry
+    replicated.  Gouraud rides each device's champion Pallas u8 kernel;
+    textured rides the binned path.  Frames come back raster-order
+    (the cross-device output sharding reassembles them), so the sink
+    needs no tiled support; per-frame overflow flags are carried and
+    surfaced at finish() like the single-device pipeline."""
+
+    def __init__(self, cap, width: int, height: int, verts, faces,
+                 colors=None, uvs=None, tex_u8=None, batch: int = 16,
+                 mesh=None, **render_kw):
+        import jax as _jax
+        from .parallel import sharding as sh
+        super().__init__(cap, width, height, verts, faces, colors=colors,
+                         uvs=uvs, tex_u8=tex_u8, batch=batch,
+                         tiled=False, **render_kw)
+        self._mesh = mesh if mesh is not None else sh.make_mesh()
+        self._ndev = self._mesh.devices.size
+        if self.batch % self._ndev:
+            self.batch = ((self.batch + self._ndev - 1)
+                          // self._ndev) * self._ndev
+        kw = dict(self._kw)
+        kw.pop("interpret", None)
+        pallas_kw = {k: kw.pop(k) for k in list(kw)
+                     if k not in ("tile_w", "tile_h", "capacity",
+                                  "span_x", "span_y")}
+        if colors is not None:
+            tex_f = None
+            uvs_a = None
+        else:
+            # the sharded textured path samples an f32 texture
+            # (render_textured_binned); u8 in [0,1] scale
+            tex_f = self._tex.astype(jnp.float32) / 255.0
+            uvs_a = self._uvs
+        self._step = _jax.jit(sh.sharded_raster3d_step(
+            self._mesh, width, height, self._faces,
+            vtx_colors=self._colors, uvs=uvs_a, tex=tex_f,
+            pallas=colors is not None,
+            pallas_kw=pallas_kw or None, with_ovf=True,
+            **{k: kw[k] for k in ("tile_w", "tile_h", "capacity",
+                                  "span_x", "span_y") if k in kw}))
+
+    def _render(self, mvps):
+        n = int(mvps.shape[0])
+        pad = (-n) % self._ndev
+        if pad:
+            mvps = jnp.concatenate([mvps, jnp.broadcast_to(
+                mvps[-1:], (pad, 4, 4))])
+        frames, ovfs = self._step(mvps, self._verts)
+        if frames.dtype != jnp.uint8:
+            # textured rides the binned f32 path; quantise with the
+            # executor's C-cast truncation semantics (_render_one)
+            frames = (frames * 255.0).astype(jnp.int32) \
+                .astype(jnp.uint8)
+        return frames[:n], jnp.any(ovfs[:n])
+
+
 class ShardedVideoPipeline(BatchedVideoPipeline):
     """Frame batches rendered on a multi-device ('data', 'tile') mesh:
     each device renders the y-band of the frames in its data shard via

@@ -80,7 +80,7 @@ def test_config2_textured_quads_720p(ref_files):
 def test_config3_10k_mesh_sequence():
     verts_np, faces_np, colors_np = mesh.mesh_10k()
     assert len(faces_np) == 10000
-    W, H = 192, 108  # reduced raster size for CPU CI; geometry identical
+    W, H = 128, 72  # reduced raster size for CPU CI; geometry identical
     proj = mesh.perspective(1.0, W / H, 0.1, 10.0)
     view = mesh.look_at([0.0, 0.6, 3.2], [0, 0, 0], [0, 1, 0])
     v = jnp.asarray(verts_np, jnp.float64)
@@ -133,9 +133,14 @@ def test_config5_midi_av(tmp_path, ref_files):
         pytest.skip("needs native encoder")
     from libnativecpurenderer_tpu.apps import midi_av
     out = str(tmp_path / "rr_av.mp4")
+    # max_frames bounds the render (audio trimmed to match): the full
+    # rr.mid at fps 10 is ~1400 frames / 140 s of single-CPU test time;
+    # 120 frames exercise the identical pipeline (suite budget,
+    # VERDICT r4 item 8)
     n = midi_av.render(f"{ref_files}/rr.mid", out, ref_files,
                        width=192, height=108, fps=10, batch_frames=8,
-                       progress=False)
+                       progress=False, max_frames=120)
+    assert n == 120
     import cv2
     cap = cv2.VideoCapture(out)
     assert cap.isOpened()

@@ -296,3 +296,50 @@ def test_sharded_pallas_raster_matches_single_device(devices):
         jnp.asarray(colors_np, jnp.float32), width, height, mvps[5],
         flat=True, u8=True, kcc=16, interpret=True, **kw)
     np.testing.assert_array_equal(np.asarray(frames[5]), np.asarray(ref))
+
+
+def test_sharded_mesh_video_pipeline(devices):
+    """ShardedMeshVideoPipeline == single-device MeshVideoPipeline
+    frames, bit-exact (full-mesh frame-DP of the champion Pallas u8
+    kernel), with the per-frame overflow flags carried through."""
+    from libnativecpurenderer_tpu.pipeline import (MeshVideoPipeline,
+                                                   ShardedMeshVideoPipeline)
+    dev_mesh = sharding.make_mesh(devices)
+    width, height = 128, 32
+    verts_np, faces_np = mesh_mod.icosphere(1)
+    colors_np = np.concatenate([np.abs(verts_np),
+                                np.ones((len(verts_np), 1))], 1)
+    kw = dict(tile_w=32, tile_h=8, capacity=96, span_x=8, span_y=8)
+    proj = mesh_mod.perspective(1.0, width / height, 0.1, 10.0)
+    view = mesh_mod.look_at([0, 0, 2.5], [0, 0, 0], [0, 1, 0])
+    # 10 frames: not a multiple of 8 devices — exercises the pad path
+    mvps = [np.asarray(proj @ view @ mesh_mod.rotation_y(i * 0.21),
+                       np.float32) for i in range(10)]
+
+    class Sink:
+        def __init__(self):
+            self.frames = []
+
+        def put_frame_u8(self, f):
+            self.frames.append(np.asarray(f).copy())
+
+    sharded_sink = Sink()
+    pipe = ShardedMeshVideoPipeline(
+        sharded_sink, width, height, verts_np, faces_np,
+        colors=colors_np, batch=8, mesh=dev_mesh, **kw)
+    for m in mvps:
+        pipe.submit(m)
+    pipe.finish()
+    assert len(sharded_sink.frames) == 10
+
+    single_sink = Sink()
+    pipe1 = MeshVideoPipeline(single_sink, width, height, verts_np,
+                              faces_np, colors=colors_np, batch=8,
+                              tiled=False, interpret=True, mega=0,
+                              out8=False, resident_out=False,
+                              z_clip=True, opaque=False, kcc=16, **kw)
+    for m in mvps:
+        pipe1.submit(m)
+    pipe1.finish()
+    for a, b in zip(sharded_sink.frames, single_sink.frames):
+        np.testing.assert_array_equal(a, b)

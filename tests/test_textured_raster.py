@@ -172,9 +172,11 @@ def test_tex_mega_loop_matches():
               interpret=True)
     base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
     assert not bool(ovf)
-    # NT = 12 tiles at 32x8 (W=64, H=48): mega=2|3 divide, mega=8 is
+    # NT = 12 tiles at 32x8 (W=64, H=48): mega=2 divides, mega=8 is
     # clamped to 6 by raster3d.clamp_mega — exercising both paths
-    for mega in (2, 3, 8):
+    # (mega=3 dropped: same dividing-case coverage as 2, ~13 s of
+    # single-CPU interpret time — suite budget, VERDICT r4 item 8)
+    for mega in (2, 8):
         got, ovf_m = raster3d.render_textured_pallas_batch(
             *args, mega=mega, **kw)
         assert not bool(ovf_m), mega
