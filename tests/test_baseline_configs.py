@@ -139,8 +139,8 @@ def test_config5_midi_av(tmp_path, ref_files):
     # VERDICT r4 item 8)
     n = midi_av.render(f"{ref_files}/rr.mid", out, ref_files,
                        width=192, height=108, fps=10, batch_frames=8,
-                       progress=False, max_frames=120)
-    assert n == 120
+                       progress=False, max_frames=60)
+    assert n == 60
     import cv2
     cap = cv2.VideoCapture(out)
     assert cap.isOpened()

@@ -513,8 +513,11 @@ def test_tex_tiled_matches_detiled():
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H)
     kw = dict(mvps=mvps, tile_w=32, tile_h=32, capacity=512, span_x=8,
               span_y=8, interpret=True)
-    for entry in (raster3d.render_textured_pallas_loop,
-                  raster3d.render_textured_pallas_batch):
+    # the loop entry only: both entries share _tex_resolve_finish's
+    # tiled path, and loop-vs-batch equality is pinned by
+    # test_tex_fused_loop_matches_batch (suite budget: the batch pass
+    # was a second ~9 s interpret compile of the same contract)
+    for entry in (raster3d.render_textured_pallas_loop,):
         base, ovf = entry(*args, **kw)
         assert not bool(ovf)
         tiles, ovf_t = entry(*args, **kw, tiled=True)
