@@ -537,11 +537,14 @@ def bench_textured(frames: int = 24, batch: int = 12):
         # tiled frames keep the kernel's padded per-tile layout;
         # mask padded slots so the checksum equals the detiled
         # racers' (raster3d.viewport_mask contract — same as the
-        # flat path's tiled racer)
+        # flat path's tiled racer).  u8 where + per-frame u32 sums:
+        # the round-5a form (o.astype(f32) * vmask) materialised a
+        # ~33 MB f32 temp per frame and charged the racer ~3.5
+        # ms/frame of pure checksum math (r5a tail: 5.72 "ms/frame")
         vmask = (raster3d.viewport_mask(
             width, height, kw.get("tile_w", 32),
             kw.get("tile_h", 32))[None, ..., None]
-            .astype(jnp.float32) if kw.get("tiled") else None)
+            if kw.get("tiled") else None)
 
         def run(reps=REPS_B):
             outs = []
@@ -552,13 +555,14 @@ def bench_textured(frames: int = 24, batch: int = 12):
                                height, mvps=m)
                     outs.append(o)
                     ovf = ovf | ov
-            if vmask is not None:
-                chk = float(jnp.sum(jnp.stack(
-                    [jnp.sum(o.astype(jnp.float32) * vmask)
-                     for o in outs])))
-            else:
-                chk = float(jnp.sum(jnp.stack(
-                    [jnp.sum(o.astype(jnp.float32)) for o in outs])))
+
+            def fsum(o):
+                if vmask is not None:
+                    o = jnp.where(vmask, o, jnp.uint8(0))
+                return jnp.sum(
+                    jnp.sum(o.reshape(o.shape[0], -1), axis=1,
+                            dtype=jnp.uint32).astype(jnp.float32))
+            chk = float(jnp.sum(jnp.stack([fsum(o) for o in outs])))
             # a config that overflows its bin/id windows "measures"
             # clamped garbage — never accept its timing (texmega2
             # lesson; r4 advisor)

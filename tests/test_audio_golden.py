@@ -212,6 +212,23 @@ def test_save_as_wav_layout():
     np.testing.assert_array_equal(pcm, [16383, -16383, 32767, -32767])
 
 
+def test_save_as_wav_multichunk_identical():
+    # the streamed device fetch (save_as_wav chunks ~2 MB of i16 rows,
+    # copy_to_host_async back-to-back) must produce the same bytes as a
+    # single-fetch serialisation; this clip spans several chunks
+    # (700k stereo frames = 2.8 MB i16 > 2 x rows_per_chunk)
+    rng = np.random.default_rng(9)
+    s = np.clip(rng.standard_normal((700_000, 2)) * 0.4, -1, 1)
+    clip = R.AudioClip._from_array(44100, 2, s)
+    wav = clip.save_as_wav()
+    import struct
+    n = struct.unpack("<i", wav[40:44])[0]
+    assert n == 700_000 * 2 * 2 and len(wav) == 44 + n
+    pcm = np.frombuffer(wav[44:], "<i2").reshape(-1, 2)
+    want = np.trunc(np.clip(s, -1, 1) * 32767).astype(np.int16)
+    np.testing.assert_array_equal(pcm, want)
+
+
 def test_wav_roundtrip_via_stdlib():
     import io
     import wave
