@@ -96,19 +96,22 @@ def main():
     rows_np = [r for _, r in packed]
     d = jax.device_put(rows_np[0])
     d.block_until_ready()
-    t0 = time.perf_counter()
-    outs = [jax.device_put(r) for r in rows_np]
-    chk = float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))
-    dt = (time.perf_counter() - t0) / FRAMES
-    print(f"put-only: {dt * 1e3:.2f} ms/frame (rows "
-          f"{rows_np[0].nbytes} B) chk {chk:.0f}", flush=True)
+    for rep in range(3):                 # rep 0 may carry tunnel settle
+        t0 = time.perf_counter()
+        outs = [jax.device_put(r) for r in rows_np]
+        chk = float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))
+        dt = (time.perf_counter() - t0) / FRAMES
+        print(f"put-only[{rep}]: {dt * 1e3:.2f} ms/frame (rows "
+              f"{rows_np[0].nbytes} B) chk {chk:.0f}", flush=True)
 
     # --- staged: rows already on device ------------------------------
     rows_dev = [jax.device_put(r) for r in rows_np]
     float(jnp.sum(rows_dev[-1]))
 
     def run_staged():
-        fb = fb0
+        # render_flush_unrolled DONATES its fb argument — hand it a
+        # fresh device copy so fb0 survives across runs
+        fb = jnp.copy(fb0)
         for (sig, _), rd in zip(packed, rows_dev):
             fb = patch_exec.render_flush_unrolled(fb, rd, atlas, sig)
         return float(jnp.sum(fb[0, :64, 0].astype(jnp.float32)))
@@ -124,7 +127,7 @@ def main():
 
     # --- replica: per-frame put + launch ------------------------------
     def run_replica():
-        fb = fb0
+        fb = jnp.copy(fb0)
         for (sig, rows) in packed:
             fb = patch_exec.render_flush_unrolled(fb, jnp.asarray(rows),
                                                   atlas, sig)
