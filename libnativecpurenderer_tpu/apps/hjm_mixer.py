@@ -83,15 +83,23 @@ def main(args: ProgInput) -> None:
            if args.base is None else args.base)
 
     # instrument banks: 3 instruments x notes 12..143 (reference :70-77)
-    banks = []
-    for name in ("ha", "ji", "mi"):
-        bank = []
-        for i in range(12, 144):
-            clip = AudioClip.from_file(os.path.join(args.res, name,
-                                                    f"{i}.wav"))
+    # loaded LAZILY per (instrument, bank index): the reference decodes
+    # all 396 WAVs up front; only the ones a chart actually plays affect
+    # the output, and decode+resample of the unused ones dominated app
+    # startup (~45 s for rr.mid on a single-CPU host).  Indexing keeps
+    # the reference's raw-note quirk: banks[inst][n] reads the file
+    # named n+12 (bank list position n holds file (n+12).wav).
+    bank_names = ("ha", "ji", "mi")
+    _bank_cache: dict = {}
+
+    def bank_clip(inst: int, n: int) -> AudioClip:
+        key = (inst, n)
+        if key not in _bank_cache:
+            clip = AudioClip.from_file(os.path.join(
+                args.res, bank_names[inst], f"{n + 12}.wav"))
             clip.resample_like(bgm)
-            bank.append(clip)
-        banks.append(bank)
+            _bank_cache[key] = clip
+        return _bank_cache[key]
 
     # round-robin instrument per distinct onset (reference :79-87), then
     # flush per (instrument, note) as one batched scatter-add
@@ -106,11 +114,14 @@ def main(args: ProgInput) -> None:
             lastsec = sec
         if n < args.min_note or n > args.max_note:
             continue
-        curri = curri % len(banks)
+        curri = curri % len(bank_names)
         groups[(curri, n)].append(sec)
 
-    for (inst, n), secs in groups.items():
-        bgm.overlay_many(banks[inst][n], secs)
+    # all groups in a handful of cohorted device dispatches — per-call
+    # overlay_many pays a full target copy per dispatch (audio.py
+    # overlay_groups docstring; 43 s -> ~2 s on the rr.mid mix)
+    bgm.overlay_groups([(bank_clip(inst, n), secs)
+                        for (inst, n), secs in groups.items()])
 
     with open(args.output, "wb") as f:
         f.write(bgm.save_as_wav())

@@ -206,8 +206,74 @@ class AudioClip:
                 or self._channels != source._channels:
             source = source.clone()
             source.resample_like(self)
+        n_src = int(source._buf.shape[0])
+        if bucket * n_src <= (1 << 20):
+            # scatter path: ALSO bucket the source length (zero-pad rows
+            # masked out via a sentinel index) — a mixdown overlaying
+            # hundreds of distinct-length clips (hjm_mixer: one clip per
+            # (instrument, note)) otherwise compiles a program PER clip
+            # length, ~0.2 s each on this host (43 s of the rr.mid mix)
+            sb = 1
+            while sb < n_src:
+                sb *= 2
+            src = source._buf
+            if sb != n_src:
+                src = jnp.concatenate([
+                    src, jnp.zeros((sb - n_src,) + src.shape[1:],
+                                   src.dtype)])
+            self._buf = audio_ops.overlay_many_bucketed(
+                self._buf, src, jnp.asarray(n_src, jnp.int32),
+                jnp.asarray(starts, jnp.int32))
+            return
         self._buf = audio_ops.overlay_many(
             self._buf, source._buf, jnp.asarray(starts, jnp.int32))
+
+    def overlay_groups(self, pairs) -> None:
+        """TPU extension: overlay MANY (source clip, start_seconds list)
+        groups in a handful of device dispatches.
+
+        Groups are cohorted by (power-of-two event bucket, power-of-two
+        source-length bucket) and each cohort runs as ONE fori-loop
+        scatter program (ops/audio_ops.overlay_groups) — sequential
+        overlay_many calls pay a full defensive copy of the target per
+        dispatch on this backend, which dominated hjm_mixer's 212-group
+        mixdown (~43 s -> ~2 s).  Each group's adds are value-identical
+        to its own overlay_many call; only the ORDER of (already
+        unordered) cross-group additions changes, same as the grouped
+        flush itself (apps/hjm_mixer.py round-2 note)."""
+        cohorts: dict = {}
+        for source, secs in pairs:
+            starts = (np.asarray(secs, np.float64)
+                      * self._sample_rate).astype(np.int64)
+            if self._sample_rate != source._sample_rate \
+                    or self._channels != source._channels:
+                source = source.clone()
+                source.resample_like(self)
+            eb = 1
+            while eb < len(starts):
+                eb *= 2
+            n_src = int(source._buf.shape[0])
+            lb = 1
+            while lb < n_src:
+                lb *= 2
+            cohorts.setdefault((eb, lb), []).append(
+                (source._buf, n_src, starts))
+        for (eb, lb), grp in sorted(cohorts.items()):
+            K = len(grp)
+            kb = 1
+            while kb < K:
+                kb *= 2
+            srcs = np.zeros((kb, lb, self._channels),
+                            np.asarray(grp[0][0]).dtype)
+            lens = np.zeros((kb,), np.int32)
+            sts = np.full((kb, eb), 1 << 30, np.int64)
+            for k, (buf, n_src, starts) in enumerate(grp):
+                srcs[k, :n_src] = np.asarray(buf)
+                lens[k] = n_src
+                sts[k, : len(starts)] = starts
+            self._buf = audio_ops.overlay_groups(
+                self._buf, jnp.asarray(srcs), jnp.asarray(lens),
+                jnp.asarray(sts, jnp.int32))
 
     def cut(self, start, end, *, time_unit: str = "frame") -> None:
         """ApplyCutAudioClip (cpp:1265-1279) with the binding's second/frame

@@ -70,6 +70,53 @@ def overlay_many(target, source, starts):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def overlay_many_bucketed(target, source, src_len, starts):
+    """Scatter-path overlay_many with the SOURCE length bucketed too:
+    ``source`` is zero-padded to a power-of-two row count and ``src_len``
+    (traced scalar) masks the pad rows to an out-of-range index that
+    ``mode="drop"`` discards — so a mixdown overlaying many
+    distinct-length clips (hjm_mixer: one per (instrument, note)) shares
+    one compiled program per (len-bucket, event-bucket) instead of
+    compiling per clip.  Value-identical to :func:`overlay_many`'s
+    scatter path: the dropped pad rows contribute nothing and the kept
+    updates are the same rows in the same order."""
+    n = source.shape[0]
+    offs = jnp.arange(n)
+    idx = starts[:, None] + offs[None, :]
+    idx = jnp.where(offs[None, :] < src_len, idx, 1 << 30)
+    src = jnp.broadcast_to(source[None], (starts.shape[0],) + source.shape)
+    return target.at[idx.reshape(-1)].add(
+        src.reshape(-1, source.shape[1]), mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def overlay_groups(target, sources, src_lens, starts):
+    """Many (source, starts) overlay GROUPS in one dispatch: a fori_loop
+    scatter-adds group k's (padded) source at its (padded) start frames.
+    Per-dispatch cost matters more than per-row work here: every
+    separate overlay call pays a full defensive copy of the (donated)
+    target on this backend (~0.18 s for a 2-minute stereo f64 mix), so
+    a 212-group mixdown (hjm_mixer, one group per (instrument, note))
+    ran ~43 s as sequential calls; the loop keeps the accumulating
+    target in place.  sources (K, L, C) zero-padded rows are masked to
+    a dropped index by src_lens; starts (K, E) pads use the standard
+    >= target-length sentinel.  Value-identical to sequential
+    overlay_many calls in the same group order."""
+    n = sources.shape[1]
+    offs = jnp.arange(n)
+
+    def body(k, tgt):
+        idx = starts[k][:, None] + offs[None, :]
+        idx = jnp.where(offs[None, :] < src_lens[k], idx, 1 << 30)
+        src = jnp.broadcast_to(
+            sources[k][None], (starts.shape[1],) + sources.shape[1:])
+        return tgt.at[idx.reshape(-1)].add(
+            src.reshape(-1, sources.shape[2]), mode="drop")
+
+    return jax.lax.fori_loop(0, sources.shape[0], body, target)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def gain(buf, g):
     return buf * g
 

@@ -267,3 +267,30 @@ def test_overlay_many_fft_path_drops_out_of_range():
             continue
         golden[st:] += s[: N - st]
     np.testing.assert_allclose(out, golden, atol=1e-9)
+
+
+def test_overlay_groups_matches_sequential():
+    # cohorted overlay_groups == sequential overlay_many, exactly, when
+    # groups touch disjoint sample ranges (the only cross-group
+    # interaction is addition order); in-range/out-of-range drop
+    # semantics and distinct clip lengths/counts ride the same cohorts
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30_000, 2)) * 0.1
+    pairs = []
+    off = 0
+    for k, (ln, ev) in enumerate([(300, 3), (121, 5), (1024, 1),
+                                  (77, 9), (300, 2)]):
+        src = R.AudioClip._from_array(
+            44100, 2, rng.standard_normal((ln, 2)) * 0.2)
+        secs = [(off + i * (ln + 7)) / 44100.0 for i in range(ev)]
+        off += ev * (ln + 7) + 50
+        pairs.append((src, secs))
+    # one event past the end: dropped in both paths (cpp:1146)
+    pairs[1][1].append(29_999 / 44100.0 + 10.0)
+
+    a = R.AudioClip._from_array(44100, 2, base)
+    for src, secs in pairs:
+        a.overlay_many(src, secs)
+    b = R.AudioClip._from_array(44100, 2, base)
+    b.overlay_groups(pairs)
+    np.testing.assert_array_equal(a.numpy(), b.numpy())
