@@ -542,7 +542,9 @@ def test_tex_zclip_false_boundary_golden():
     boundary (ROADMAP texmega2) and why zoff rows need their own
     checksum base.  The oracle below implements the same convention
     (accept everything, clamp the quantised depth), so the fp-spill
-    behaviour is contract, not folklore."""
+    behaviour is contract, not folklore.  Device-validated 2026-08-20:
+    the REAL Mosaic kernel matches this oracle on every pixel of this
+    scene (tools/exp_r5_zb.py, 0/3072 differ)."""
     rng = np.random.default_rng(31)
     Wl, Hl = 64, 48
     tex_u8 = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
