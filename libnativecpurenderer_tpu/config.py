@@ -78,6 +78,28 @@ def canvas_kernel_enabled() -> bool:
     return _canvas_kernel
 
 
+# Grouped patch compute inside the unrolled flush (exp_r5_canvas3/4):
+# the 1.62 ms 60-command flush program is per-op-overhead bound (~6
+# small device ops per command).  With grouping, each run of G
+# same-sel patch commands evaluates its fb-INDEPENDENT stage (mask /
+# rgba / atlas-region sampling) in ONE vmapped fusion set, leaving only
+# the sequential dynamic-slice -> blend -> dynamic-update-slice chain
+# per command (pure elementwise, eligible for XLA's in-place DUS
+# fusion).  Group shapes derive from the already-bucketed run counts,
+# so the signature space is unchanged and pad rows stay exact no-ops.
+# 0 disables (per-command unrolled path, the round-3/4 behaviour).
+_canvas_group_g = 0
+
+
+def set_canvas_group_g(g: int) -> None:
+    global _canvas_group_g
+    _canvas_group_g = max(0, int(g))
+
+
+def canvas_group_g() -> int:
+    return _canvas_group_g
+
+
 # Unrolled flush executor (static per-command branch picks — ~5x less
 # device time than the fori/switch loop, one compile per distinct flush
 # structure; ops/patch_exec.render_flush_unrolled).

@@ -48,6 +48,7 @@ from jax import lax
 from . import canvas_kernel
 from . import commands as C
 from . import executor
+from .. import config
 from . import noise
 from ..fastrec import mod as _fast_loaded
 
@@ -485,7 +486,59 @@ def render_flush(fb, packed, atlas, plan: tuple, nbase: int):
 # small (real workloads repeat frame structures; the persistent compile
 # cache keeps warm starts cheap) and falls back to the loop above.
 
-def _unrolled_body(fb, params, atlas, sig: tuple, barriers: bool = True):
+def _patch_group_step(fb, sel: int, params, i0: int, g: int, atlas,
+                      P: int, R: int, dtype, barriers: bool):
+    """``g`` consecutive same-sel patch commands with the fb-INDEPENDENT
+    stage batched (exp_r5_canvas3/4: the unrolled flush is per-op-
+    overhead bound, ~6 small device ops per command).
+
+    Every branch's (mask, rgba, store) depends only on the param row and
+    the atlas — never on fb — so one vmapped compute evaluates the whole
+    group in a handful of fused ops (the per-command atlas regions
+    collapse into ONE window gather, the one-hot einsums into ONE
+    batched MXU dot).  The per-command residue is the sequential
+    dynamic-slice -> blend -> dynamic-update-slice chain, which is pure
+    elementwise and keeps EXACT sequential blend semantics: overlapping
+    patches, pad rows (all-false mask -> blend returns ``old`` bitwise)
+    and command order behave identically to the per-command unrolled
+    path, bit-for-bit (the rounding-sensitive products are individually
+    barriered inside the branch bodies, same as there)."""
+    H, W = fb.shape[0], fb.shape[1]
+    AH, AW = atlas.shape[0], atlas.shape[1]
+    pg = lax.slice_in_dim(params, i0, i0 + g)          # (g, PARAM_W)
+    px0s = jnp.clip(pg[:, 6].astype(jnp.int32), 0, W - P)
+    py0s = jnp.clip(pg[:, 8].astype(jnp.int32), 0, H - P)
+
+    def compute(p, px0, py0):
+        Xp = px0.astype(dtype) + lax.broadcasted_iota(dtype, (P, P), 1)
+        Yp = py0.astype(dtype) + lax.broadcasted_iota(dtype, (P, P), 0)
+        if sel >= C.N_KINDS:
+            kind = C.KIND_TEX + (sel - C.N_KINDS) // 2
+            v0, u0 = _corner_origin(p, kind, px0, py0, P, AH, AW, R,
+                                    dtype)
+            region = lax.dynamic_slice(atlas, (v0, u0, jnp.int32(0)),
+                                       (R, R, 4))
+            br = _build_region_branches(P, R, px0, py0, Xp, Yp,
+                                        dtype)[sel - C.N_KINDS]
+            return br((p, region, u0, v0))
+        br = executor._build_branches(Xp, Yp, None, AW, dtype,
+                                      no_sampling=True)[sel]
+        return br(p)
+
+    masks, rgbas, stores = jax.vmap(compute)(pg, px0s, py0s)
+    for j in range(g):
+        old = lax.dynamic_slice(fb, (py0s[j], px0s[j], jnp.int32(0)),
+                                (P, P, 4))
+        new = executor._blend_into(old, masks[j], rgbas[j], stores[j])
+        fb = lax.dynamic_update_slice(fb, new,
+                                      (py0s[j], px0s[j], jnp.int32(0)))
+        if barriers:
+            fb = lax.optimization_barrier(fb)
+    return fb
+
+
+def _unrolled_body(fb, params, atlas, sig: tuple, barriers: bool = True,
+                   group_g: int = 0):
     """sig: tuple of segments; each is ('patch', P, R, ((sel, cnt), ...))
     or ('fullarith', (sels...)).  params: (ncmd, PARAM_W) rows in segment
     order, ncmd = total expanded count.  Patch runs are run-length
@@ -513,6 +566,14 @@ def _unrolled_body(fb, params, atlas, sig: tuple, barriers: bool = True):
         if seg[0] == "patch":
             _, P, R, runs = seg
             for sel, cnt in runs:
+                if group_g > 1 and cnt > 1:
+                    for g0 in range(0, cnt, group_g):
+                        g = min(group_g, cnt - g0)
+                        fb = _patch_group_step(fb, sel, params, i + g0,
+                                               g, atlas, P, R, dtype,
+                                               barriers)
+                    i += cnt
+                    continue
                 for _ in range(cnt):
                     fb = _patch_step_static(fb, sel, params[i], atlas, P,
                                             R, dtype)
@@ -545,19 +606,23 @@ _UNROLL_FN_CACHE: "collections.OrderedDict" = collections.OrderedDict()
 
 
 def _unroll_entry(sig: tuple, barriers: bool) -> dict:
-    key = (sig, barriers)
+    group_g = config.canvas_group_g()
+    key = (sig, barriers, group_g)
     ent = _UNROLL_FN_CACHE.pop(key, None)
     if ent is None:
         def _flush(fb, params, atlas):
-            return _unrolled_body(fb, params, atlas, sig, barriers)
+            return _unrolled_body(fb, params, atlas, sig, barriers,
+                                  group_g)
 
         def _step(fb0, params, atlas):
-            fb = _unrolled_body(fb0, params, atlas, sig, barriers)
+            fb = _unrolled_body(fb0, params, atlas, sig, barriers,
+                                group_g)
             return executor.quantize_u8(fb)
 
         def _step_batch(fb0, params_b, atlas):
             def one(params):
-                fb = _unrolled_body(fb0, params, atlas, sig, barriers)
+                fb = _unrolled_body(fb0, params, atlas, sig, barriers,
+                                    group_g)
                 return executor.quantize_u8(fb)
             return jax.vmap(one)(params_b)
 
@@ -569,9 +634,9 @@ def _unroll_entry(sig: tuple, barriers: bool) -> dict:
 
 
 def evict_unrolled(sig: tuple) -> None:
-    """Drop the compiled entries for ``sig`` (both barrier modes)."""
-    for b in (True, False):
-        _UNROLL_FN_CACHE.pop((sig, b), None)
+    """Drop the compiled entries for ``sig`` (all barrier/group modes)."""
+    for key in [k for k in _UNROLL_FN_CACHE if k[0] == sig]:
+        del _UNROLL_FN_CACHE[key]
 
 
 def render_flush_unrolled(fb, params, atlas, sig: tuple,

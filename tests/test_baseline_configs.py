@@ -86,7 +86,9 @@ def test_config3_10k_mesh_sequence():
     v = jnp.asarray(verts_np, jnp.float64)
     f = jnp.asarray(faces_np, jnp.int32)
     c = jnp.asarray(colors_np, jnp.float64)
-    for i in (0, 7):  # two angles of the 60-frame sweep
+    for i in (7,):  # one rotated angle of the 60-frame sweep (the naive
+        # O(F*pixels) oracle costs ~17 s/angle on CPU f64; angle 0 adds
+        # no coverage beyond rotation, which test_raster3d covers)
         mvp = jnp.asarray(proj @ view @ mesh.rotation_y(i * 0.03),
                           jnp.float64)
         fb_b, z_b, ovf = raster3d.render_gouraud_binned(
@@ -135,15 +137,16 @@ def test_config5_midi_av(tmp_path, ref_files):
     out = str(tmp_path / "rr_av.mp4")
     # max_frames bounds the render (audio trimmed to match): the full
     # rr.mid at fps 10 is ~1400 frames / 140 s of single-CPU test time;
-    # 120 frames exercise the identical pipeline (suite budget,
+    # 36 frames exercise the identical pipeline (suite budget,
     # VERDICT r4 item 8)
     n = midi_av.render(f"{ref_files}/rr.mid", out, ref_files,
                        width=192, height=108, fps=10, batch_frames=8,
-                       progress=False, max_frames=60)
-    assert n == 60
+                       progress=False, max_frames=36)
+    assert n == 36
     import cv2
     cap = cv2.VideoCapture(out)
     assert cap.isOpened()
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == n
-    # the mp4 carries an audio track (mixdown muxed in)
-    assert os.path.getsize(out) > 50_000
+    # the mp4 carries an audio track (mixdown muxed in; 36 video-only
+    # frames of this scene encode to ~15 KB)
+    assert os.path.getsize(out) > 25_000

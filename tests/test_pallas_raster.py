@@ -210,7 +210,9 @@ def test_u8_mega_loop_matches():
         v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=1024, bg=bg,
         span_x=8, span_y=8, interpret=True, flat=True, u8=True)
     assert not bool(ovf)
-    for mega in (2, 8):   # NT = 8 tiles at 32x8
+    for mega in (8,):   # NT = 8 tiles at 32x8 -> ONE program; the
+        # windowing logic is parametric in TPG (suite-budget trim:
+        # mega=2 exercised nothing mega=8 doesn't)
         got, _, ovf_m = raster3d.render_gouraud_pallas(
             v, f, c, W, H, m, tile_w=32, tile_h=8, capacity=1024, bg=bg,
             span_x=8, span_y=8, interpret=True, flat=True, u8=True,
@@ -230,9 +232,11 @@ def test_u8_out8_ktail_match():
               resident_out=True)
     base, _, ovf = raster3d.render_gouraud_pallas(v, f, c, W, H, m, **kw)
     assert not bool(ovf)
-    for extra in (dict(out8=True), dict(ktail=8), dict(ktail=4),
-                  dict(out8=True, ktail=8),
+    for extra in (dict(out8=True), dict(ktail=8),
                   dict(out8=True, ktail=8, mega=2)):
+        # (suite-budget trim: ktail=4 rides the same remainder-split code
+        # as ktail=8, and the bare out8+ktail8 pair is subsumed by the
+        # out8+ktail8+mega2 combination)
         got, _, ovf_v = raster3d.render_gouraud_pallas(
             v, f, c, W, H, m, **kw, **extra)
         assert not bool(ovf_v), extra
@@ -430,7 +434,9 @@ def test_pregathered_inputs_bit_exact():
     v, f, c, m = _scene()
     pre = (raster3d.pregather_mesh(v, f), c[f])
     for kw in (
-        dict(tile_w=32, tile_h=8, capacity=96),
+        # (suite-budget trim: production pre= users are flat/u8 — the
+        # gouraud loop champion and the textured prep; the non-flat f32
+        # pre path has no production caller)
         dict(tile_w=32, tile_h=8, capacity=96, flat=True, u8=True,
              opaque=True, kcc=8),
         dict(tile_w=32, tile_h=8, capacity=96, flat=True, u8=True,
@@ -486,8 +492,9 @@ def test_u8_tiled_variants_match():
               interpret=True, flat=True, u8=True, tiled=True)
     base, _, _ = raster3d.render_gouraud_pallas(v, f, c, W, H, m, **kw)
     for extra in (dict(resident_out=True),
-                  dict(resident_out=True, out8=True),
                   dict(resident_out=True, out8=True, mega=4)):
+        # (suite-budget trim: resident_out+out8 is subsumed by the
+        # +mega=4 combination)
         got, _, ovf = raster3d.render_gouraud_pallas(v, f, c, W, H, m,
                                                      **kw, **extra)
         assert not bool(ovf), extra

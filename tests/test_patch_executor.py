@@ -174,8 +174,8 @@ def test_unroll_compile_cap_evicts_lru():
         RenderContext._unroll_tick += RenderContext._UNROLL_EVICT_IDLE + 1
 
     try:
-        # distinct run buckets -> distinct signatures, 6 > cap 3
-        counts = (1, 2, 4, 6, 8, 12)
+        # distinct run buckets -> distinct signatures, 4 > cap 3
+        counts = (1, 2, 4, 6)
         first = {}
         for n in counts:
             idle()
@@ -193,7 +193,7 @@ def test_unroll_compile_cap_evicts_lru():
         # thrash guard: a burst of fresh signatures while the compiled
         # set is HOT must not evict (loop-executor fallback instead of
         # an evict-recompile storm) — the compiled set is unchanged
-        for n in (8, 12):
+        for n in (4, 6):
             scene(n)      # touch: every compiled signature is now hot
         hot = set(RenderContext._unroll_compiled)
         scene(3)
@@ -262,3 +262,83 @@ def test_unrolled_barriers_off_bit_equal():
             fb0, jnp.asarray(rows_np), jnp.asarray(atlas_np), sig, False))
         assert a.any()
         np.testing.assert_array_equal(a, b)
+
+
+def test_unrolled_grouped_bit_equal():
+    """config.canvas_group_g: batching the fb-independent compute of G
+    same-sel patch commands (one vmapped mask/rgba/atlas-region stage,
+    sequential ds->blend->dus chain) must be BIT-equal to the
+    per-command unrolled path — overlapping patches, bucket pad rows and
+    region/MXU sampling routes included (device A/B:
+    tools/exp_r5_group.py)."""
+    from libnativecpurenderer_tpu import config
+    from libnativecpurenderer_tpu.ops import patch_exec
+
+    W, H = 320, 240
+    rng = np.random.default_rng(23)
+    ctx = R.RenderContext(W, H, True)
+    texs = [R.Texture._from_array(rng.random((64, 64, 4)), True)
+            for _ in range(2)]
+    old_min = config.flush_unroll_min_seen()
+    old_k = config.canvas_kernel_enabled()
+    config.set_flush_unroll_min_seen(1)
+    config.set_canvas_kernel(False)
+    caps = []
+    orig = patch_exec.render_flush_unrolled
+
+    def wrapper(fb, rows, atlas, sig, barriers=True):
+        caps.append((np.asarray(rows), np.asarray(atlas), sig))
+        return orig(fb, rows, atlas, sig, barriers)
+
+    patch_exec.render_flush_unrolled = wrapper
+    try:
+        ctx.fill_color(0.05, 0.05, 0.08, 0.25)
+        # run of 7 OVERLAPPING split blits (bucket 8 -> one pad row;
+        # groups of 3 split them 3+3+2 with overlaps INSIDE groups)
+        for i in range(7):
+            ctx.draw_splitted_texture(texs[i % 2], 40.0 + 9 * i,
+                                      30.0 + 5 * i, 60.0, 30.0,
+                                      0.1, 0.9, 0.0, 1.0)
+        # rotated texture -> region-gather route, then an axis-aligned
+        # run (MXU one-hot route)
+        ctx.save_state()
+        ctx.translate(160.0, 120.0)
+        ctx.rotate(0.45)
+        ctx.draw_texture(texs[0], -25, -12, 50, 24)
+        ctx.draw_texture(texs[1], -10, -30, 40, 40)
+        ctx.restore_state()
+        for i in range(5):
+            ctx.draw_texture(texs[i % 2], 12.0 + 31 * i, 150.0 + 7 * i,
+                             44.0, 22.0)
+        # base-kind patch runs (rects overlap each other)
+        for i in range(6):
+            ctx.draw_rect(100.0 + 11 * i, 90.0 + 6 * i, 50.0, 30.0,
+                          0.2, 0.8, 0.4, 0.6)
+        for i in range(3):
+            ctx.draw_line(20.0 + 40 * i, 200.0, 90.0 + 40 * i, 228.0,
+                          5.0, 0.9, 0.9, 1.0, 0.8)
+        ctx.flush()
+    finally:
+        patch_exec.render_flush_unrolled = orig
+        config.set_flush_unroll_min_seen(old_min)
+        config.set_canvas_kernel(old_k)
+    assert caps, "scene did not reach the unrolled executor"
+    assert any(any(s[0] == "patch" and any(c > 1 for _, c in s[3])
+                   for s in sig) for _, _, sig in caps), \
+        "no multi-command patch run captured"
+    old_g = config.canvas_group_g()
+    try:
+        for rows_np, atlas_np, sig in caps:
+            fb0 = jnp.zeros((H, W, 4), jnp.float32)
+            config.set_canvas_group_g(0)
+            base = np.asarray(patch_exec.frame_step_unrolled(
+                fb0, jnp.asarray(rows_np), jnp.asarray(atlas_np), sig))
+            assert base.any()
+            for g in (3, 8):
+                config.set_canvas_group_g(g)
+                got = np.asarray(patch_exec.frame_step_unrolled(
+                    fb0, jnp.asarray(rows_np), jnp.asarray(atlas_np),
+                    sig))
+                np.testing.assert_array_equal(got, base, err_msg=f"g={g}")
+    finally:
+        config.set_canvas_group_g(old_g)

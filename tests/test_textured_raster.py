@@ -200,8 +200,9 @@ def test_tex_out8_ktail_match():
     base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
     assert not bool(ovf)
     for extra in (dict(out8=True), dict(ktail=8),
-                  dict(out8=True, ktail=8),
                   dict(out8=True, ktail=8, mega=2)):
+        # (suite-budget trim: bare out8+ktail8 is subsumed by the
+        # +mega=2 combination)
         got, ovf_v = raster3d.render_textured_pallas_batch(
             *args, **kw, **extra)
         assert not bool(ovf_v), extra
@@ -364,7 +365,9 @@ def test_tex_dyn_window_loop_matches():
             jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
             mvps)
-    for split in (False, True):
+    for split in (True,):   # shipped default; tex_dyn is default-off
+        # measured-negative — this guards only its bit-exactness
+        # contract (suite-budget trim)
         kw = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
                   interpret=True, tex_split=split)
         base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
@@ -391,12 +394,15 @@ def test_tex_when_predicated_groups_match():
             jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
             mvps)
-    for split in (False, True):
+    for split in (True,):   # split=True is the shipped default; the
+        # tex_when predication is orthogonal to the footprint split
+        # (suite-budget trim: tex_when is a default-off measured-negative
+        # variant — this test only guards its bit-exactness contract)
         kw = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
                   interpret=True, tex_split=split)
         base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
         for extra in (dict(tex_when=4), dict(tex_when=6),
-                      dict(tex_when=16), dict(tex_when=4, out8=True)):
+                      dict(tex_when=4, out8=True)):
             got, ovf_w = raster3d.render_textured_pallas_batch(
                 *args, **kw, **extra)
             assert bool(ovf) == bool(ovf_w), extra
@@ -428,8 +434,11 @@ def test_tex_loop_mega_zclip_match():
               span_y=8, interpret=True, mega=0)
     base, ovf = raster3d.render_textured_pallas_loop(*args, **kw)
     assert not bool(ovf)
-    for extra in (dict(mega=2), dict(z_clip=False),
+    for extra in (dict(z_clip=False),
                   dict(mega=2, z_clip=False)):
+        # (suite-budget trim: standalone mega is covered by
+        # test_tex_mega_loop_matches; this test guards z_clip and the
+        # shipped mega+z_clip stack)
         got, ovf_v = raster3d.render_textured_pallas_loop(
             *args, **{**kw, **extra})
         assert not bool(ovf_v), extra
@@ -481,10 +490,12 @@ def test_tex_skip_empty_and_subrow_fallback_match():
     base, ovf = raster3d.render_textured_pallas_loop(
         *args, **kw, fb_subrow=False)
     assert not bool(ovf)
-    for extra in (dict(), dict(tex_skip=True, fb_subrow=False),
-                  dict(tex_skip=True),
+    for extra in (dict(), dict(tex_skip=True),
                   dict(tex_skip=True, mega=2, z_clip=False),
                   dict(fb_tile_cap=4)):
+        # (suite-budget trim: tex_skip+fb_subrow=False is subsumed by
+        # the shipped tex_skip+fb_subrow combination and the mega/z_clip
+        # stack below)
         got, ovf_v = raster3d.render_textured_pallas_loop(
             *args, **{**kw, **extra})
         assert not bool(ovf_v), extra
