@@ -88,7 +88,11 @@ def canvas_kernel_enabled() -> bool:
 # fusion).  Group shapes derive from the already-bucketed run counts,
 # so the signature space is unchanged and pad rows stay exact no-ops.
 # 0 disables (per-command unrolled path, the round-3/4 behaviour).
-_canvas_group_g = 0
+# Device A/B (exp_r5_group/group2 2026-08-21): flush program 1.619 ->
+# 0.828 ms at g=4 (checksums identical, g=8/16 equal), bench_canvas
+# wall 3.51 -> 3.16-3.26 ms/frame, bench_e2e 366.5 -> 374.3 fps, and
+# unrolled-flush compiles drop 61 s -> 5-7 s (op count) — g=4 ships.
+_canvas_group_g = 4
 
 
 def set_canvas_group_g(g: int) -> None:
