@@ -286,9 +286,11 @@ def test_u8_mxu_walk_matches():
     bit-equal."""
     v, f, c, m = _scene()
     bg = jnp.asarray([0.12, 0.34, 0.56, 1.0], jnp.float32)
-    # both concat paths: opaque=False (nacc=4, nq=8) and opaque=True
-    # (nacc=3, nq=7 — the bench race configuration)
-    for opaque in (False, True):
+    # opaque=True (nacc=3, nq=7) is the bench race configuration; the
+    # opaque=False concat path (nacc=4, nq=8) was dropped for suite
+    # budget — mxu is a default-off measured-negative walk kept for
+    # characterization (ROADMAP "MXU chunk walk")
+    for opaque in (True,):
         kw = dict(tile_w=32, tile_h=8, capacity=96, bg=bg, span_x=8,
                   span_y=8, interpret=True, flat=True, u8=True,
                   opaque=opaque)

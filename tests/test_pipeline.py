@@ -245,6 +245,8 @@ def test_mesh_video_pipeline_tiled_matches_raster():
     from libnativecpurenderer_tpu.pipeline import MeshVideoPipeline
     W, H = 70, 50
     verts, faces, colors, mvps = _gouraud_scene()
+    mvps = mvps[:2]     # exact batch; remainder-path coverage lives in
+    # test_mesh_video_pipeline_textured / test_batched_equals_sequential
 
     tiled_sink = TiledSink()
     pipe = MeshVideoPipeline(tiled_sink, W, H, verts, faces,

@@ -167,7 +167,7 @@ def test_tex_mega_loop_matches():
     mvp = np.eye(4, dtype=np.float32)
     args = (jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
-            jnp.asarray(np.stack([mvp, mvp])))
+            jnp.asarray(np.stack([mvp])))
     kw = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
               interpret=True)
     base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
@@ -194,7 +194,7 @@ def test_tex_out8_ktail_match():
     mvp = np.eye(4, dtype=np.float32)
     args = (jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
-            jnp.asarray(np.stack([mvp, mvp])))
+            jnp.asarray(np.stack([mvp])))
     kw = dict(tile_w=32, tile_h=8, capacity=512, span_x=8, span_y=8,
               interpret=True)
     base, ovf = raster3d.render_textured_pallas_batch(*args, **kw)
@@ -360,7 +360,9 @@ def test_tex_dyn_window_loop_matches():
     verts, faces, uvs = mesh.quad_batch(12, seed=9)
     tex_u8 = rng.integers(0, 256, (64, 64, 4), np.uint8)
     rot = mesh.rotation_y(0.6) @ mesh.rotation_x(0.3)
-    mvps = jnp.asarray(np.stack([np.eye(4), rot]).astype(np.float32))
+    # B=1, rotated frame only: batch-dim coverage lives in
+    # test_tex_idx_batch_matches_single (suite budget)
+    mvps = jnp.asarray(np.stack([rot]).astype(np.float32))
     args = (jnp.asarray(verts, jnp.float32),
             jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
@@ -389,7 +391,9 @@ def test_tex_when_predicated_groups_match():
     verts, faces, uvs = mesh.quad_batch(12, seed=11)
     tex_u8 = rng.integers(0, 256, (64, 64, 4), np.uint8)
     rot = mesh.rotation_y(0.6) @ mesh.rotation_x(0.3)
-    mvps = jnp.asarray(np.stack([np.eye(4), rot]).astype(np.float32))
+    # B=1, rotated frame only: batch-dim coverage lives in
+    # test_tex_idx_batch_matches_single (suite budget)
+    mvps = jnp.asarray(np.stack([rot]).astype(np.float32))
     args = (jnp.asarray(verts, jnp.float32),
             jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H,
@@ -424,7 +428,9 @@ def test_tex_loop_mega_zclip_match():
     zmap[2, 3] = 0.5
     rot = (zmap @ mesh.rotation_y(0.6) @ mesh.rotation_x(0.3)).astype(
         np.float32)
-    mvps = jnp.asarray(np.stack([zmap, rot]))
+    # B=1, rotated frame only (carries the z-remap): batch-dim
+    # coverage lives in test_tex_idx_batch_matches_single
+    mvps = jnp.asarray(np.stack([rot]))
     args = (jnp.asarray(verts, jnp.float32),
             jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H)
@@ -479,7 +485,9 @@ def test_tex_skip_empty_and_subrow_fallback_match():
     zmap[2, 3] = 0.5
     rot = (zmap @ mesh.rotation_y(0.6) @ mesh.rotation_x(0.3)).astype(
         np.float32)
-    mvps = jnp.asarray(np.stack([zmap, rot]))
+    # B=1, rotated frame only (carries the z-remap): batch-dim
+    # coverage lives in test_tex_idx_batch_matches_single
+    mvps = jnp.asarray(np.stack([rot]))
     args = (jnp.asarray(verts, jnp.float32),
             jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H)
@@ -518,7 +526,9 @@ def test_tex_tiled_matches_detiled():
     zmap[2, 3] = 0.5
     rot = (zmap @ mesh.rotation_y(0.5) @ mesh.rotation_x(0.2)).astype(
         np.float32)
-    mvps = jnp.asarray(np.stack([zmap, rot]))
+    # B=1, rotated frame only (carries the z-remap): batch-dim
+    # coverage lives in test_tex_idx_batch_matches_single
+    mvps = jnp.asarray(np.stack([rot]))
     args = (jnp.asarray(verts, jnp.float32),
             jnp.asarray(faces, jnp.int32),
             jnp.asarray(uvs, jnp.float32), jnp.asarray(tex_u8), W, H)
@@ -533,7 +543,7 @@ def test_tex_tiled_matches_detiled():
         assert not bool(ovf)
         tiles, ovf_t = entry(*args, **kw, tiled=True)
         assert not bool(ovf_t)
-        assert tiles.shape == (2, 2 * 2, 32 * 32, 4)
+        assert tiles.shape == (mvps.shape[0], 2 * 2, 32 * 32, 4)
         for b in range(2):
             np.testing.assert_array_equal(
                 raster3d.detile_u8_host(tiles[b], W, H, 32, 32),
