@@ -850,8 +850,21 @@ def bench_milrenderer(frames: int = 48):
             r.run(zpath, os.path.join(td, out_name), progress=False,
                   end_frame=end_frame)
 
+        # internal warm budget: on a cold cache the chart's many flush/
+        # batch signatures compile remotely (~30-60 s each; warm can run
+        # 25-40 min) — abort rather than eat the whole bench wall
+        # without landing a number (r5c/r5d both lost the phase to the
+        # hard stop this way)
+        warm_budget = float(os.environ.get(
+            "TPURENDER_MIL_WARM_BUDGET_S", "600"))
         with TIMER.phase("milrenderer_warm"):
+            t0 = time.perf_counter()
             once("warm1.mp4", frames)
+            if time.perf_counter() - t0 > warm_budget:
+                raise TimeoutError(
+                    f"milrenderer warm1 took "
+                    f"{time.perf_counter() - t0:.0f}s (cold signature "
+                    f"cache); skipping the metric this run")
             once("warm2.mp4", frames)
         with TIMER.phase("milrenderer_run"):
             t0 = time.perf_counter()
