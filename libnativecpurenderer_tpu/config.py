@@ -138,11 +138,15 @@ def flush_unroll_min_seen() -> int:
 # Cap on unrolled-flush compilations per process.  Each compile costs
 # seconds on a real host (minutes through the dev tunnel) the FIRST time;
 # the persistent XLA cache above makes warm starts cheap, so the cap
-# mainly bounds a cold run's one-time compile bill.  Signature
-# canonicalisation (run-length padding in context._dispatch_group) keeps
-# a churning chart's structures within a small signature family, so 24
-# slots cover real workloads with room to spare.
-_flush_unroll_compile_cap = 24
+# mainly bounds a cold run's one-time compile bill and the resident
+# executable memory.  The cap MUST exceed a workload's hot-signature
+# working set: the bench chart (4 lines x 24 notes, 48 frames) runs
+# ~100 distinct canonicalised signatures, and with cap=24 the LRU
+# evicted early-frame signatures every run (idle > _UNROLL_EVICT_IDLE)
+# — an evict-recompile storm costing ~10 s per reload through the
+# tunnel, ~1200 s per identical run (exp_r5 mil3/mil4 2026-08-21).
+# 160 covers busy charts; the LRU still bounds longer-lived servers.
+_flush_unroll_compile_cap = 160
 
 
 def set_flush_unroll_compile_cap(n: int) -> None:
